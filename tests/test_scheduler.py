@@ -1,0 +1,268 @@
+"""Scheduler tests against a FakeExecutor (no TPU).
+
+The FakeExecutor pattern mirrors the reference's hardware-free scheduler
+harness (pegainfer-qwen3-4b/src/scheduler.rs:343-733): it simulates KV page
+accounting and can inject decode failures.
+"""
+
+import threading
+import time
+
+from pegainfer_tpu.engine.contract import (
+    EngineHandle,
+    Error,
+    Finished,
+    FinishReason,
+    GenerateRequest,
+    Rejected,
+    SamplingParams,
+    Scheduled,
+    Token,
+    TokenChannel,
+    is_terminal,
+)
+from pegainfer_tpu.engine.executor import (
+    DecodePlan,
+    DecodeRequestResult,
+    DecodeResult,
+    PrefillPlan,
+    PrefillRequestResult,
+    PrefillResult,
+    UnifiedPlan,
+    UnifiedResult,
+)
+from pegainfer_tpu.engine.kv import KvAccounting, PagePool
+from pegainfer_tpu.engine.scheduler import Scheduler, start_scheduler
+
+EOS = 99
+
+
+class FakeExecutor:
+    """Emits token_id = prompt[-1]+1, +1 per decode step. Tracks KV pages."""
+
+    def __init__(self, num_pages=64, page_size=4, max_req_pages=32,
+                 decode_failures=0, unified_calls=None):
+        self.pool = PagePool(num_pages=num_pages + 1)  # +1 for the null page
+        self.kv = KvAccounting(self.pool, page_size)
+        self._page_size = page_size
+        self._max_req_pages = max_req_pages
+        self._decode_failures = decode_failures
+        self.plans = []
+
+    def page_size(self):
+        return self._page_size
+
+    def available_pages(self):
+        return self.pool.available
+
+    def max_request_pages(self):
+        return self._max_req_pages
+
+    def is_stop_token(self, t):
+        return t == EOS
+
+    def _do_prefill(self, items):
+        out = []
+        for it in items:
+            st = self.kv.state(it.request_id)
+            st.ensure_capacity(self.kv.pool, len(it.prompt_tokens))
+            st.advance(len(it.prompt_tokens))
+            out.append(
+                PrefillRequestResult(
+                    request_id=it.request_id,
+                    first_token=it.prompt_tokens[-1] + 1,
+                )
+            )
+        return out
+
+    def _do_decode(self, items):
+        if self._decode_failures > 0:
+            self._decode_failures -= 1
+            raise RuntimeError("injected decode failure")
+        out = []
+        for it in items:
+            st = self.kv.state(it.request_id)
+            st.ensure_capacity(self.kv.pool, st.length + 1)
+            st.advance(1)
+            out.append(DecodeRequestResult(request_id=it.request_id, token=it.token_id + 1))
+        return out
+
+    def execute_prefill(self, plan: PrefillPlan) -> PrefillResult:
+        self.plans.append("prefill")
+        return PrefillResult(requests=self._do_prefill(plan.requests))
+
+    def execute_decode(self, plan: DecodePlan) -> DecodeResult:
+        self.plans.append("decode")
+        return DecodeResult(requests=self._do_decode(plan.requests))
+
+    def execute_unified(self, plan: UnifiedPlan) -> UnifiedResult:
+        self.plans.append("unified")
+        decode = self._do_decode(plan.decode_requests)
+        prefill = self._do_prefill(plan.prefill_requests)
+        return UnifiedResult(prefill_requests=prefill, decode_requests=decode)
+
+    def release_request(self, request_id):
+        self.kv.release(request_id)
+
+
+def submit(handle, prompt, max_tokens, **kw):
+    ch = TokenChannel()
+    handle.submit(GenerateRequest(prompt_tokens=prompt, max_tokens=max_tokens, channel=ch, **kw))
+    return ch
+
+
+def collect(ch, timeout=5.0):
+    events = []
+    deadline = time.time() + timeout
+    for ev in ch:
+        events.append(ev)
+        if is_terminal(ev) or time.time() > deadline:
+            break
+    return events
+
+
+def run_until_idle(sched: Scheduler, max_steps=1000):
+    """Drive the scheduler loop synchronously (no thread)."""
+    for _ in range(max_steps):
+        reqs, _ = sched.handle._drain()
+        for r in reqs:
+            sched._ingest(r)
+        sched._drop_closed_channels()
+        if not sched.step() and not sched.deferred:
+            return
+    raise AssertionError("scheduler did not go idle")
+
+
+def make_sched(**kw):
+    ex = FakeExecutor(**kw)
+    handle = EngineHandle()
+    return ex, Scheduler(ex, handle), handle
+
+
+def test_basic_generation_token_sequence():
+    ex, sched, handle = make_sched()
+    ch = submit(handle, [1, 2, 3], 4)
+    run_until_idle(sched)
+    events = collect(ch)
+    assert isinstance(events[0], Scheduled)
+    toks = [e.id for e in events if isinstance(e, Token)]
+    assert toks == [4, 5, 6, 7]
+    fin = events[-1]
+    assert isinstance(fin, Finished) and fin.finish_reason == FinishReason.LENGTH
+    assert fin.prompt_tokens == 3 and fin.completion_tokens == 4
+    assert ex.pool.available == ex.pool.num_pages - 1  # all KV released
+
+
+def test_eos_stops_generation():
+    ex, sched, handle = make_sched()
+    ch = submit(handle, [EOS - 2], 10)  # tokens: 98, then 99=EOS
+    run_until_idle(sched)
+    events = collect(ch)
+    toks = [e.id for e in events if isinstance(e, Token)]
+    assert toks == [EOS - 1]
+    assert events[-1].finish_reason == FinishReason.STOP
+    assert events[-1].completion_tokens == 2
+
+
+def test_ignore_eos_runs_to_length():
+    ex, sched, handle = make_sched()
+    ch = submit(handle, [EOS - 2], 5, params=SamplingParams(ignore_eos=True))
+    run_until_idle(sched)
+    toks = [e.id for e in collect(ch) if isinstance(e, Token)]
+    assert len(toks) == 5
+
+
+def test_max_tokens_one_finishes_after_prefill():
+    ex, sched, handle = make_sched()
+    ch = submit(handle, [5, 6], 1)
+    run_until_idle(sched)
+    events = collect(ch)
+    toks = [e.id for e in events if isinstance(e, Token)]
+    assert toks == [7]
+    assert events[-1].finish_reason == FinishReason.LENGTH
+    assert ex.plans == ["prefill"]
+
+
+def test_rejection_of_oversized_request():
+    ex, sched, handle = make_sched(max_req_pages=2)  # max 8 tokens lifetime
+    ch = submit(handle, list(range(20)), 5)
+    run_until_idle(sched)
+    events = collect(ch)
+    assert len(events) == 1 and isinstance(events[0], Rejected)
+
+
+def test_deferral_under_kv_pressure_then_admission():
+    # pool: 8 usable pages of 4 tokens. Each request: prompt 16 + 9 tokens
+    # lifetime = 24 tokens = 6 pages. Two requests can't fit together.
+    ex, sched, handle = make_sched(num_pages=8)
+    ch1 = submit(handle, list(range(16)), 10)
+    ch2 = submit(handle, list(range(16)), 10)
+    run_until_idle(sched)
+    ev1, ev2 = collect(ch1), collect(ch2)
+    for evs in (ev1, ev2):
+        toks = [e.id for e in evs if isinstance(e, Token)]
+        assert len(toks) == 10
+        assert evs[-1].finish_reason == FinishReason.LENGTH
+    # second request was deferred, not rejected, and admitted after the first finished
+    assert ex.pool.available == 8
+
+
+def test_unified_plan_used_when_prefill_arrives_mid_decode():
+    ex, sched, handle = make_sched()
+    ch1 = submit(handle, [1], 5)
+    # step 1: prefill req A
+    reqs, _ = sched.handle._drain()
+    for r in reqs:
+        sched._ingest(r)
+    sched.step()
+    assert ex.plans == ["prefill"]
+    # req B arrives while A decodes → unified
+    ch2 = submit(handle, [10], 3)
+    reqs, _ = sched.handle._drain()
+    for r in reqs:
+        sched._ingest(r)
+    sched.step()
+    assert ex.plans == ["prefill", "unified"]
+    run_until_idle(sched)
+    assert [e.id for e in collect(ch1) if isinstance(e, Token)] == [2, 3, 4, 5, 6]
+    assert [e.id for e in collect(ch2) if isinstance(e, Token)] == [11, 12, 13]
+
+
+def test_decode_failure_errors_touched_requests_and_recovers():
+    ex, sched, handle = make_sched(decode_failures=1)
+    ch1 = submit(handle, [1], 5)
+    run_until_idle(sched)
+    events = collect(ch1)
+    assert isinstance(events[-1], Error)
+    assert ex.pool.available == ex.pool.num_pages - 1  # KV dropped
+    # engine keeps serving
+    ch2 = submit(handle, [1], 3)
+    run_until_idle(sched)
+    assert [e.id for e in collect(ch2) if isinstance(e, Token)] == [2, 3, 4]
+
+
+def test_receiver_drop_retires_request():
+    ex, sched, handle = make_sched()
+    ch = submit(handle, [1], 100)
+    reqs, _ = sched.handle._drain()
+    for r in reqs:
+        sched._ingest(r)
+    sched.step()  # prefill
+    sched.step()  # a decode step
+    assert sched.active
+    ch.close()
+    sched._drop_closed_channels()
+    assert not sched.active
+    assert ex.pool.available == ex.pool.num_pages - 1
+
+
+def test_threaded_scheduler_end_to_end():
+    ex = FakeExecutor()
+    handle = start_scheduler(ex)
+    chs = [submit(handle, [i], 4) for i in range(8)]
+    for i, ch in enumerate(chs):
+        toks = [e.id for e in collect(ch) if isinstance(e, Token)]
+        assert toks == [i + 1, i + 2, i + 3, i + 4]
+    handle.shutdown()
+    handle._thread.join(timeout=5)
+    assert not handle._thread.is_alive()
