@@ -1,0 +1,124 @@
+"""Paged-KV attention: XLA reference implementations.
+
+Device KV layout (per layer): ``k_pages, v_pages: [num_pages, page_size,
+num_kv_heads, head_dim]``. Page id 0 is the null page (padding rows write
+there). A request's pages are listed in its page table row; token ``t`` of a
+request lives at page ``table[t // page_size]``, slot ``t % page_size``.
+
+These XLA implementations are the correctness reference (and the CPU-test
+path) for the Pallas kernels in ``ops/pallas`` which stream pages HBM→VMEM
+directly. Functional parity targets in the reference engine:
+paged_attention_decode_cuda / batch_prefill_paged_cuda
+(pegainfer-kernels/csrc/paged_attention.cu, KERNELS.md:19-21).
+
+All softmax math in f32; outputs cast back to the query dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+# ── KV page writes ───────────────────────────────────────────────────────
+
+
+def write_kv_decode(k_pages, v_pages, k_new, v_new, page_ids, slots):
+    """Scatter one token per batch row.
+
+    k_new/v_new: [B, Hkv, hd]; page_ids, slots: [B] int32.
+    Padding rows must point at the null page.
+    """
+    k_pages = k_pages.at[page_ids, slots].set(k_new.astype(k_pages.dtype))
+    v_pages = v_pages.at[page_ids, slots].set(v_new.astype(v_pages.dtype))
+    return k_pages, v_pages
+
+
+def write_kv_prefill(k_pages, v_pages, k_new, v_new, page_table):
+    """Page-granular scatter of a whole (padded) prompt.
+
+    k_new/v_new: [T, Hkv, hd] with T == len(page_table) * page_size.
+    Unused table entries must be the null page (duplicate null indices are
+    fine — the null page holds garbage by contract).
+    """
+    num_pages = page_table.shape[0]
+    page_size = k_new.shape[0] // num_pages
+    kp = k_new.reshape(num_pages, page_size, *k_new.shape[1:])
+    vp = v_new.reshape(num_pages, page_size, *v_new.shape[1:])
+    k_pages = k_pages.at[page_table].set(kp.astype(k_pages.dtype))
+    v_pages = v_pages.at[page_table].set(vp.astype(v_pages.dtype))
+    return k_pages, v_pages
+
+
+# ── Decode attention ─────────────────────────────────────────────────────
+
+
+def paged_attention_decode(q, k_pages, v_pages, page_tables, seq_lens, scale):
+    """GQA decode attention over paged KV (XLA gather reference).
+
+    q: [B, Hq, hd]; page_tables: [B, P] int32; seq_lens: [B] int32 — the
+    number of valid tokens INCLUDING the one written this step.
+    Returns [B, Hq, hd] in q.dtype.
+    """
+    B, Hq, hd = q.shape
+    P = page_tables.shape[1]
+    page_size = k_pages.shape[1]
+    Hkv = k_pages.shape[2]
+    G = Hq // Hkv
+    S = P * page_size
+
+    # Gather this batch's KV: [B, P, page_size, Hkv, hd] → [B, S, Hkv, hd]
+    k = k_pages[page_tables].reshape(B, S, Hkv, hd)
+    v = v_pages[page_tables].reshape(B, S, Hkv, hd)
+
+    qg = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bhgd,bshd->bhgs", qg, kf) * scale  # [B, Hkv, G, S]
+
+    pos = lax.broadcasted_iota(jnp.int32, (B, 1, 1, S), 3)
+    mask = pos < seq_lens[:, None, None, None]
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    out = jnp.einsum("bhgs,bshd->bhgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, Hq, hd).astype(q.dtype)
+
+
+# ── Prefill attention ────────────────────────────────────────────────────
+
+
+def prefill_attention(q, k, v, seq_len, scale, q_chunk: int = 256):
+    """Causal self-attention over one (padded) prompt, chunked over queries.
+
+    q: [T, Hq, hd]; k, v: [T, Hkv, hd]; seq_len: valid token count (dynamic).
+    Rows past seq_len produce garbage (masked by the caller's use).
+    Returns [T, Hq, hd] in q.dtype.
+    """
+    T, Hq, hd = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    if T % q_chunk != 0:
+        q_chunk = T  # small inputs: single chunk
+    nc = T // q_chunk
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    key_pos = lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
+
+    def one_chunk(ci):
+        qs = lax.dynamic_slice_in_dim(q, ci * q_chunk, q_chunk, axis=0)
+        qg = qs.reshape(q_chunk, Hkv, G, hd).astype(jnp.float32)
+        scores = jnp.einsum("thgd,shd->hgts", qg, kf) * scale  # [Hkv,G,C,T]
+        scores = scores.transpose(2, 0, 1, 3)  # [C, Hkv, G, T]
+        q_pos = (ci * q_chunk + lax.broadcasted_iota(jnp.int32, (q_chunk, 1, 1, 1), 0))
+        mask = (key_pos <= q_pos) & (key_pos < seq_len)
+        scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("thgs,shd->thgd", probs, vf)
+        return out.reshape(q_chunk, Hq, hd)
+
+    out = lax.map(one_chunk, jnp.arange(nc))
+    return out.reshape(T, Hq, hd).astype(q.dtype)
