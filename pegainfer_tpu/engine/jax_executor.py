@@ -1,0 +1,331 @@
+"""JAX ModelExecutor: bucketed jitted steps over device-resident paged KV.
+
+The TPU answer to the reference's executor + CUDA-Graph machinery
+(pegainfer-qwen3-4b/src/executor.rs:519-1011, batch_decode_buffers.rs:51-98):
+instead of capturing CUDA graphs per (bucket, path), we jit one decode step
+per (batch-bucket, page-table-bucket) static shape — XLA compiles and caches
+each variant; the KV block array is donated so updates are in place. Batch
+sizes bucket to {1,2,4,8,16,32,64} (same ladder as the reference,
+batch_decode_buffers.rs:12); page-table width buckets to powers of two.
+
+Host↔device traffic per decode step: a few [B]-int32 uploads and one [B]
+token download. Logits and sampling stay on device (SURVEY.md §7 hard-part
+#5 — the reference's DSv4 lost 63 ms/token to a logits D2H).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pegainfer_tpu.engine.contract import EngineLoadOptions, TokenLogprob
+from pegainfer_tpu.engine.executor import (
+    DecodePlan,
+    DecodeRequestResult,
+    DecodeResult,
+    PrefillPlan,
+    PrefillRequestResult,
+    PrefillResult,
+    UnifiedPlan,
+    UnifiedResult,
+)
+from pegainfer_tpu.engine.kv import KvAccounting, PagePool
+from pegainfer_tpu.ops import sampling as smp
+
+log = logging.getLogger("pegainfer.executor")
+
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def bucket_batch(n: int) -> int:
+    for b in BATCH_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"batch {n} exceeds max bucket {BATCH_BUCKETS[-1]}")
+
+
+def bucket_pow2(n: int, lo: int, hi: int) -> int:
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return min(max(b, lo), hi)
+
+
+@dataclass
+class ModelRuntime:
+    """What a paged-KV model must provide to the generic executor.
+
+    prefill_fn(kv, tokens[T], seq_len, page_table[T/ps]) -> (kv, last_logits[V])
+    decode_fn(kv, tokens[B], positions[B], tables[B,P], seq_lens[B]) -> (kv, logits[B,V])
+    Both must be pure (params captured in the closure) and jit-safe.
+    """
+
+    prefill_fn: Callable
+    prefill_all_logits_fn: Callable  # same, returns (kv, last_logits, all_logits[T,V])
+    decode_fn: Callable
+    kv_pages: jax.Array  # initial device KV block array (page axis = 2)
+    page_size: int
+    num_pages: int
+    stop_token_ids: frozenset
+    max_model_len: int
+    vocab_size: int
+
+
+class JaxExecutor:
+    """Generic continuous-batching executor over a ModelRuntime."""
+
+    def __init__(self, runtime: ModelRuntime, options: Optional[EngineLoadOptions] = None):
+        opts = options or EngineLoadOptions()
+        self.rt = runtime
+        self.kv_pages = runtime.kv_pages
+        pool = PagePool(runtime.num_pages)
+        self.acct = KvAccounting(pool, runtime.page_size)
+        self.max_batch = opts.max_batch_size
+        self._max_pages = min(
+            pool.available,
+            -(-runtime.max_model_len // runtime.page_size),
+        )
+        # max page-table width (static cap for decode jit)
+        self._table_cap = self._max_pages
+
+        self._jit_prefill: Dict[Tuple[int, bool], Callable] = {}
+        self._jit_decode: Dict[Tuple[int, int], Callable] = {}
+        self._jit_sample_greedy = jax.jit(smp.sample_greedy)
+        self._jit_sample = jax.jit(smp.sample)
+        self._jit_token_logprob = jax.jit(smp.token_logprob)
+        self._jit_top_logprobs = jax.jit(smp.top_logprobs, static_argnums=1)
+
+    # ── scheduler-facing accounting ──────────────────────────────────
+
+    def page_size(self) -> int:
+        return self.rt.page_size
+
+    def available_pages(self) -> int:
+        return self.acct.pool.available
+
+    def max_request_pages(self) -> int:
+        return self._max_pages
+
+    def is_stop_token(self, token_id: int) -> bool:
+        return token_id in self.rt.stop_token_ids
+
+    def release_request(self, request_id: int) -> None:
+        self.acct.release(request_id)
+
+    # ── jit caches ───────────────────────────────────────────────────
+
+    def _prefill(self, T: int, all_logits: bool) -> Callable:
+        key = (T, all_logits)
+        fn = self._jit_prefill.get(key)
+        if fn is None:
+            base = self.rt.prefill_all_logits_fn if all_logits else self.rt.prefill_fn
+            fn = jax.jit(base, donate_argnums=0)
+            self._jit_prefill[key] = fn
+            log.info("compiling prefill T=%d all_logits=%s", T, all_logits)
+        return fn
+
+    def _decode(self, B: int, P: int) -> Callable:
+        key = (B, P)
+        fn = self._jit_decode.get(key)
+        if fn is None:
+            fn = jax.jit(self.rt.decode_fn, donate_argnums=0)
+            self._jit_decode[key] = fn
+            log.info("compiling decode B=%d P=%d", B, P)
+        return fn
+
+    # ── sampling helpers ─────────────────────────────────────────────
+
+    def _sample(self, logits, items) -> Tuple[np.ndarray, jax.Array]:
+        """logits: [B, V] device. Returns (host tokens [n], device tokens)."""
+        if all(it.params.is_greedy for it in items):
+            toks = self._jit_sample_greedy(logits)
+        else:
+            B = logits.shape[0]
+            temp = np.zeros(B, np.float32)
+            top_k = np.full(B, -1, np.int32)
+            top_p = np.ones(B, np.float32)
+            rand = np.zeros(B, np.float32)
+            for i, it in enumerate(items):
+                temp[i] = it.params.temperature
+                top_k[i] = it.params.top_k
+                top_p[i] = it.params.top_p
+                rand[i] = it.random_val
+            toks = self._jit_sample(
+                logits,
+                jnp.asarray(temp),
+                jnp.asarray(top_k),
+                jnp.asarray(top_p),
+                jnp.asarray(rand),
+            )
+        return np.asarray(toks), toks
+
+    def _maybe_logprobs(self, logits, dev_tokens, items) -> List[Optional[TokenLogprob]]:
+        out: List[Optional[TokenLogprob]] = [None] * len(items)
+        if not any(it.logprobs > 0 for it in items):
+            return out
+        chosen = np.asarray(self._jit_token_logprob(logits, dev_tokens))
+        n_top = max(it.logprobs for it in items)
+        top_vals, top_ids = self._jit_top_logprobs(logits, int(n_top))
+        top_vals = np.asarray(top_vals)
+        top_ids = np.asarray(top_ids)
+        for i, it in enumerate(items):
+            if it.logprobs > 0:
+                out[i] = TokenLogprob(
+                    logprob=float(chosen[i]),
+                    top_logprobs=[
+                        (int(top_ids[i, j]), float(top_vals[i, j]))
+                        for j in range(it.logprobs)
+                    ],
+                )
+        return out
+
+    # ── prefill ──────────────────────────────────────────────────────
+
+    def _prefill_one(self, item) -> PrefillRequestResult:
+        ps = self.rt.page_size
+        T = len(item.prompt_tokens)
+        Tp = bucket_pow2(-(-T // ps) * ps, ps * 4, 1 << 30)
+        st = self.acct.state(item.request_id)
+        st.ensure_capacity(self.acct.pool, T)
+
+        table = np.full(Tp // ps, PagePool.NULL_PAGE, dtype=np.int32)
+        table[: len(st.pages)] = st.pages
+        toks = np.zeros(Tp, dtype=np.int32)
+        toks[:T] = item.prompt_tokens
+
+        want_all = item.echo and item.logprobs > 0
+        fn = self._prefill(Tp, want_all)
+        if want_all:
+            self.kv_pages, last_logits, all_logits = fn(
+                self.kv_pages, jnp.asarray(toks), jnp.int32(T), jnp.asarray(table)
+            )
+        else:
+            self.kv_pages, last_logits, _ = fn(
+                self.kv_pages, jnp.asarray(toks), jnp.int32(T), jnp.asarray(table)
+            )
+            all_logits = None
+        st.advance(T)
+
+        logits_b = last_logits[None, :]
+        host_toks, dev_toks = self._sample(logits_b, [item])
+        lp = self._maybe_logprobs(logits_b, dev_toks, [item])[0]
+
+        prompt_logprobs = None
+        if item.echo and all_logits is not None:
+            # logprob of prompt token t given tokens < t (first token: None)
+            tgt = np.asarray(item.prompt_tokens[1:], dtype=np.int32)
+            pl = np.asarray(
+                self._jit_token_logprob(all_logits[: T - 1], jnp.asarray(tgt))
+            )
+            prompt_logprobs = [None] + [
+                TokenLogprob(logprob=float(x)) for x in pl
+            ]
+
+        return PrefillRequestResult(
+            request_id=item.request_id,
+            first_token=int(host_toks[0]),
+            first_token_logprob=lp,
+            prompt_logprobs=prompt_logprobs,
+        )
+
+    def execute_prefill(self, plan: PrefillPlan) -> PrefillResult:
+        return PrefillResult(requests=[self._prefill_one(it) for it in plan.requests])
+
+    # ── decode ───────────────────────────────────────────────────────
+
+    def execute_decode(self, plan: DecodePlan) -> DecodeResult:
+        items = plan.requests
+        n = len(items)
+        if n == 0:
+            return DecodeResult()
+        if n > self.max_batch:
+            # respect the configured cap; simple split (scheduler keeps n small)
+            head = self.execute_decode(DecodePlan(requests=items[: self.max_batch]))
+            tail = self.execute_decode(DecodePlan(requests=items[self.max_batch:]))
+            return DecodeResult(requests=head.requests + tail.requests)
+
+        B = bucket_batch(n)
+        ps = self.rt.page_size
+
+        positions = np.zeros(B, np.int32)
+        tokens = np.zeros(B, np.int32)
+        seq_lens = np.zeros(B, np.int32)
+        max_pages_used = 1
+        states = []
+        for i, it in enumerate(items):
+            st = self.acct.state(it.request_id)
+            pos = st.length
+            st.ensure_capacity(self.acct.pool, pos + 1)
+            states.append(st)
+            tokens[i] = it.token_id
+            positions[i] = pos
+            seq_lens[i] = pos + 1
+            max_pages_used = max(max_pages_used, len(st.pages))
+
+        P = bucket_pow2(max_pages_used, 8, self._table_cap)
+        tables = np.full((B, P), PagePool.NULL_PAGE, dtype=np.int32)
+        for i, st in enumerate(states):
+            tables[i, : len(st.pages)] = st.pages
+
+        fn = self._decode(B, P)
+        self.kv_pages, logits = fn(
+            self.kv_pages,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.asarray(tables),
+            jnp.asarray(seq_lens),
+        )
+        for st in states:
+            st.advance(1)
+
+        logits_n = logits[:n]
+        host_toks, dev_toks = self._sample(logits_n, items)
+        lps = self._maybe_logprobs(logits_n, dev_toks, items)
+        return DecodeResult(
+            requests=[
+                DecodeRequestResult(
+                    request_id=it.request_id, token=int(host_toks[i]), logprob=lps[i]
+                )
+                for i, it in enumerate(items)
+            ]
+        )
+
+    # ── unified ──────────────────────────────────────────────────────
+
+    def execute_unified(self, plan: UnifiedPlan) -> UnifiedResult:
+        """Correctness-first unified step: prefills then the decode batch.
+
+        The reference fuses both into one GEMM pass (unified_forward.rs:1-78);
+        here they are separate dispatches of already-compiled programs — a
+        TPU fusion of the mixed step is a later optimization (mixed ragged
+        attention kernel).
+        """
+        decode = self.execute_decode(DecodePlan(requests=plan.decode_requests))
+        prefill = self.execute_prefill(PrefillPlan(requests=plan.prefill_requests))
+        return UnifiedResult(
+            prefill_requests=prefill.requests, decode_requests=decode.requests
+        )
+
+    # ── warmup (CUDA-Graph analog: pre-compile the bucket ladder) ────
+
+    def precompile(self, batch_buckets=None, table_buckets=(8,)) -> None:
+        for B in batch_buckets or BATCH_BUCKETS:
+            if B > self.max_batch:
+                break
+            for P in table_buckets:
+                fn = self._decode(B, P)
+                self.kv_pages, logits = fn(
+                    self.kv_pages,
+                    jnp.zeros(B, jnp.int32),
+                    jnp.zeros(B, jnp.int32),
+                    jnp.zeros((B, P), jnp.int32),
+                    jnp.zeros(B, jnp.int32),
+                )
+                jax.block_until_ready(logits)

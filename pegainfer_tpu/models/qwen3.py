@@ -241,6 +241,27 @@ def kv_bytes_per_page(cfg: Qwen3Config, page_size: int, dtype=jnp.bfloat16) -> i
 # ── Forward building blocks ──────────────────────────────────────────────
 
 
+def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
+                 kv_dtype=jnp.bfloat16):
+    """Bundle jit-ready closures + device KV for the generic JaxExecutor."""
+    from pegainfer_tpu.engine.jax_executor import ModelRuntime
+
+    kv = make_kv_pages(cfg, num_pages, page_size, dtype=kv_dtype)
+    return ModelRuntime(
+        prefill_fn=lambda kv, t, sl, pt: prefill(cfg, params, kv, t, sl, pt),
+        prefill_all_logits_fn=lambda kv, t, sl, pt: prefill(
+            cfg, params, kv, t, sl, pt, return_all_logits=True
+        ),
+        decode_fn=lambda kv, t, p, pt, sl: decode(cfg, params, kv, t, p, pt, sl),
+        kv_pages=kv,
+        page_size=page_size,
+        num_pages=num_pages,
+        stop_token_ids=frozenset(cfg.stop_token_ids),
+        max_model_len=cfg.max_position_embeddings,
+        vocab_size=cfg.vocab_size,
+    )
+
+
 def _qkv(cfg: Qwen3Config, lw, x, cos, sin):
     """x: [T, D] → q [T, Hq, hd], k, v [T, Hkv, hd] with qk-norm + RoPE."""
     T = x.shape[0]

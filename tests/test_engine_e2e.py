@@ -1,0 +1,172 @@
+"""End-to-end engine test: scheduler + JaxExecutor + tiny Qwen3 (CPU).
+
+The Python analog of the reference's greedy E2E phases
+(pegainfer-qwen3-4b/tests/e2e.rs:108-221): greedy match vs the HF oracle,
+multi-request concurrency, logprobs/echo wiring.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from pegainfer_tpu.engine.contract import (
+    Finished,
+    FinishReason,
+    GenerateRequest,
+    PromptTokens,
+    SamplingParams,
+    Token,
+    TokenChannel,
+    is_terminal,
+)
+from pegainfer_tpu.engine.jax_executor import JaxExecutor
+from pegainfer_tpu.engine.scheduler import start_scheduler
+from pegainfer_tpu.models import qwen3 as q3
+
+EOS = 7  # arbitrary token we mark as stop
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    hf_cfg = Qwen3Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=1,
+        head_dim=16,
+        rms_norm_eps=1e-6,
+        rope_theta=1e6,
+        tie_word_embeddings=True,
+        max_position_embeddings=256,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    model = Qwen3ForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = q3.Qwen3Config.from_hf(hf_cfg)
+    cfg = q3.Qwen3Config(**{**cfg.__dict__, "eos_token_id": EOS, "stop_token_ids": (EOS,)})
+    params = q3.params_from_state_dict(cfg, sd, dtype=jnp.float32)
+    rt = q3.make_runtime(cfg, params, num_pages=128, page_size=4, kv_dtype=jnp.float32)
+    ex = JaxExecutor(rt)
+    handle = start_scheduler(ex)
+    yield handle, model, ex
+    handle.shutdown()
+
+
+def generate(handle, prompt, max_tokens, **kw):
+    ch = TokenChannel()
+    handle.submit(
+        GenerateRequest(prompt_tokens=prompt, max_tokens=max_tokens, channel=ch, **kw)
+    )
+    toks, fin, prompt_ev = [], None, None
+    for ev in ch:
+        if isinstance(ev, Token):
+            toks.append(ev)
+        elif isinstance(ev, PromptTokens):
+            prompt_ev = ev
+        if is_terminal(ev):
+            fin = ev
+            break
+    return toks, fin, prompt_ev
+
+
+def hf_greedy(model, prompt, n):
+    with torch.no_grad():
+        return model.generate(
+            torch.tensor([prompt], dtype=torch.long),
+            max_new_tokens=n,
+            do_sample=False,
+            use_cache=True,
+            pad_token_id=0,
+        )[0][len(prompt):].tolist()
+
+
+def test_greedy_matches_hf_through_engine(engine):
+    handle, model, _ = engine
+    rng = np.random.default_rng(10)
+    prompt = rng.integers(8, 127, size=9).tolist()
+    ref = hf_greedy(model, prompt, 10)
+    toks, fin, _ = generate(handle, prompt, 10, params=SamplingParams(ignore_eos=True))
+    assert [t.id for t in toks] == ref
+    assert isinstance(fin, Finished) and fin.finish_reason == FinishReason.LENGTH
+
+
+def test_concurrent_requests_match_sequential(engine):
+    handle, model, _ = engine
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(8, 127, size=rng.integers(4, 12)).tolist() for _ in range(5)]
+    refs = [hf_greedy(model, p, 8) for p in prompts]
+
+    chans = []
+    for p in prompts:
+        ch = TokenChannel()
+        handle.submit(
+            GenerateRequest(
+                prompt_tokens=p,
+                max_tokens=8,
+                channel=ch,
+                params=SamplingParams(ignore_eos=True),
+            )
+        )
+        chans.append(ch)
+    for ch, ref in zip(chans, refs):
+        toks = [e.id for e in ch if isinstance(e, Token)]
+        assert toks == ref
+
+
+def test_kv_fully_released_after_traffic(engine):
+    handle, _, ex = engine
+    import time
+
+    deadline = time.time() + 10
+    while ex.acct.pool.allocated and time.time() < deadline:
+        time.sleep(0.05)
+    assert ex.acct.pool.allocated == 0
+
+
+def test_logprobs_and_echo(engine):
+    handle, model, _ = engine
+    prompt = [20, 30, 40, 50]
+    toks, fin, prompt_ev = generate(
+        handle, prompt, 4,
+        params=SamplingParams(ignore_eos=True), logprobs=3, echo=True,
+    )
+    assert prompt_ev is not None and prompt_ev.ids == prompt
+    assert prompt_ev.logprobs[0] is None
+    assert all(lp is not None for lp in prompt_ev.logprobs[1:])
+    # prompt logprob = HF log_softmax of the next prompt token
+    with torch.no_grad():
+        out = model(torch.tensor([prompt], dtype=torch.long)).logits[0].float()
+    ref_lp = torch.log_softmax(out, dim=-1)
+    for i, lp in enumerate(prompt_ev.logprobs[1:]):
+        assert abs(lp.logprob - float(ref_lp[i, prompt[i + 1]])) < 5e-3
+    for t in toks:
+        assert t.logprob is not None
+        assert len(t.logprob.top_logprobs) == 3
+        best = max(v for _, v in t.logprob.top_logprobs)
+        assert t.logprob.logprob <= best + 1e-6
+        # greedy: chosen token must be the argmax one
+        assert t.logprob.top_logprobs[0][0] == t.id
+
+
+def test_eos_finish_through_engine(engine):
+    handle, model, _ = engine
+    # find a prompt whose greedy continuation hits EOS early (brute force tiny)
+    rng = np.random.default_rng(12)
+    for _ in range(30):
+        prompt = rng.integers(8, 127, size=6).tolist()
+        ref = hf_greedy(model, prompt, 12)
+        if EOS in ref:
+            cut = ref.index(EOS)
+            toks, fin, _ = generate(handle, prompt, 12)
+            assert [t.id for t in toks] == ref[:cut]
+            assert fin.finish_reason == FinishReason.STOP
+            return
+    pytest.skip("no EOS-hitting prompt found in 30 tries")
