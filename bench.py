@@ -1,0 +1,142 @@
+"""Headline bench: Qwen3-4B BF16 decode TPOT on one chip.
+
+Mirrors the reference's `bench_serving snapshot` decode_heavy config
+(prompt 1024 / output 256, greedy, pegainfer-server/src/bin/bench_serving.rs)
+through the real engine hot path (JaxExecutor prefill + decode steps).
+Weights are random at true Qwen3-4B shapes — identical compute/memory
+footprint to the checkpoint, no download needed.
+
+Prints ONE JSON line:
+  {"metric": "qwen3_4b_decode_tpot_p50_ms", "value": N, "unit": "ms",
+   "vs_baseline": baseline_ms / N}   (>1.0 means faster than the reference's
+   RTX 5070 Ti snapshot, bench_snapshots/rtx-5070-ti/qwen3-4b.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+BASELINE_TPOT_MS = 11.31  # bench_snapshots/rtx-5070-ti/qwen3-4b.json decode_heavy p50
+
+
+def qwen3_4b_config():
+    from pegainfer_tpu.models.qwen3 import Qwen3Config
+
+    return Qwen3Config(
+        hidden_size=2560,
+        intermediate_size=9728,
+        num_hidden_layers=36,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        vocab_size=151936,
+        rms_norm_eps=1e-6,
+        rope_theta=1000000.0,
+        tie_word_embeddings=True,
+        eos_token_id=151645,
+        stop_token_ids=(151645,),
+        max_position_embeddings=40960,
+    )
+
+
+def smoke_config():
+    from pegainfer_tpu.models.qwen3 import Qwen3Config
+
+    return Qwen3Config(
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        head_dim=32,
+        vocab_size=1024,
+        rms_norm_eps=1e-6,
+        rope_theta=1000000.0,
+        tie_word_embeddings=True,
+        eos_token_id=0,
+        stop_token_ids=(0,),
+        max_position_embeddings=4096,
+    )
+
+
+def main():
+    smoke = os.environ.get("PEGAINFER_BENCH_SMOKE") == "1"
+    prompt_len = 128 if smoke else 1024
+    n_decode = 16 if smoke else 256
+
+    if smoke:  # smoke mode validates the harness on CPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from pegainfer_tpu.engine.contract import EngineLoadOptions, SamplingParams
+    from pegainfer_tpu.engine.executor import DecodePlan, DecodeStepItem, PrefillPlan, PrefillStepItem
+    from pegainfer_tpu.engine.jax_executor import JaxExecutor
+    from pegainfer_tpu.models import qwen3 as q3
+
+    cfg = smoke_config() if smoke else qwen3_4b_config()
+    params = q3.init_random_params(cfg, seed=0)
+    num_pages = 64 if smoke else 512
+    page_size = 16
+    runtime = q3.make_runtime(cfg, params, num_pages=num_pages, page_size=page_size)
+    ex = JaxExecutor(runtime, EngineLoadOptions())
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, prompt_len).tolist()
+    greedy = SamplingParams()
+
+    # ── warmup: compile prefill + decode buckets ──
+    warm = PrefillStepItem(request_id=0, prompt_tokens=prompt, params=greedy)
+    res = ex.execute_prefill(PrefillPlan(requests=[warm]))
+    tok = res.requests[0].first_token
+    for _ in range(3):
+        d = ex.execute_decode(
+            DecodePlan(requests=[DecodeStepItem(request_id=0, token_id=tok, params=greedy)])
+        )
+        tok = d.requests[0].token
+    ex.release_request(0)
+
+    # ── TTFT: prefill 1024 + first sampled token ──
+    t0 = time.perf_counter()
+    res = ex.execute_prefill(
+        PrefillPlan(requests=[PrefillStepItem(request_id=1, prompt_tokens=prompt, params=greedy)])
+    )
+    ttft_ms = (time.perf_counter() - t0) * 1e3
+    tok = res.requests[0].first_token
+
+    # ── steady decode TPOT over n_decode tokens ──
+    times = []
+    for _ in range(n_decode):
+        t0 = time.perf_counter()
+        d = ex.execute_decode(
+            DecodePlan(requests=[DecodeStepItem(request_id=1, token_id=tok, params=greedy)])
+        )
+        times.append((time.perf_counter() - t0) * 1e3)
+        tok = d.requests[0].token
+    ex.release_request(1)
+
+    tpot_p50 = statistics.median(times)
+    result = {
+        "metric": "qwen3_4b_decode_tpot_p50_ms",
+        "value": round(tpot_p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_TPOT_MS / tpot_p50, 3),
+        "extra": {
+            "ttft_ms": round(ttft_ms, 1),
+            "decode_tok_s": round(1e3 / tpot_p50, 1),
+            "tpot_p95_ms": round(sorted(times)[int(len(times) * 0.95)], 3),
+            "prompt_len": prompt_len,
+            "n_decode": n_decode,
+            "smoke": smoke,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,18 +125,20 @@ class Qwen3Config:
 # }
 
 
-def params_from_state_dict(cfg: Qwen3Config, sd: Dict[str, np.ndarray], dtype=jnp.bfloat16):
-    """Build the stacked pytree from an HF-named state dict
-    (numpy arrays, HF [out, in] layout)."""
+def params_from_state_dict(cfg: Qwen3Config, sd: Dict[str, Any], dtype=jnp.bfloat16):
+    """Build the stacked pytree from an HF-named state dict (numpy or jnp
+    arrays, HF [out, in] layout). The stacked-[L] layout is the TPU analog of
+    the reference's per-layer fused loads (qwen3-4b/src/weights.rs:121-291):
+    one lax.scan over the layer axis replaces 36 unrolled layer programs."""
 
     def get(name):
-        return np.asarray(sd[name])
+        return jnp.asarray(sd[name], dtype=dtype)
 
     def proj(name):  # HF [out,in] → ours [in,out]
         return get(name).T
 
     L = cfg.num_hidden_layers
-    stack = lambda f: np.stack([f(i) for i in range(L)])  # noqa: E731
+    stack = lambda f: jnp.stack([f(i) for i in range(L)])  # noqa: E731
 
     layers = {
         "input_ln": stack(lambda i: get(f"model.layers.{i}.input_layernorm.weight")),
@@ -150,7 +152,7 @@ def params_from_state_dict(cfg: Qwen3Config, sd: Dict[str, np.ndarray], dtype=jn
             lambda i: get(f"model.layers.{i}.post_attention_layernorm.weight")
         ),
         "w_gate_up": stack(
-            lambda i: np.concatenate(
+            lambda i: jnp.concatenate(
                 [
                     proj(f"model.layers.{i}.mlp.gate_proj.weight"),
                     proj(f"model.layers.{i}.mlp.up_proj.weight"),
@@ -165,13 +167,12 @@ def params_from_state_dict(cfg: Qwen3Config, sd: Dict[str, np.ndarray], dtype=jn
         lm_head = embed.T
     else:
         lm_head = proj("lm_head.weight")
-    params = {
+    return {
         "embed": embed,
         "layers": layers,
         "final_ln": get("model.norm.weight"),
         "lm_head": lm_head,
     }
-    return jax.tree.map(lambda x: jnp.asarray(x, dtype=dtype), params)
 
 
 def init_random_params(cfg: Qwen3Config, seed: int = 0, dtype=jnp.bfloat16, scale=0.02):

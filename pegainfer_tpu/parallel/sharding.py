@@ -1,0 +1,109 @@
+"""Mesh construction + Qwen3 partition specs (megatron-style TP under GSPMD).
+
+Sharding layout (the GSPMD analog of the reference's row/col TP shard loaders,
+pegainfer-qwen3-4b/src/weights.rs:121-291):
+
+- q/k/v projections `[L, D, H*hd]` — shard the *output* (head) axis over tp
+  (reference "row shard" in its [out, in] layout);
+- o projection `[L, H*hd, D]` — shard the *input* (head) axis over tp
+  (reference "col shard"); XLA inserts the psum the reference issued as an
+  explicit NCCL all-reduce after o_proj (batch_decode.rs:266);
+- gate/up `[L, D, 2I]` and down `[L, I, D]` — same pattern over the
+  intermediate axis (all-reduce after down_proj, batch_decode.rs:292);
+- lm_head `[D, V]` — vocab-sharded; logits come back replicated via XLA
+  all-gather (reference: embedding_batched_vocab_shard + logits gather);
+- KV pages `[L, 2, pages, page_size, Hkv, hd]` — sharded on the kv-head axis,
+  so paged attention is fully local per tp rank (GQA groups never cross
+  ranks; requires tp | Hkv, same constraint the reference validates in
+  TensorParallelConfig, config.rs:8-158);
+- batch axes of the decode step — sharded over dp when the mesh has one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical mesh axes. tp rides the innermost (fastest ICI) axis."""
+
+    dp: int = 1
+    tp: int = 1
+
+    @property
+    def size(self) -> int:
+        return self.dp * self.tp
+
+
+def make_mesh(cfg: MeshConfig, devices: Optional[list] = None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    if len(devs) < cfg.size:
+        raise ValueError(f"need {cfg.size} devices, have {len(devs)}")
+    arr = np.asarray(devs[: cfg.size]).reshape(cfg.dp, cfg.tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def qwen3_param_specs(cfg) -> dict:
+    """PartitionSpec pytree matching models.qwen3 params layout."""
+    return {
+        "embed": P(None, None),  # replicated: gathers are tiny, avoids a
+        # per-token all-gather on the embedding row
+        "layers": {
+            "input_ln": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "q_norm": P(None, None),
+            "k_norm": P(None, None),
+            "wo": P(None, "tp", None),
+            "post_ln": P(None, None),
+            "w_gate_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        },
+        "final_ln": P(None),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def qwen3_kv_spec() -> P:
+    """KV block array [L, 2, pages, page_size, Hkv, hd]: shard kv heads."""
+    return P(None, None, None, None, "tp", None)
+
+
+def validate_qwen3_tp(cfg, tp: int) -> None:
+    """The reference's TensorParallelConfig validation (config.rs:8-158)."""
+    if cfg.num_key_value_heads % tp:
+        raise ValueError(f"tp={tp} must divide num_key_value_heads={cfg.num_key_value_heads}")
+    if cfg.num_attention_heads % tp:
+        raise ValueError(f"tp={tp} must divide num_attention_heads={cfg.num_attention_heads}")
+    if cfg.intermediate_size % tp:
+        raise ValueError(f"tp={tp} must divide intermediate_size={cfg.intermediate_size}")
+    if cfg.vocab_size % tp:
+        raise ValueError(f"tp={tp} must divide vocab_size={cfg.vocab_size}")
+
+
+def shard_qwen3(mesh: Mesh, cfg, params, kv_pages):
+    """Place params + KV on the mesh with TP shardings. Returns (params, kv)."""
+    tp = mesh.shape.get("tp", 1)
+    validate_qwen3_tp(cfg, tp)
+    specs = qwen3_param_specs(cfg)
+    params = place_tree(mesh, params, specs)
+    kv_pages = jax.device_put(kv_pages, NamedSharding(mesh, qwen3_kv_spec()))
+    return params, kv_pages
+
+
+def place_tree(mesh: Mesh, params, specs):
+    """device_put leaves of a dict-pytree by matching PartitionSpec leaves.
+
+    (Not jax.tree.map: PartitionSpec subclasses tuple, so tree_map would
+    recurse into the spec itself.)
+    """
+    if isinstance(params, dict):
+        return {k: place_tree(mesh, params[k], specs[k]) for k in params}
+    return jax.device_put(params, NamedSharding(mesh, specs))

@@ -1,0 +1,101 @@
+"""CLI product entrypoint: model detection → engine → HTTP server.
+
+Reference parity: pegainfer-server/src/main.rs:13-156 (clap CLI, model-type
+detection from config.json via src/server_engine.rs:33-76, engine startup,
+frontend serve). Run as ``python -m pegainfer_tpu.server.main --model-path …``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def detect_model_type(model_path: str) -> str:
+    """From config.json architectures (reference server_engine.rs:33-76)."""
+    with open(os.path.join(model_path, "config.json")) as f:
+        cfg = json.load(f)
+    archs = cfg.get("architectures", [])
+    if "Qwen3ForCausalLM" in archs:
+        return "qwen3"
+    if any(a in ("Qwen3NextForCausalLM", "Qwen3_5ForCausalLM") for a in archs):
+        return "qwen35"
+    if any("Deepseek" in a for a in archs):
+        return "deepseek_v4"
+    raise ValueError(f"unsupported architectures: {archs}")
+
+
+def build_engine_and_tokenizer(args):
+    from pegainfer_tpu.engine.contract import EngineLoadOptions
+
+    opts = EngineLoadOptions(
+        precompile=not args.no_precompile,
+        seed=args.seed,
+        max_num_pages=args.max_num_pages,
+        max_batch_size=args.max_batch_size,
+    )
+    if args.sim:
+        from pegainfer_tpu.server.tokenizer import SimTokenizer
+        from pegainfer_tpu.sim import SimulatedEngineConfig, start_engine
+
+        sim_cfg = SimulatedEngineConfig(ttft_s=args.sim_ttft, tpot_s=args.sim_tpot)
+        return start_engine(sim_cfg, opts), SimTokenizer(), "pegainfer-sim"
+
+    from pegainfer_tpu.server.tokenizer import HFTokenizer
+
+    mtype = detect_model_type(args.model_path)
+    if mtype == "qwen3":
+        from pegainfer_tpu.models import qwen3_engine
+
+        handle = qwen3_engine.start_engine(args.model_path, opts, tp_size=args.tp_size)
+    elif mtype == "qwen35":
+        from pegainfer_tpu.models import qwen35_engine
+
+        handle = qwen35_engine.start_engine(args.model_path, opts, tp_size=args.tp_size)
+    else:
+        raise NotImplementedError(f"model type {mtype} engine not wired yet")
+    name = os.path.basename(os.path.normpath(args.model_path))
+    return handle, HFTokenizer(args.model_path), name
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("pegainfer-tpu serve")
+    p.add_argument("--model-path", help="HF checkpoint dir (config.json + safetensors)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max-num-pages", type=int, default=None)
+    p.add_argument("--max-batch-size", type=int, default=64)
+    p.add_argument("--no-precompile", action="store_true",
+                   help="skip decode-bucket precompilation (reference: --cuda-graph off)")
+    p.add_argument("--sim", action="store_true", help="simulated engine (no TPU)")
+    p.add_argument("--sim-ttft", type=float, default=0.02)
+    p.add_argument("--sim-tpot", type=float, default=0.005)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=os.environ.get("PEGAINFER_LOG", "INFO"),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    if not args.sim and not args.model_path:
+        p.error("--model-path required (or use --sim)")
+
+    engine, tokenizer, model_name = build_engine_and_tokenizer(args)
+
+    from aiohttp import web
+
+    from pegainfer_tpu.server.api import OpenAIApp
+
+    app = OpenAIApp(engine, tokenizer, model_name).build()
+    logging.getLogger("pegainfer.server").info(
+        "serving %s on http://%s:%d", model_name, args.host, args.port
+    )
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
