@@ -17,7 +17,14 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import time
+
+_T0 = time.time()
+
+
+def note(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 BASELINE_TPOT_MS = 11.31  # bench_snapshots/rtx-5070-ti/qwen3-4b.json decode_heavy p50
 
@@ -79,12 +86,16 @@ def main():
     from pegainfer_tpu.engine.jax_executor import JaxExecutor
     from pegainfer_tpu.models import qwen3 as q3
 
+    import jax
+
+    note(f"backend={jax.default_backend()} devices={jax.devices()}")
     cfg = smoke_config() if smoke else qwen3_4b_config()
-    params = q3.init_random_params(cfg, seed=0)
+    params = q3.init_bench_params(cfg)
     num_pages = 64 if smoke else 512
     page_size = 16
     runtime = q3.make_runtime(cfg, params, num_pages=num_pages, page_size=page_size)
     ex = JaxExecutor(runtime, EngineLoadOptions())
+    note("params + runtime built")
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, prompt_len).tolist()
@@ -93,12 +104,14 @@ def main():
     # ── warmup: compile prefill + decode buckets ──
     warm = PrefillStepItem(request_id=0, prompt_tokens=prompt, params=greedy)
     res = ex.execute_prefill(PrefillPlan(requests=[warm]))
+    note("prefill compiled + ran")
     tok = res.requests[0].first_token
-    for _ in range(3):
+    for i in range(3):
         d = ex.execute_decode(
             DecodePlan(requests=[DecodeStepItem(request_id=0, token_id=tok, params=greedy)])
         )
         tok = d.requests[0].token
+        note(f"warm decode {i} done")
     ex.release_request(0)
 
     # ── TTFT: prefill 1024 + first sampled token ──

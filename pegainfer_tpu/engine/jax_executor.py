@@ -19,7 +19,7 @@ import logging
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,20 +62,34 @@ def bucket_pow2(n: int, lo: int, hi: int) -> int:
 class ModelRuntime:
     """What a paged-KV model must provide to the generic executor.
 
-    prefill_fn(kv, tokens[T], seq_len, page_table[T/ps]) -> (kv, last_logits[V])
-    decode_fn(kv, tokens[B], positions[B], tables[B,P], seq_lens[B]) -> (kv, logits[B,V])
-    Both must be pure (params captured in the closure) and jit-safe.
+    ``state`` is an opaque device pytree (donated through every step): paged
+    KV for Qwen3; paged KV + slot-indexed recurrent/conv state for hybrid
+    models (the TPU analog of the reference's stable-address slot system,
+    qwen35-4b/src/batch_decode_graph.rs:36-123).
+
+    prefill_fn(params, state, tokens[T], seq_len, page_table[T/ps], slot)
+        -> (state, last_logits[V], None)
+    prefill_all_logits_fn — same, third result = all_logits[T, V]
+    decode_fn(params, state, tokens[B], positions[B], tables[B,P],
+        seq_lens[B], slots[B]) -> (state, logits[B,V])
+    All must be pure and jit-safe. ``params`` MUST be threaded as an argument
+    (never a closure capture: jit would bake the full weight pytree into
+    every compiled bucket as constants — GBs per program). ``slots`` index
+    per-request persistent state rows; models without such state ignore them
+    (padding rows carry slot 0 — their writes must be masked or benign).
     """
 
     prefill_fn: Callable
-    prefill_all_logits_fn: Callable  # same, returns (kv, last_logits, all_logits[T,V])
+    prefill_all_logits_fn: Callable
     decode_fn: Callable
-    kv_pages: jax.Array  # initial device KV block array (page axis = 2)
+    params: Any  # device pytree (weights)
+    state: Any  # device pytree (KV pages + per-slot recurrent state)
     page_size: int
     num_pages: int
     stop_token_ids: frozenset
     max_model_len: int
     vocab_size: int
+    max_slots: int = 64
 
 
 class JaxExecutor:
@@ -84,10 +98,14 @@ class JaxExecutor:
     def __init__(self, runtime: ModelRuntime, options: Optional[EngineLoadOptions] = None):
         opts = options or EngineLoadOptions()
         self.rt = runtime
-        self.kv_pages = runtime.kv_pages
+        self.params = runtime.params
+        self.state = runtime.state
         pool = PagePool(runtime.num_pages)
         self.acct = KvAccounting(pool, runtime.page_size)
-        self.max_batch = opts.max_batch_size
+        self.max_batch = min(opts.max_batch_size, runtime.max_slots)
+        # request → persistent state slot (hybrid models' recurrent state)
+        self._slots: Dict[int, int] = {}
+        self._free_slots = list(range(runtime.max_slots - 1, -1, -1))
         self._max_pages = min(
             pool.available,
             -(-runtime.max_model_len // runtime.page_size),
@@ -118,6 +136,18 @@ class JaxExecutor:
 
     def release_request(self, request_id: int) -> None:
         self.acct.release(request_id)
+        slot = self._slots.pop(request_id, None)
+        if slot is not None:
+            self._free_slots.append(slot)
+
+    def _slot(self, request_id: int) -> int:
+        slot = self._slots.get(request_id)
+        if slot is None:
+            if not self._free_slots:
+                raise RuntimeError("state slot pool exhausted")
+            slot = self._free_slots.pop()
+            self._slots[request_id] = slot
+        return slot
 
     # ── jit caches ───────────────────────────────────────────────────
 
@@ -126,7 +156,7 @@ class JaxExecutor:
         fn = self._jit_prefill.get(key)
         if fn is None:
             base = self.rt.prefill_all_logits_fn if all_logits else self.rt.prefill_fn
-            fn = jax.jit(base, donate_argnums=0)
+            fn = jax.jit(base, donate_argnums=1)  # donate state, not params
             self._jit_prefill[key] = fn
             log.info("compiling prefill T=%d all_logits=%s", T, all_logits)
         return fn
@@ -135,7 +165,7 @@ class JaxExecutor:
         key = (B, P)
         fn = self._jit_decode.get(key)
         if fn is None:
-            fn = jax.jit(self.rt.decode_fn, donate_argnums=0)
+            fn = jax.jit(self.rt.decode_fn, donate_argnums=1)
             self._jit_decode[key] = fn
             log.info("compiling decode B=%d P=%d", B, P)
         return fn
@@ -200,15 +230,18 @@ class JaxExecutor:
         toks = np.zeros(Tp, dtype=np.int32)
         toks[:T] = item.prompt_tokens
 
+        slot = self._slot(item.request_id)
         want_all = item.echo and item.logprobs > 0
         fn = self._prefill(Tp, want_all)
         if want_all:
-            self.kv_pages, last_logits, all_logits = fn(
-                self.kv_pages, jnp.asarray(toks), jnp.int32(T), jnp.asarray(table)
+            self.state, last_logits, all_logits = fn(
+                self.params, self.state, jnp.asarray(toks), jnp.int32(T),
+                jnp.asarray(table), jnp.int32(slot),
             )
         else:
-            self.kv_pages, last_logits, _ = fn(
-                self.kv_pages, jnp.asarray(toks), jnp.int32(T), jnp.asarray(table)
+            self.state, last_logits, _ = fn(
+                self.params, self.state, jnp.asarray(toks), jnp.int32(T),
+                jnp.asarray(table), jnp.int32(slot),
             )
             all_logits = None
         st.advance(T)
@@ -257,6 +290,7 @@ class JaxExecutor:
         positions = np.zeros(B, np.int32)
         tokens = np.zeros(B, np.int32)
         seq_lens = np.zeros(B, np.int32)
+        slots = np.zeros(B, np.int32)
         max_pages_used = 1
         states = []
         for i, it in enumerate(items):
@@ -267,6 +301,7 @@ class JaxExecutor:
             tokens[i] = it.token_id
             positions[i] = pos
             seq_lens[i] = pos + 1
+            slots[i] = self._slot(it.request_id)
             max_pages_used = max(max_pages_used, len(st.pages))
 
         P = bucket_pow2(max_pages_used, 8, self._table_cap)
@@ -275,12 +310,14 @@ class JaxExecutor:
             tables[i, : len(st.pages)] = st.pages
 
         fn = self._decode(B, P)
-        self.kv_pages, logits = fn(
-            self.kv_pages,
+        self.state, logits = fn(
+            self.params,
+            self.state,
             jnp.asarray(tokens),
             jnp.asarray(positions),
             jnp.asarray(tables),
             jnp.asarray(seq_lens),
+            jnp.asarray(slots),
         )
         for st in states:
             st.advance(1)
@@ -321,11 +358,13 @@ class JaxExecutor:
                 break
             for P in table_buckets:
                 fn = self._decode(B, P)
-                self.kv_pages, logits = fn(
-                    self.kv_pages,
+                self.state, logits = fn(
+                    self.params,
+                    self.state,
                     jnp.zeros(B, jnp.int32),
                     jnp.zeros(B, jnp.int32),
                     jnp.zeros((B, P), jnp.int32),
+                    jnp.zeros(B, jnp.int32),
                     jnp.zeros(B, jnp.int32),
                 )
                 jax.block_until_ready(logits)

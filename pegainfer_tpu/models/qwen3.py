@@ -212,15 +212,55 @@ def init_random_params(cfg: Qwen3Config, seed: int = 0, dtype=jnp.bfloat16, scal
     }
 
 
+def init_bench_params(cfg: Qwen3Config, dtype=jnp.bfloat16, fill: float = 0.01):
+    """Constant-filled params at real shapes, allocated device-side.
+
+    For benchmarks only: matmul/attention timing on TPU is data-independent,
+    and filling on device skips minutes of host-side RNG for ~4B elements.
+    """
+    L, D, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, hd, V = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.vocab_size,
+    )
+
+    def w(*shape):
+        return jnp.full(shape, fill, dtype=dtype)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=dtype)
+
+    return {
+        "embed": w(V, D),
+        "layers": {
+            "input_ln": ones(L, D),
+            "wq": w(L, D, Hq * hd),
+            "wk": w(L, D, Hkv * hd),
+            "wv": w(L, D, Hkv * hd),
+            "q_norm": ones(L, hd),
+            "k_norm": ones(L, hd),
+            "wo": w(L, Hq * hd, D),
+            "post_ln": ones(L, D),
+            "w_gate_up": w(L, D, 2 * I),
+            "w_down": w(L, I, D),
+        },
+        "final_ln": ones(D),
+        "lm_head": w(D, V),
+    }
+
+
 def make_kv_pages(cfg: Qwen3Config, num_pages: int, page_size: int, dtype=jnp.bfloat16):
-    """KV block array: [L, 2, num_pages, page_size, Hkv, hd]."""
+    """KV block array: [L, 2, Hkv, num_pages, page_size, hd] (head-major —
+    see ops.attention module docstring)."""
     return jnp.zeros(
         (
             cfg.num_hidden_layers,
             2,
+            cfg.num_key_value_heads,
             num_pages,
             page_size,
-            cfg.num_key_value_heads,
             cfg.head_dim,
         ),
         dtype=dtype,
@@ -242,19 +282,32 @@ def kv_bytes_per_page(cfg: Qwen3Config, page_size: int, dtype=jnp.bfloat16) -> i
 # ── Forward building blocks ──────────────────────────────────────────────
 
 
+def use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
-                 kv_dtype=jnp.bfloat16):
-    """Bundle jit-ready closures + device KV for the generic JaxExecutor."""
+                 kv_dtype=jnp.bfloat16, use_pallas: Optional[bool] = None):
+    """Bundle jit-ready closures + device KV for the generic JaxExecutor.
+
+    ``use_pallas`` selects the Pallas attention kernels (default: on TPU
+    backends, off elsewhere — the XLA reference path is the CPU-test oracle).
+    """
     from pegainfer_tpu.engine.jax_executor import ModelRuntime
 
+    up = use_pallas_default() if use_pallas is None else use_pallas
     kv = make_kv_pages(cfg, num_pages, page_size, dtype=kv_dtype)
     return ModelRuntime(
-        prefill_fn=lambda kv, t, sl, pt: prefill(cfg, params, kv, t, sl, pt),
-        prefill_all_logits_fn=lambda kv, t, sl, pt: prefill(
-            cfg, params, kv, t, sl, pt, return_all_logits=True
+        # slot args unused: Qwen3 has no per-request recurrent state
+        prefill_fn=lambda w, kv, t, sl, pt, slot: prefill(cfg, w, kv, t, sl, pt,
+                                                          use_pallas=up),
+        prefill_all_logits_fn=lambda w, kv, t, sl, pt, slot: prefill(
+            cfg, w, kv, t, sl, pt, return_all_logits=True, use_pallas=up
         ),
-        decode_fn=lambda kv, t, p, pt, sl: decode(cfg, params, kv, t, p, pt, sl),
-        kv_pages=kv,
+        decode_fn=lambda w, kv, t, p, pt, sl, slots: decode(cfg, w, kv, t, p, pt, sl,
+                                                            use_pallas=up),
+        params=params,
+        state=kv,
         page_size=page_size,
         num_pages=num_pages,
         stop_token_ids=frozenset(cfg.stop_token_ids),
@@ -291,7 +344,7 @@ def _scale(cfg: Qwen3Config) -> float:
 
 
 def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
-            return_all_logits: bool = False):
+            return_all_logits: bool = False, use_pallas: bool = False):
     """Prefill one prompt and write its KV.
 
     tokens: [T] int32 (padded); seq_len: scalar int32 (valid count);
@@ -317,7 +370,12 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
         kv_pages = lax.dynamic_update_index_in_dim(
             kv_pages, jnp.stack([kp, vp]), li, axis=0
         )
-        o = att.prefill_attention(q, k, v, seq_len, scale)
+        if use_pallas and T % 128 == 0:
+            from pegainfer_tpu.ops.pallas import flash_prefill
+
+            o = flash_prefill(q, k, v, seq_len, scale)
+        else:
+            o = att.prefill_attention(q, k, v, seq_len, scale)
         x = x + o.reshape(T, -1) @ lw["wo"]
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
@@ -340,7 +398,8 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
 # ── Batched decode: one token per active request ─────────────────────────
 
 
-def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, seq_lens):
+def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, seq_lens,
+           use_pallas: bool = False):
     """One decode step for a padded batch.
 
     tokens, positions, seq_lens: [B] int32 — seq_lens counts tokens INCLUDING
@@ -350,7 +409,7 @@ def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, s
     Returns (kv_pages, logits [B, V] f32).
     """
     B = tokens.shape[0]
-    page_size = kv_pages.shape[3]
+    page_size = kv_pages.shape[4]
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(
         positions, jnp.asarray(rope_inv_freq(cfg.head_dim, cfg.rope_theta), jnp.float32),
@@ -372,7 +431,12 @@ def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, s
         kv_pages = lax.dynamic_update_index_in_dim(
             kv_pages, jnp.stack([kp, vp]), li, axis=0
         )
-        o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+        if use_pallas:
+            from pegainfer_tpu.ops.pallas import paged_attention_decode
+
+            o = paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+        else:
+            o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
         x = x + o.reshape(B, -1) @ lw["wo"]
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)

@@ -83,7 +83,7 @@ def start_engine(
         kv = q3.make_kv_pages(cfg, num_pages, page_size)
         params, kv = shard_qwen3(mesh, cfg, params, kv)
         runtime = q3.make_runtime(cfg, params, num_pages, page_size)
-        runtime.kv_pages = kv
+        runtime.state = kv
     else:
         runtime = q3.make_runtime(cfg, params, num_pages, page_size)
 

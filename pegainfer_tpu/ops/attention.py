@@ -1,9 +1,12 @@
 """Paged-KV attention: XLA reference implementations.
 
-Device KV layout (per layer): ``k_pages, v_pages: [num_pages, page_size,
-num_kv_heads, head_dim]``. Page id 0 is the null page (padding rows write
-there). A request's pages are listed in its page table row; token ``t`` of a
-request lives at page ``table[t // page_size]``, slot ``t % page_size``.
+Device KV layout (per layer): ``k_pages, v_pages: [num_kv_heads, num_pages,
+page_size, head_dim]`` — *head-major*, so (a) one TP shard owns whole kv
+heads and pages stay contiguous per shard, and (b) the Pallas decode kernel's
+per-(request, head) page DMAs are contiguous ``[page_size, head_dim]``
+blocks. Page id 0 is the null page (padding rows write there). A request's
+pages are listed in its page table row; token ``t`` of a request lives at
+page ``table[t // page_size]``, slot ``t % page_size``.
 
 These XLA implementations are the correctness reference (and the CPU-test
 path) for the Pallas kernels in ``ops/pallas`` which stream pages HBM→VMEM
@@ -29,11 +32,14 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 def write_kv_decode(k_pages, v_pages, k_new, v_new, page_ids, slots):
     """Scatter one token per batch row.
 
-    k_new/v_new: [B, Hkv, hd]; page_ids, slots: [B] int32.
-    Padding rows must point at the null page.
+    k_pages/v_pages: [Hkv, num_pages, page_size, hd]; k_new/v_new:
+    [B, Hkv, hd]; page_ids, slots: [B] int32. Padding rows must point at the
+    null page.
     """
-    k_pages = k_pages.at[page_ids, slots].set(k_new.astype(k_pages.dtype))
-    v_pages = v_pages.at[page_ids, slots].set(v_new.astype(v_pages.dtype))
+    k_t = k_new.transpose(1, 0, 2).astype(k_pages.dtype)  # [Hkv, B, hd]
+    v_t = v_new.transpose(1, 0, 2).astype(v_pages.dtype)
+    k_pages = k_pages.at[:, page_ids, slots].set(k_t)
+    v_pages = v_pages.at[:, page_ids, slots].set(v_t)
     return k_pages, v_pages
 
 
@@ -46,10 +52,11 @@ def write_kv_prefill(k_pages, v_pages, k_new, v_new, page_table):
     """
     num_pages = page_table.shape[0]
     page_size = k_new.shape[0] // num_pages
-    kp = k_new.reshape(num_pages, page_size, *k_new.shape[1:])
-    vp = v_new.reshape(num_pages, page_size, *v_new.shape[1:])
-    k_pages = k_pages.at[page_table].set(kp.astype(k_pages.dtype))
-    v_pages = v_pages.at[page_table].set(vp.astype(v_pages.dtype))
+    # [T, Hkv, hd] → [Hkv, num_pages, page_size, hd]
+    kp = k_new.reshape(num_pages, page_size, *k_new.shape[1:]).transpose(2, 0, 1, 3)
+    vp = v_new.reshape(num_pages, page_size, *v_new.shape[1:]).transpose(2, 0, 1, 3)
+    k_pages = k_pages.at[:, page_table].set(kp.astype(k_pages.dtype))
+    v_pages = v_pages.at[:, page_table].set(vp.astype(v_pages.dtype))
     return k_pages, v_pages
 
 
@@ -65,25 +72,25 @@ def paged_attention_decode(q, k_pages, v_pages, page_tables, seq_lens, scale):
     """
     B, Hq, hd = q.shape
     P = page_tables.shape[1]
-    page_size = k_pages.shape[1]
-    Hkv = k_pages.shape[2]
+    Hkv = k_pages.shape[0]
+    page_size = k_pages.shape[2]
     G = Hq // Hkv
     S = P * page_size
 
-    # Gather this batch's KV: [B, P, page_size, Hkv, hd] → [B, S, Hkv, hd]
-    k = k_pages[page_tables].reshape(B, S, Hkv, hd)
-    v = v_pages[page_tables].reshape(B, S, Hkv, hd)
+    # Gather this batch's KV: [Hkv, B, P, page_size, hd] → [Hkv, B, S, hd]
+    k = k_pages[:, page_tables].reshape(Hkv, B, S, hd)
+    v = v_pages[:, page_tables].reshape(Hkv, B, S, hd)
 
     qg = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    scores = jnp.einsum("bhgd,bshd->bhgs", qg, kf) * scale  # [B, Hkv, G, S]
+    scores = jnp.einsum("bhgd,hbsd->bhgs", qg, kf) * scale  # [B, Hkv, G, S]
 
     pos = lax.broadcasted_iota(jnp.int32, (B, 1, 1, S), 3)
     mask = pos < seq_lens[:, None, None, None]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
 
-    out = jnp.einsum("bhgs,bshd->bhgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhgs,hbsd->bhgd", probs, v.astype(jnp.float32))
     return out.reshape(B, Hq, hd).astype(q.dtype)
 
 

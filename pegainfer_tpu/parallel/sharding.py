@@ -72,8 +72,8 @@ def qwen3_param_specs(cfg) -> dict:
 
 
 def qwen3_kv_spec() -> P:
-    """KV block array [L, 2, pages, page_size, Hkv, hd]: shard kv heads."""
-    return P(None, None, None, None, "tp", None)
+    """KV block array [L, 2, Hkv, pages, page_size, hd]: shard kv heads."""
+    return P(None, None, "tp", None, None, None)
 
 
 def validate_qwen3_tp(cfg, tp: int) -> None:

@@ -1,0 +1,105 @@
+"""Pallas kernels vs XLA reference implementations (interpret mode on CPU).
+
+Reference analog: pegainfer-kernels/tests/* (kernels vs reference math,
+SURVEY.md §4). The XLA implementations in ops.attention are themselves
+HF-parity-tested (test_qwen3_parity), so agreement here chains to the oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pegainfer_tpu.ops import attention as att
+from pegainfer_tpu.ops.pallas.flash_prefill import flash_prefill
+from pegainfer_tpu.ops.pallas.paged_decode import paged_attention_decode
+
+
+def rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=dtype)
+
+
+@pytest.mark.parametrize("T,seq_len,Hq,Hkv,hd,tq,tk", [
+    (128, 128, 4, 2, 64, 64, 64),
+    (256, 200, 8, 2, 64, 128, 128),
+    (128, 37, 4, 4, 128, 64, 64),
+    (512, 512, 2, 1, 64, 128, 256),
+])
+def test_flash_prefill_matches_reference(T, seq_len, Hq, Hkv, hd, tq, tk):
+    q = rand(0, (T, Hq, hd))
+    k = rand(1, (T, Hkv, hd))
+    v = rand(2, (T, Hkv, hd))
+    scale = hd ** -0.5
+    ref = att.prefill_attention(q, k, v, jnp.int32(seq_len), scale)
+    out = flash_prefill(q, k, v, jnp.int32(seq_len), scale, tq=tq, tk=tk,
+                        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out[:seq_len]), np.asarray(ref[:seq_len]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_prefill_bf16():
+    T, Hq, Hkv, hd = 128, 4, 2, 64
+    q = rand(0, (T, Hq, hd), jnp.bfloat16)
+    k = rand(1, (T, Hkv, hd), jnp.bfloat16)
+    v = rand(2, (T, Hkv, hd), jnp.bfloat16)
+    ref = att.prefill_attention(q, k, v, jnp.int32(100), hd ** -0.5)
+    out = flash_prefill(q, k, v, jnp.int32(100), hd ** -0.5, tq=64, tk=64,
+                        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out[:100], np.float32), np.asarray(ref[:100], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def _paged_setup(key, B, Hq, Hkv, hd, num_pages, ps, P, seq_lens):
+    """Build consistent paged KV + tables for the given per-row seq lens."""
+    rng = np.random.default_rng(key)
+    k_pages = rand(3, (Hkv, num_pages, ps, hd))
+    v_pages = rand(4, (Hkv, num_pages, ps, hd))
+    tables = np.zeros((B, P), np.int32)
+    next_page = 1
+    for b, sl in enumerate(seq_lens):
+        n = -(-sl // ps)
+        assert next_page + n <= num_pages
+        tables[b, :n] = np.arange(next_page, next_page + n)
+        next_page += n
+    q = rand(5, (B, Hq, hd))
+    return q, k_pages, v_pages, jnp.asarray(tables), jnp.asarray(seq_lens, jnp.int32)
+
+
+@pytest.mark.parametrize("B,Hq,Hkv,hd,ps,P,seq_lens,cp", [
+    (1, 4, 2, 64, 8, 8, [40], 2),
+    (4, 8, 4, 64, 8, 16, [1, 63, 128, 17], 4),
+    (2, 4, 1, 128, 16, 8, [100, 9], 8),
+    (3, 4, 2, 64, 8, 8, [33, 0, 5], 2),  # dead row (seq_len 0)
+])
+def test_paged_decode_matches_reference(B, Hq, Hkv, hd, ps, P, seq_lens, cp):
+    q, kp, vp, tables, sl = _paged_setup(0, B, Hq, Hkv, hd, 64, ps, P, seq_lens)
+    scale = hd ** -0.5
+    ref = att.paged_attention_decode(q, kp, vp, tables, sl, scale)
+    out = paged_attention_decode(q, kp, vp, tables, sl, scale,
+                                 chunk_pages=cp, interpret=True)
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    for b, s in enumerate(seq_lens):
+        if s > 0:
+            np.testing.assert_allclose(out[b], ref[b], rtol=2e-5, atol=2e-5)
+        else:
+            np.testing.assert_array_equal(out[b], 0.0)
+
+
+def test_paged_decode_bf16_kv():
+    B, Hq, Hkv, hd, ps, P = 2, 8, 2, 64, 8, 8
+    q, kp, vp, tables, sl = _paged_setup(1, B, Hq, Hkv, hd, 32, ps, P, [40, 21])
+    kp = kp.astype(jnp.bfloat16)
+    vp = vp.astype(jnp.bfloat16)
+    q = q.astype(jnp.bfloat16)
+    scale = hd ** -0.5
+    ref = att.paged_attention_decode(q, kp, vp, tables, sl, scale)
+    out = paged_attention_decode(q, kp, vp, tables, sl, scale,
+                                 chunk_pages=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
