@@ -290,7 +290,8 @@ class JaxExecutor:
         positions = np.zeros(B, np.int32)
         tokens = np.zeros(B, np.int32)
         seq_lens = np.zeros(B, np.int32)
-        slots = np.zeros(B, np.int32)
+        # padding rows write their (masked) state to the dead slot
+        slots = np.full(B, self.rt.max_slots, np.int32)
         max_pages_used = 1
         states = []
         for i, it in enumerate(items):
@@ -365,6 +366,6 @@ class JaxExecutor:
                     jnp.zeros(B, jnp.int32),
                     jnp.zeros((B, P), jnp.int32),
                     jnp.zeros(B, jnp.int32),
-                    jnp.zeros(B, jnp.int32),
+                    jnp.full(B, self.rt.max_slots, jnp.int32),
                 )
                 jax.block_until_ready(logits)

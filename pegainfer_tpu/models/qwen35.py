@@ -1,0 +1,533 @@
+"""Qwen3.5 hybrid (linear GDN + full attention) — TPU-native forward.
+
+Capability parity with the reference Qwen3.5-4B engine crate
+(pegainfer-qwen35-4b: config src/config.rs:43-71, GDR ops src/recurrent.rs,
+prefill src/prefill.rs, slot system src/batch_decode_graph.rs), re-designed
+for XLA; numerics oracle is HF Qwen3NextForCausalLM (same architecture
+family — layer_types of (p-1) linear_attention + 1 full_attention per
+period, Gated Delta Net with conv1d, gated attention with partial RoPE).
+
+Layout: layers are grouped by the periodic pattern; one ``lax.scan`` over
+groups traces (p-1) linear layers + 1 full layer once. Per-request state:
+
+- ``kv``   [G, 2, Hkv, pages, ps, hd]  — paged KV, full-attention layers only
+- ``rec``  [G, p-1, S+1, Hv, dk, dv] f32 — GDN recurrent state per slot
+- ``conv`` [G, p-1, S+1, K, conv_dim] f32 — conv1d window per slot
+
+where S = max_slots; row S is the dead slot that padded batch rows write to
+(the TPU answer to the reference's stable-address slot compaction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pegainfer_tpu.ops import attention as att
+from pegainfer_tpu.ops import gdn
+from pegainfer_tpu.ops.norm import rms_norm_zero_centered as rms_norm
+from pegainfer_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+
+
+@dataclass(frozen=True)
+class Qwen35Config:
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    vocab_size: int
+    rms_norm_eps: float
+    rope_theta: float
+    partial_rotary_factor: float
+    layer_types: tuple
+    linear_num_key_heads: int
+    linear_num_value_heads: int
+    linear_key_head_dim: int
+    linear_value_head_dim: int
+    linear_conv_kernel_dim: int
+    tie_word_embeddings: bool
+    eos_token_id: int = 151645
+    stop_token_ids: tuple = ()
+    max_position_embeddings: int = 262144
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    @property
+    def key_dim(self) -> int:
+        return self.linear_num_key_heads * self.linear_key_head_dim
+
+    @property
+    def value_dim(self) -> int:
+        return self.linear_num_value_heads * self.linear_value_head_dim
+
+    @property
+    def conv_dim(self) -> int:
+        return 2 * self.key_dim + self.value_dim
+
+    @property
+    def period(self) -> int:
+        """Length of the periodic layer pattern ((p-1) linear + 1 full)."""
+        p = self.layer_types.index("full_attention") + 1
+        expected = ("linear_attention",) * (p - 1) + ("full_attention",)
+        if self.layer_types != expected * (len(self.layer_types) // p):
+            raise ValueError(f"layer pattern not periodic: {self.layer_types}")
+        return p
+
+    @property
+    def num_groups(self) -> int:
+        return self.num_hidden_layers // self.period
+
+    @staticmethod
+    def from_hf(cfg: Any) -> "Qwen35Config":
+        eos = cfg.eos_token_id
+        if isinstance(eos, (list, tuple)):
+            stop, eos = tuple(eos), eos[0]
+        else:
+            stop = (eos,) if eos is not None else ()
+        return Qwen35Config(
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_hidden_layers=cfg.num_hidden_layers,
+            num_attention_heads=cfg.num_attention_heads,
+            num_key_value_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim,
+            vocab_size=cfg.vocab_size,
+            rms_norm_eps=cfg.rms_norm_eps,
+            rope_theta=cfg.rope_theta,
+            partial_rotary_factor=getattr(cfg, "partial_rotary_factor", 0.25),
+            layer_types=tuple(cfg.layer_types),
+            linear_num_key_heads=cfg.linear_num_key_heads,
+            linear_num_value_heads=cfg.linear_num_value_heads,
+            linear_key_head_dim=cfg.linear_key_head_dim,
+            linear_value_head_dim=cfg.linear_value_head_dim,
+            linear_conv_kernel_dim=cfg.linear_conv_kernel_dim,
+            tie_word_embeddings=cfg.tie_word_embeddings,
+            eos_token_id=eos,
+            stop_token_ids=stop,
+            max_position_embeddings=getattr(cfg, "max_position_embeddings", 262144),
+        )
+
+    @staticmethod
+    def from_model_path(model_path: str) -> "Qwen35Config":
+        """Handles both flat configs and the Qwen3.5 text_config nesting
+        (reference: qwen35-4b/src/config.rs:73-110)."""
+        with open(os.path.join(model_path, "config.json")) as f:
+            c = json.load(f)
+        t = c.get("text_config", c)
+        rope = t.get("rope_parameters", {})
+        theta = rope.get("rope_theta", t.get("rope_theta", 1e7))
+        prf = rope.get("partial_rotary_factor", t.get("partial_rotary_factor", 0.25))
+        eos = t.get("eos_token_id", c.get("eos_token_id"))
+        stop = tuple(eos) if isinstance(eos, list) else ((eos,) if eos else ())
+        gen_path = os.path.join(model_path, "generation_config.json")
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                g = json.load(f).get("eos_token_id", None)
+            if g is not None:
+                stop = tuple(g) if isinstance(g, list) else (g,)
+        return Qwen35Config(
+            hidden_size=t["hidden_size"],
+            intermediate_size=t["intermediate_size"],
+            num_hidden_layers=t["num_hidden_layers"],
+            num_attention_heads=t["num_attention_heads"],
+            num_key_value_heads=t["num_key_value_heads"],
+            head_dim=t["head_dim"],
+            vocab_size=t["vocab_size"],
+            rms_norm_eps=t["rms_norm_eps"],
+            rope_theta=theta,
+            partial_rotary_factor=prf,
+            layer_types=tuple(t["layer_types"]),
+            linear_num_key_heads=t["linear_num_key_heads"],
+            linear_num_value_heads=t["linear_num_value_heads"],
+            linear_key_head_dim=t["linear_key_head_dim"],
+            linear_value_head_dim=t["linear_value_head_dim"],
+            linear_conv_kernel_dim=t["linear_conv_kernel_dim"],
+            tie_word_embeddings=t.get("tie_word_embeddings", False),
+            eos_token_id=stop[0] if stop else None,
+            stop_token_ids=stop,
+            max_position_embeddings=t.get("max_position_embeddings", 262144),
+        )
+
+
+# ── Params ───────────────────────────────────────────────────────────────
+
+
+def _split_qkvz(cfg: Qwen35Config, w: np.ndarray):
+    """HF in_proj_qkvz weight [Hk*(2dk+2R*dv), D] → Wq, Wk, Wv, Wz in
+    [D, out] layout (pure row reorder — numerically identical)."""
+    Hk, dk = cfg.linear_num_key_heads, cfg.linear_key_head_dim
+    Hv, dv = cfg.linear_num_value_heads, cfg.linear_value_head_dim
+    R = Hv // Hk
+    D = w.shape[1]
+    wh = np.asarray(w).reshape(Hk, 2 * dk + 2 * R * dv, D)
+    wq = wh[:, :dk].reshape(Hk * dk, D)
+    wk = wh[:, dk:2 * dk].reshape(Hk * dk, D)
+    wv = wh[:, 2 * dk:2 * dk + R * dv].reshape(Hv * dv, D)
+    wz = wh[:, 2 * dk + R * dv:].reshape(Hv * dv, D)
+    return wq.T, wk.T, wv.T, wz.T
+
+
+def _split_ba(cfg: Qwen35Config, w: np.ndarray):
+    """HF in_proj_ba weight [Hk*2R, D] → Wb, Wa in [D, Hv]."""
+    Hk = cfg.linear_num_key_heads
+    R = cfg.linear_num_value_heads // Hk
+    D = w.shape[1]
+    wh = np.asarray(w).reshape(Hk, 2 * R, D)
+    wb = wh[:, :R].reshape(Hk * R, D)
+    wa = wh[:, R:].reshape(Hk * R, D)
+    return wb.T, wa.T
+
+
+def _split_q_gate(cfg: Qwen35Config, w: np.ndarray):
+    """HF full-attn q_proj [Hq*2hd, D] → Wq, Wgate in [D, Hq*hd]."""
+    Hq, hd = cfg.num_attention_heads, cfg.head_dim
+    D = w.shape[1]
+    wh = np.asarray(w).reshape(Hq, 2 * hd, D)
+    wq = wh[:, :hd].reshape(Hq * hd, D)
+    wg = wh[:, hd:].reshape(Hq * hd, D)
+    return wq.T, wg.T
+
+
+def params_from_state_dict(cfg: Qwen35Config, sd: Dict[str, Any], dtype=jnp.bfloat16):
+    """Build the grouped pytree from an HF Qwen3Next-named state dict."""
+    p, G = cfg.period, cfg.num_groups
+
+    def get(name):
+        return np.asarray(sd[name])
+
+    def lin_layer(i):
+        pre = f"model.layers.{i}"
+        wq, wk, wv, wz = _split_qkvz(cfg, get(f"{pre}.linear_attn.in_proj_qkvz.weight"))
+        wb, wa = _split_ba(cfg, get(f"{pre}.linear_attn.in_proj_ba.weight"))
+        return {
+            "input_ln": get(f"{pre}.input_layernorm.weight"),
+            "wq": wq, "wk": wk, "wv": wv, "wz": wz, "wb": wb, "wa": wa,
+            "conv_w": get(f"{pre}.linear_attn.conv1d.weight")[:, 0, :],  # [C, K]
+            "dt_bias": get(f"{pre}.linear_attn.dt_bias"),
+            "A_log": get(f"{pre}.linear_attn.A_log"),
+            "norm_w": get(f"{pre}.linear_attn.norm.weight"),
+            "out_proj": get(f"{pre}.linear_attn.out_proj.weight").T,
+            "post_ln": get(f"{pre}.post_attention_layernorm.weight"),
+            "mlp_gate_up": np.concatenate(
+                [get(f"{pre}.mlp.gate_proj.weight").T, get(f"{pre}.mlp.up_proj.weight").T],
+                axis=1,
+            ),
+            "mlp_down": get(f"{pre}.mlp.down_proj.weight").T,
+        }
+
+    def full_layer(i):
+        pre = f"model.layers.{i}"
+        wq, wg = _split_q_gate(cfg, get(f"{pre}.self_attn.q_proj.weight"))
+        return {
+            "input_ln": get(f"{pre}.input_layernorm.weight"),
+            "wq": wq, "wgate": wg,
+            "wk": get(f"{pre}.self_attn.k_proj.weight").T,
+            "wv": get(f"{pre}.self_attn.v_proj.weight").T,
+            "q_norm": get(f"{pre}.self_attn.q_norm.weight"),
+            "k_norm": get(f"{pre}.self_attn.k_norm.weight"),
+            "wo": get(f"{pre}.self_attn.o_proj.weight").T,
+            "post_ln": get(f"{pre}.post_attention_layernorm.weight"),
+            "mlp_gate_up": np.concatenate(
+                [get(f"{pre}.mlp.gate_proj.weight").T, get(f"{pre}.mlp.up_proj.weight").T],
+                axis=1,
+            ),
+            "mlp_down": get(f"{pre}.mlp.down_proj.weight").T,
+        }
+
+    def stack_tree(dicts):
+        return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
+
+    lin_groups = []
+    full_groups = []
+    for g in range(G):
+        base = g * p
+        lin_groups.append(stack_tree([lin_layer(base + j) for j in range(p - 1)]))
+        full_groups.append(full_layer(base + p - 1))
+
+    lin = stack_tree(lin_groups)  # leaves [G, p-1, ...]
+    full = stack_tree(full_groups)  # leaves [G, ...]
+
+    embed = get("model.embed_tokens.weight")
+    lm_head = embed.T if cfg.tie_word_embeddings else get("lm_head.weight").T
+
+    def cast(x, keep_f32=False):
+        return jnp.asarray(x, jnp.float32 if keep_f32 else dtype)
+
+    F32_KEYS = {"dt_bias", "A_log", "conv_w"}
+    params = {
+        "embed": cast(embed),
+        "lin": {k: cast(v, k in F32_KEYS) for k, v in lin.items()},
+        "full": {k: cast(v) for k, v in full.items()},
+        "final_ln": cast(get("model.norm.weight")),
+        "lm_head": cast(lm_head),
+    }
+    return params
+
+
+# ── State ────────────────────────────────────────────────────────────────
+
+
+def make_state(cfg: Qwen35Config, num_pages: int, page_size: int,
+               max_slots: int = 64, kv_dtype=jnp.bfloat16):
+    G, pl_ = cfg.num_groups, cfg.period - 1
+    return {
+        "kv": jnp.zeros(
+            (G, 2, cfg.num_key_value_heads, num_pages, page_size, cfg.head_dim),
+            dtype=kv_dtype,
+        ),
+        "rec": jnp.zeros(
+            (G, pl_, max_slots + 1, cfg.linear_num_value_heads,
+             cfg.linear_key_head_dim, cfg.linear_value_head_dim),
+            dtype=jnp.float32,
+        ),
+        "conv": jnp.zeros(
+            (G, pl_, max_slots + 1, cfg.linear_conv_kernel_dim, cfg.conv_dim),
+            dtype=jnp.float32,
+        ),
+    }
+
+
+def kv_bytes_per_page(cfg: Qwen35Config, page_size: int, dtype=jnp.bfloat16) -> int:
+    return (
+        cfg.num_groups * 2 * page_size * cfg.num_key_value_heads
+        * cfg.head_dim * jnp.dtype(dtype).itemsize
+    )
+
+
+# ── Shared pieces ────────────────────────────────────────────────────────
+
+
+def _mlp(lw, x):
+    gu = x @ lw["mlp_gate_up"]
+    gate, up = jnp.split(gu, 2, axis=-1)
+    return (jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up) @ lw["mlp_down"]
+
+
+def _gdn_project(cfg: Qwen35Config, lw, h):
+    """h: [N, D] → conv input [N, conv_dim] plus z, g, beta (pre-conv)."""
+    q = h @ lw["wq"]  # [N, Hk*dk]
+    k = h @ lw["wk"]
+    v = h @ lw["wv"]  # [N, Hv*dv]
+    z = (h @ lw["wz"]).reshape(-1, cfg.linear_num_value_heads, cfg.linear_value_head_dim)
+    b = h @ lw["wb"]  # [N, Hv]
+    a = h @ lw["wa"]
+    beta = jax.nn.sigmoid(b.astype(jnp.float32))
+    g = -jnp.exp(lw["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        a.astype(jnp.float32) + lw["dt_bias"].astype(jnp.float32)
+    )
+    mixed = jnp.concatenate([q, k, v], axis=-1)  # [N, conv_dim]
+    return mixed, z, g, beta
+
+
+def _gdn_split_heads(cfg: Qwen35Config, mixed):
+    """Post-conv [N, conv_dim] → q, k expanded to Hv heads; v [N, Hv, dv]."""
+    Hk, dk = cfg.linear_num_key_heads, cfg.linear_key_head_dim
+    Hv, dv = cfg.linear_num_value_heads, cfg.linear_value_head_dim
+    R = Hv // Hk
+    q = mixed[:, :cfg.key_dim].reshape(-1, Hk, dk)
+    k = mixed[:, cfg.key_dim:2 * cfg.key_dim].reshape(-1, Hk, dk)
+    v = mixed[:, 2 * cfg.key_dim:].reshape(-1, Hv, dv)
+    if R > 1:
+        q = jnp.repeat(q, R, axis=1)
+        k = jnp.repeat(k, R, axis=1)
+    return q, k, v
+
+
+def _gated_norm(cfg: Qwen35Config, norm_w, out, z):
+    """RMSNormGated: per-v-head norm, weight, then * silu(z) (HF semantics)."""
+    of = out.astype(jnp.float32)
+    var = jnp.mean(of * of, axis=-1, keepdims=True)
+    normed = (of * lax.rsqrt(var + cfg.rms_norm_eps)).astype(z.dtype) * norm_w
+    return normed.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
+
+
+def _full_qkv(cfg: Qwen35Config, fw, h, cos, sin):
+    """Full-attention projections with qk-norm + partial RoPE + gate."""
+    N = h.shape[0]
+    hd = cfg.head_dim
+    q = (h @ fw["wq"]).reshape(N, cfg.num_attention_heads, hd)
+    gate = h @ fw["wgate"]  # [N, Hq*hd]
+    k = (h @ fw["wk"]).reshape(N, cfg.num_key_value_heads, hd)
+    v = (h @ fw["wv"]).reshape(N, cfg.num_key_value_heads, hd)
+    q = rms_norm(q, fw["q_norm"], cfg.rms_norm_eps)
+    k = rms_norm(k, fw["k_norm"], cfg.rms_norm_eps)
+    rd = cfg.rotary_dim
+    q_rot = apply_rope(q[..., :rd], cos, sin)
+    k_rot = apply_rope(k[..., :rd], cos, sin)
+    q = jnp.concatenate([q_rot, q[..., rd:]], axis=-1)
+    k = jnp.concatenate([k_rot, k[..., rd:]], axis=-1)
+    return q, k, v, gate
+
+
+# ── Prefill ──────────────────────────────────────────────────────────────
+
+
+def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
+            return_all_logits: bool = False, gdn_chunk_size: int = 64):
+    """Prefill one prompt; write KV pages + slot recurrent/conv state.
+
+    tokens: [T] int32 padded (T % gdn_chunk_size == 0); slot: scalar int32.
+    Returns (state, last_logits [V] f32, all_logits|None).
+    """
+    T = tokens.shape[0]
+    x = params["embed"][tokens]
+    positions = jnp.arange(T, dtype=jnp.int32)
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    valid = (positions < seq_len)[:, None]
+
+    def group(carry, inputs):
+        x, kv, rec, conv = carry
+        gi, lin_g, full_g = inputs
+
+        # (p-1) linear layers
+        for j in range(cfg.period - 1):
+            lw = jax.tree.map(lambda a: a[j], lin_g)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)
+            y, conv_state = gdn.causal_conv1d(mixed, lw["conv_w"], seq_len)
+            q, k, v = _gdn_split_heads(cfg, y)
+            g = jnp.where(valid, g, 0.0)
+            beta = jnp.where(valid, beta, 0.0)
+            S0 = jnp.zeros(
+                (cfg.linear_num_value_heads, cfg.linear_key_head_dim,
+                 cfg.linear_value_head_dim), jnp.float32,
+            )
+            out, S = gdn.gdn_chunk(q, k, v, g, beta, S0, chunk=gdn_chunk_size)
+            rec = rec.at[gi, j, slot].set(S)
+            conv = conv.at[gi, j, slot].set(conv_state)
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x = x + out.reshape(T, -1) @ lw["out_proj"]
+            h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
+            x = x + _mlp(lw, h)
+
+        # full-attention layer
+        fw = full_g
+        h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+        q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+        layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
+        kp, vp = att.write_kv_prefill(layer_kv[0], layer_kv[1], k, v, page_table)
+        kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
+        o = att.prefill_attention(q, k, v, seq_len, scale)
+        o = o.reshape(T, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
+        x = x + o @ fw["wo"]
+        h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(fw, h)
+        return (x, kv, rec, conv), None
+
+    G = cfg.num_groups
+    (x, kv, rec, conv), _ = lax.scan(
+        group,
+        (x, state["kv"], state["rec"], state["conv"]),
+        (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"]),
+    )
+    state = {"kv": kv, "rec": rec, "conv": conv}
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if return_all_logits:
+        all_logits = (x @ params["lm_head"]).astype(jnp.float32)
+        return state, all_logits[seq_len - 1], all_logits
+    last = (x[seq_len - 1] @ params["lm_head"]).astype(jnp.float32)
+    return state, last, None
+
+
+# ── Batched decode ───────────────────────────────────────────────────────
+
+
+def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
+           seq_lens, slots):
+    """One decode step for a padded batch. Padding rows: seq_lens == 0 and
+    slots == dead slot (their state writes land in the dead row).
+    Returns (state, logits [B, V] f32)."""
+    B = tokens.shape[0]
+    page_size = state["kv"].shape[4]
+    x = params["embed"][tokens]
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    page_ids = jnp.take_along_axis(
+        page_tables, (positions // page_size)[:, None], axis=1
+    )[:, 0]
+    pslots = positions % page_size
+
+    def group(carry, inputs):
+        x, kv, rec, conv = carry
+        gi, lin_g, full_g = inputs
+
+        for j in range(cfg.period - 1):
+            lw = jax.tree.map(lambda a: a[j], lin_g)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)
+            conv_rows = conv[gi, j, slots]  # [B, K, conv_dim]
+            y, conv_rows = gdn.causal_conv1d_step(mixed, lw["conv_w"], conv_rows)
+            conv = conv.at[gi, j, slots].set(conv_rows)
+            q, k, v = _gdn_split_heads(cfg, y)
+            rec_rows = rec[gi, j, slots]  # [B, Hv, dk, dv]
+            out, rec_rows = gdn.gdn_step(q, k, v, g, beta, rec_rows)
+            rec = rec.at[gi, j, slots].set(rec_rows)
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x = x + out.reshape(B, -1) @ lw["out_proj"]
+            h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
+            x = x + _mlp(lw, h)
+
+        fw = full_g
+        h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+        q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+        layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
+        kp, vp = att.write_kv_decode(layer_kv[0], layer_kv[1], k, v, page_ids, pslots)
+        kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
+        o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+        o = o.reshape(B, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
+        x = x + o @ fw["wo"]
+        h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(fw, h)
+        return (x, kv, rec, conv), None
+
+    G = cfg.num_groups
+    (x, kv, rec, conv), _ = lax.scan(
+        group,
+        (x, state["kv"], state["rec"], state["conv"]),
+        (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"]),
+    )
+    state = {"kv": kv, "rec": rec, "conv": conv}
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return state, logits
+
+
+# ── Runtime bundle ───────────────────────────────────────────────────────
+
+
+def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
+                 max_slots: int = 64, kv_dtype=jnp.bfloat16):
+    from pegainfer_tpu.engine.jax_executor import ModelRuntime
+
+    state = make_state(cfg, num_pages, page_size, max_slots, kv_dtype)
+    return ModelRuntime(
+        prefill_fn=lambda w, s, t, sl, pt, slot: prefill(cfg, w, s, t, sl, pt, slot),
+        prefill_all_logits_fn=lambda w, s, t, sl, pt, slot: prefill(
+            cfg, w, s, t, sl, pt, slot, return_all_logits=True
+        ),
+        decode_fn=lambda w, s, t, p, pt, sl, slots: decode(
+            cfg, w, s, t, p, pt, sl, slots
+        ),
+        params=params,
+        state=state,
+        page_size=page_size,
+        num_pages=num_pages,
+        stop_token_ids=frozenset(cfg.stop_token_ids),
+        max_model_len=cfg.max_position_embeddings,
+        vocab_size=cfg.vocab_size,
+        max_slots=max_slots,
+    )

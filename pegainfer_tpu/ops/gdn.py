@@ -78,9 +78,12 @@ def _gdn_chunk_head(q, k, v, g, beta, S0, C: int):
     bc = beta.reshape(NC, C)
 
     g_cum = jnp.cumsum(gc, axis=1)  # [NC, C] in-chunk cumulative log decay
-    # decay[i, j] = exp(g_cum[i] - g_cum[j]) on the lower triangle (incl diag)
+    # decay[i, j] = exp(g_cum[i] - g_cum[j]) on the lower triangle (incl
+    # diag). Mask BEFORE exp: upper entries have large positive exponents
+    # (inf), and inf * 0 = NaN.
     tril = jnp.tril(jnp.ones((C, C), jnp.float32))
-    decay = jnp.exp(g_cum[:, :, None] - g_cum[:, None, :]) * tril
+    gdiff = g_cum[:, :, None] - g_cum[:, None, :]
+    decay = jnp.exp(jnp.where(tril > 0, gdiff, 0.0)) * tril
 
     k_beta = kc * bc[..., None]
     v_beta = vc * bc[..., None]

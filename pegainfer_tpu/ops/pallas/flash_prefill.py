@@ -27,10 +27,10 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def _kernel(
     seq_len_ref,  # scalar prefetch: [1] int32
-    q_ref,  # [TQ, 1, hd]
-    k_ref,  # [TK, 1, hd]
-    v_ref,  # [TK, 1, hd]
-    o_ref,  # [TQ, 1, hd]
+    q_ref,  # [1, TQ, hd] (head-major block)
+    k_ref,  # [1, TK, hd]
+    v_ref,  # [1, TK, hd]
+    o_ref,  # [1, TQ, hd]
     m_scr,  # [TQ, 128] f32
     l_scr,  # [TQ, 128] f32
     acc_scr,  # [TQ, hd] f32
@@ -58,8 +58,8 @@ def _kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[:, 0, :].astype(jnp.float32)  # [TQ, hd]
-        k = k_ref[:, 0, :].astype(jnp.float32)  # [TK, hd]
+        q = q_ref[0].astype(jnp.float32)  # [TQ, hd]
+        k = k_ref[0].astype(jnp.float32)  # [TK, hd]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [TQ, TK]
@@ -79,7 +79,7 @@ def _kernel(
         corr = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - safe_m))
 
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[:, 0, :].astype(jnp.float32)  # [TK, hd]
+        v = v_ref[0].astype(jnp.float32)  # [TK, hd]
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -91,7 +91,7 @@ def _kernel(
     def _finalize():
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[:, 0, :] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "tq", "tk", "interpret"))
@@ -121,24 +121,31 @@ def flash_prefill(
     grid = (Hq, T // tq, T // tk)
     seq_len_arr = jnp.reshape(seq_len.astype(jnp.int32), (1,))
 
+    # head-major layout so blocks are [1, time, hd] (TPU tiling wants the
+    # last two dims aligned; a middle head axis of size 1 is not)
+    qh = q.transpose(1, 0, 2)
+    kh = k.transpose(1, 0, 2)
+    vh = v.transpose(1, 0, 2)
+
     kernel = functools.partial(_kernel, scale=scale, tq=tq, tk=tk)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tq, 1, hd), lambda h, i, j, *_: (i, h, 0)),
-                pl.BlockSpec((tk, 1, hd), lambda h, i, j, *_: (j, h // G, 0)),
-                pl.BlockSpec((tk, 1, hd), lambda h, i, j, *_: (j, h // G, 0)),
+                pl.BlockSpec((1, tq, hd), lambda h, i, j, *_: (h, i, 0)),
+                pl.BlockSpec((1, tk, hd), lambda h, i, j, *_: (h // G, j, 0)),
+                pl.BlockSpec((1, tk, hd), lambda h, i, j, *_: (h // G, j, 0)),
             ],
-            out_specs=pl.BlockSpec((tq, 1, hd), lambda h, i, j, *_: (i, h, 0)),
+            out_specs=pl.BlockSpec((1, tq, hd), lambda h, i, j, *_: (h, i, 0)),
             scratch_shapes=[
                 pltpu.VMEM((tq, 128), jnp.float32),
                 pltpu.VMEM((tq, 128), jnp.float32),
                 pltpu.VMEM((tq, hd), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
         interpret=interpret,
-    )(seq_len_arr, q, k, v)
+    )(seq_len_arr, qh, kh, vh)
+    return out.transpose(1, 0, 2)
