@@ -81,9 +81,15 @@ def main():
 
     import numpy as np
 
-    from pegainfer_tpu.engine.contract import EngineLoadOptions, SamplingParams
-    from pegainfer_tpu.engine.executor import DecodePlan, DecodeStepItem, PrefillPlan, PrefillStepItem
+    from pegainfer_tpu.engine.contract import (
+        EngineLoadOptions,
+        Finished,
+        GenerateRequest,
+        SamplingParams,
+        Token,
+    )
     from pegainfer_tpu.engine.jax_executor import JaxExecutor
+    from pegainfer_tpu.engine.scheduler import start_scheduler
     from pegainfer_tpu.models import qwen3 as q3
 
     import jax
@@ -95,43 +101,39 @@ def main():
     page_size = 16
     runtime = q3.make_runtime(cfg, params, num_pages=num_pages, page_size=page_size)
     ex = JaxExecutor(runtime, EngineLoadOptions())
-    note("params + runtime built")
+    handle = start_scheduler(ex)
+    note("params + runtime built; scheduler up")
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, prompt_len).tolist()
-    greedy = SamplingParams()
+    greedy = SamplingParams(ignore_eos=True)
 
-    # ── warmup: compile prefill + decode buckets ──
-    warm = PrefillStepItem(request_id=0, prompt_tokens=prompt, params=greedy)
-    res = ex.execute_prefill(PrefillPlan(requests=[warm]))
-    note("prefill compiled + ran")
-    tok = res.requests[0].first_token
-    for i in range(3):
-        d = ex.execute_decode(
-            DecodePlan(requests=[DecodeStepItem(request_id=0, token_id=tok, params=greedy)])
-        )
-        tok = d.requests[0].token
-        note(f"warm decode {i} done")
-    ex.release_request(0)
-
-    # ── TTFT: prefill 1024 + first sampled token ──
-    t0 = time.perf_counter()
-    res = ex.execute_prefill(
-        PrefillPlan(requests=[PrefillStepItem(request_id=1, prompt_tokens=prompt, params=greedy)])
-    )
-    ttft_ms = (time.perf_counter() - t0) * 1e3
-    tok = res.requests[0].first_token
-
-    # ── steady decode TPOT over n_decode tokens ──
-    times = []
-    for _ in range(n_decode):
+    def run_request(max_tokens):
+        """One request through the real engine path (scheduler + async
+        pipelined decode). Returns (ttft_ms, inter-token deltas ms)."""
+        req = GenerateRequest(prompt_tokens=prompt, max_tokens=max_tokens,
+                              params=greedy, queued_at_unix_s=time.time())
         t0 = time.perf_counter()
-        d = ex.execute_decode(
-            DecodePlan(requests=[DecodeStepItem(request_id=1, token_id=tok, params=greedy)])
-        )
-        times.append((time.perf_counter() - t0) * 1e3)
-        tok = d.requests[0].token
-    ex.release_request(1)
+        handle.submit(req)
+        ttft = None
+        stamps = []
+        for ev in req.channel:
+            now = time.perf_counter()
+            if isinstance(ev, Token):
+                if ttft is None:
+                    ttft = (now - t0) * 1e3
+                stamps.append(now)
+            elif isinstance(ev, Finished):
+                break
+        deltas = [(b - a) * 1e3 for a, b in zip(stamps[1:], stamps[2:])]
+        return ttft, deltas
+
+    run_request(4)  # warmup: compiles prefill + fused decode bucket
+    note("warmup request done (compiles)")
+
+    ttft_ms, times = run_request(n_decode + 2)
+    note("measured request done")
+    handle.shutdown()
 
     tpot_p50 = statistics.median(times)
     result = {

@@ -92,6 +92,22 @@ class ModelRuntime:
     max_slots: int = 64
 
 
+@dataclass
+class PendingDecode:
+    """A dispatched-but-unread decode step (async pipeline handle).
+
+    ``tokens_dev`` is the sampled-token device array; the host read is
+    deferred so the scheduler can dispatch the next step (feeding
+    ``tokens_dev`` straight back) before paying the device→host latency —
+    the TPU answer to the reference's async CUDA-Graph dispatch, and the
+    critical trick when the host↔device link is slow.
+    """
+
+    items: list
+    tokens_dev: jax.Array  # [B] int32, bucketed
+    n: int
+
+
 class JaxExecutor:
     """Generic continuous-batching executor over a ModelRuntime."""
 
@@ -161,6 +177,32 @@ class JaxExecutor:
             log.info("compiling prefill T=%d all_logits=%s", T, all_logits)
         return fn
 
+    def _prefill_sampled(self, T: int, greedy: bool) -> Callable:
+        """Fused prefill + on-device sampling of the first token (one
+        dispatch + one host read for the whole TTFT path)."""
+        key = (T, greedy, "sampled")
+        fn = self._jit_prefill.get(key)
+        if fn is None:
+            prefill_fn = self.rt.prefill_fn
+            if greedy:
+                def fused(params, state, tokens, seq_len, table, slot):
+                    state, last_logits, _ = prefill_fn(
+                        params, state, tokens, seq_len, table, slot
+                    )
+                    return state, smp.sample_greedy(last_logits[None, :])[0]
+            else:
+                def fused(params, state, tokens, seq_len, table, slot,
+                          temp, top_k, top_p, rand):
+                    state, last_logits, _ = prefill_fn(
+                        params, state, tokens, seq_len, table, slot
+                    )
+                    tok = smp.sample(last_logits[None, :], temp, top_k, top_p, rand)
+                    return state, tok[0]
+            fn = jax.jit(fused, donate_argnums=1)
+            self._jit_prefill[key] = fn
+            log.info("compiling fused prefill T=%d greedy=%s", T, greedy)
+        return fn
+
     def _decode(self, B: int, P: int) -> Callable:
         key = (B, P)
         fn = self._jit_decode.get(key)
@@ -169,6 +211,37 @@ class JaxExecutor:
             self._jit_decode[key] = fn
             log.info("compiling decode B=%d P=%d", B, P)
         return fn
+
+    def _decode_sampled(self, B: int, P: int, greedy: bool) -> Callable:
+        """Fused decode + on-device sampling: one dispatch, zero host syncs."""
+        key = (B, P, greedy, "sampled")
+        fn = self._jit_decode.get(key)
+        if fn is None:
+            decode_fn = self.rt.decode_fn
+            if greedy:
+                def fused(params, state, tokens, positions, tables, seq_lens, slots):
+                    state, logits = decode_fn(
+                        params, state, tokens, positions, tables, seq_lens, slots
+                    )
+                    return state, smp.sample_greedy(logits)
+            else:
+                def fused(params, state, tokens, positions, tables, seq_lens,
+                          slots, temp, top_k, top_p, rand):
+                    state, logits = decode_fn(
+                        params, state, tokens, positions, tables, seq_lens, slots
+                    )
+                    return state, smp.sample(logits, temp, top_k, top_p, rand)
+            fn = jax.jit(fused, donate_argnums=1)
+            self._jit_decode[key] = fn
+            log.info("compiling fused decode B=%d P=%d greedy=%s", B, P, greedy)
+        return fn
+
+    def _gather_tokens(self, tokens_dev: jax.Array, index) -> jax.Array:
+        fn = self._jit_decode.get(("gather", tokens_dev.shape[0], len(index)))
+        if fn is None:
+            fn = jax.jit(lambda t, i: t[i])
+            self._jit_decode[("gather", tokens_dev.shape[0], len(index))] = fn
+        return fn(tokens_dev, jnp.asarray(np.asarray(index, np.int32)))
 
     # ── sampling helpers ─────────────────────────────────────────────
 
@@ -232,17 +305,32 @@ class JaxExecutor:
 
         slot = self._slot(item.request_id)
         want_all = item.echo and item.logprobs > 0
+        want_logits = want_all or item.logprobs > 0
+        base_args = (
+            self.params, self.state, jnp.asarray(toks), jnp.int32(T),
+            jnp.asarray(table), jnp.int32(slot),
+        )
+        all_logits = None
+        if not want_logits:
+            # fused prefill+sample: single dispatch, single host read
+            if item.params.is_greedy:
+                self.state, tok_dev = self._prefill_sampled(Tp, True)(*base_args)
+            else:
+                self.state, tok_dev = self._prefill_sampled(Tp, False)(
+                    *base_args,
+                    jnp.asarray([item.params.temperature], jnp.float32),
+                    jnp.asarray([item.params.top_k], jnp.int32),
+                    jnp.asarray([item.params.top_p], jnp.float32),
+                    jnp.asarray([item.random_val], jnp.float32),
+                )
+            st.advance(T)
+            return PrefillRequestResult(
+                request_id=item.request_id, first_token=int(np.asarray(tok_dev))
+            )
+
         fn = self._prefill(Tp, want_all)
-        if want_all:
-            self.state, last_logits, all_logits = fn(
-                self.params, self.state, jnp.asarray(toks), jnp.int32(T),
-                jnp.asarray(table), jnp.int32(slot),
-            )
-        else:
-            self.state, last_logits, _ = fn(
-                self.params, self.state, jnp.asarray(toks), jnp.int32(T),
-                jnp.asarray(table), jnp.int32(slot),
-            )
+        self.state, last_logits, all_logits = fn(*base_args)
+        if not want_all:
             all_logits = None
         st.advance(T)
 
@@ -273,20 +361,9 @@ class JaxExecutor:
 
     # ── decode ───────────────────────────────────────────────────────
 
-    def execute_decode(self, plan: DecodePlan) -> DecodeResult:
-        items = plan.requests
-        n = len(items)
-        if n == 0:
-            return DecodeResult()
-        if n > self.max_batch:
-            # respect the configured cap; simple split (scheduler keeps n small)
-            head = self.execute_decode(DecodePlan(requests=items[: self.max_batch]))
-            tail = self.execute_decode(DecodePlan(requests=items[self.max_batch:]))
-            return DecodeResult(requests=head.requests + tail.requests)
-
-        B = bucket_batch(n)
-        ps = self.rt.page_size
-
+    def _decode_inputs(self, items):
+        """Shared host-side batch assembly for a decode step."""
+        B = bucket_batch(len(items))
         positions = np.zeros(B, np.int32)
         tokens = np.zeros(B, np.int32)
         seq_lens = np.zeros(B, np.int32)
@@ -309,7 +386,90 @@ class JaxExecutor:
         tables = np.full((B, P), PagePool.NULL_PAGE, dtype=np.int32)
         for i, st in enumerate(states):
             tables[i, : len(st.pages)] = st.pages
+        return B, P, tokens, positions, tables, seq_lens, slots, states
 
+    # ── async decode pipeline ────────────────────────────────────────
+
+    def supports_async_decode(self, items) -> bool:
+        return not any(it.logprobs > 0 for it in items) and len(items) <= self.max_batch
+
+    def execute_decode_async(self, items, tokens_dev: Optional[jax.Array] = None) -> PendingDecode:
+        """Dispatch one fused decode+sample step without reading results.
+
+        ``tokens_dev``: the previous step's sampled tokens still on device
+        (same item order + bucket) — fed back directly so the host never
+        blocks on them.
+        """
+        n = len(items)
+        B, P, tokens, positions, tables, seq_lens, slots, states = (
+            self._decode_inputs(items)
+        )
+        if tokens_dev is not None and tokens_dev.shape[0] == B:
+            tok_arg = tokens_dev
+        else:
+            tok_arg = jnp.asarray(tokens)
+
+        greedy = all(it.params.is_greedy for it in items)
+        args = (
+            self.params, self.state, tok_arg, jnp.asarray(positions),
+            jnp.asarray(tables), jnp.asarray(seq_lens), jnp.asarray(slots),
+        )
+        if greedy:
+            fn = self._decode_sampled(B, P, True)
+            self.state, toks = fn(*args)
+        else:
+            temp = np.zeros(B, np.float32)
+            top_k = np.full(B, -1, np.int32)
+            top_p = np.ones(B, np.float32)
+            rand = np.zeros(B, np.float32)
+            for i, it in enumerate(items):
+                temp[i] = it.params.temperature
+                top_k[i] = it.params.top_k
+                top_p[i] = it.params.top_p
+                rand[i] = it.random_val
+            fn = self._decode_sampled(B, P, False)
+            self.state, toks = fn(
+                *args, jnp.asarray(temp), jnp.asarray(top_k),
+                jnp.asarray(top_p), jnp.asarray(rand),
+            )
+        for st in states:
+            st.advance(1)
+        try:
+            toks.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — transfer hint only
+            pass
+        return PendingDecode(items=list(items), tokens_dev=toks, n=n)
+
+    def resolve_pending(self, pending: PendingDecode) -> DecodeResult:
+        host = np.asarray(pending.tokens_dev)
+        return DecodeResult(
+            requests=[
+                DecodeRequestResult(request_id=it.request_id, token=int(host[i]))
+                for i, it in enumerate(pending.items)
+            ]
+        )
+
+    def execute_decode(self, plan: DecodePlan) -> DecodeResult:
+        items = plan.requests
+        n = len(items)
+        if n == 0:
+            return DecodeResult()
+        if n > self.max_batch:
+            # respect the configured cap; simple split (scheduler keeps n small)
+            head = self.execute_decode(DecodePlan(requests=items[: self.max_batch]))
+            tail = self.execute_decode(DecodePlan(requests=items[self.max_batch:]))
+            return DecodeResult(requests=head.requests + tail.requests)
+
+        if any(it.logprobs > 0 for it in items):
+            return self._execute_decode_with_logits(items)
+        return self.resolve_pending(self.execute_decode_async(items))
+
+    def _execute_decode_with_logits(self, items) -> DecodeResult:
+        """Unfused path: keeps logits for the logprobs surface."""
+        n = len(items)
+        B, P, tokens, positions, tables, seq_lens, slots, states = (
+            self._decode_inputs(items)
+        )
         fn = self._decode(B, P)
         self.state, logits = fn(
             self.params,

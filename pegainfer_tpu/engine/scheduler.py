@@ -239,8 +239,15 @@ class Scheduler:
             )
             self._apply_prefill(pending, result.requests)
         elif plan_kind == "decode":
-            result = self.executor.execute_decode(DecodePlan(requests=self._decode_items()))
-            self._apply_decode(result.requests)
+            items = self._decode_items()
+            if (
+                hasattr(self.executor, "execute_decode_async")
+                and self.executor.supports_async_decode(items)
+            ):
+                self._decode_pipelined(items)
+            else:
+                result = self.executor.execute_decode(DecodePlan(requests=items))
+                self._apply_decode(result.requests)
         else:  # unified
             result = self.executor.execute_unified(
                 UnifiedPlan(
@@ -250,6 +257,47 @@ class Scheduler:
             )
             self._apply_prefill(pending, result.prefill_requests)
             self._apply_decode(result.decode_requests)
+
+    def _decode_pipelined(self, items) -> None:
+        """Steady-state decode with speculative dispatch.
+
+        The device→host token read is slow (high-latency link); so step i+1
+        is dispatched — consuming step i's sampled tokens directly on device
+        — BEFORE step i's tokens are read back. The pipeline drains whenever
+        anything non-steady happens (arrival, finish, receiver drop). Rows
+        of a speculative step whose request finished in the prior step are
+        discarded (their KV is released with the request).
+        """
+        ex = self.executor
+        pending = ex.execute_decode_async(items)
+        while True:
+            reqs, still_open = self.handle._drain()
+            for r in reqs:
+                self._ingest(r)
+            closed = any(st.channel.is_closed for st in self.active)
+            may_finish = any(
+                st.generated_count + 1 >= st.max_tokens for st in self.active
+            )
+            can_spec = still_open and not self.deferred and not closed and not may_finish
+            next_pending = None
+            next_items = None
+            if can_spec:
+                next_items = self._decode_items()  # token ids are placeholders
+                next_pending = ex.execute_decode_async(
+                    next_items, tokens_dev=pending.tokens_dev
+                )
+            result = ex.resolve_pending(pending)
+            finished = self._apply_decode(result.requests)
+            if next_pending is None:
+                return
+            if finished or not self.active:
+                live = {st.request_id for st in self.active}
+                result2 = ex.resolve_pending(next_pending)
+                keep = [r for r in result2.requests if r.request_id in live]
+                if keep:
+                    self._apply_decode(keep)
+                return
+            pending = next_pending
 
     # ── resolve + effects (reference scheduler/{resolve,effects}.rs) ──
 
@@ -285,7 +333,7 @@ class Scheduler:
                 )
             )
 
-    def _apply_decode(self, results) -> None:
+    def _apply_decode(self, results) -> set:
         by_id = {st.request_id: st for st in self.active}
         finished_ids = set()
         for res in results:
@@ -308,6 +356,7 @@ class Scheduler:
             for rid in finished_ids:
                 self.executor.release_request(rid)
             self.active = [s for s in self.active if s.request_id not in finished_ids]
+        return finished_ids
 
     # ── failure handling ─────────────────────────────────────────────
 
