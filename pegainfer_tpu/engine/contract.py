@@ -58,6 +58,10 @@ class EngineLoadOptions:
     max_num_pages: Optional[int] = None  # override pool size (tests)
     max_batch_size: int = 64
     max_model_len: Optional[int] = None
+    # Tokens computed per decode dispatch in the steady-state pipeline: the
+    # host link's read latency is amortized over this many tokens. Token
+    # events are emitted in bursts of this size.
+    decode_block: int = 4
 
 
 @dataclass

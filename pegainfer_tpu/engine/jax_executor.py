@@ -119,6 +119,7 @@ class JaxExecutor:
         pool = PagePool(runtime.num_pages)
         self.acct = KvAccounting(pool, runtime.page_size)
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
+        self.decode_block = max(1, opts.decode_block)
         # request → persistent state slot (hybrid models' recurrent state)
         self._slots: Dict[int, int] = {}
         self._free_slots = list(range(runtime.max_slots - 1, -1, -1))
@@ -212,28 +213,52 @@ class JaxExecutor:
             log.info("compiling decode B=%d P=%d", B, P)
         return fn
 
-    def _decode_sampled(self, B: int, P: int, greedy: bool) -> Callable:
-        """Fused decode + on-device sampling: one dispatch, zero host syncs."""
-        key = (B, P, greedy, "sampled")
+    def _decode_sampled(self, B: int, P: int, greedy: bool, n_steps: int = 1) -> Callable:
+        """Fused N-step decode + on-device sampling: one dispatch computes
+        ``n_steps`` tokens per row (lax.scan over the step body, sampled
+        tokens fed back on device) — amortizes the host read latency of the
+        serving link across N tokens."""
+        key = (B, P, greedy, n_steps, "sampled")
         fn = self._jit_decode.get(key)
         if fn is None:
             decode_fn = self.rt.decode_fn
+
             if greedy:
                 def fused(params, state, tokens, positions, tables, seq_lens, slots):
-                    state, logits = decode_fn(
-                        params, state, tokens, positions, tables, seq_lens, slots
+                    def body(carry, _):
+                        state, tok, pos, sl = carry
+                        state, logits = decode_fn(
+                            params, state, tok, pos, tables, sl, slots
+                        )
+                        tok = smp.sample_greedy(logits)
+                        return (state, tok, pos + 1, sl + 1), tok
+
+                    (state, *_), toks = jax.lax.scan(
+                        body, (state, tokens, positions, seq_lens), None,
+                        length=n_steps,
                     )
-                    return state, smp.sample_greedy(logits)
+                    return state, toks  # [N, B]
             else:
                 def fused(params, state, tokens, positions, tables, seq_lens,
                           slots, temp, top_k, top_p, rand):
-                    state, logits = decode_fn(
-                        params, state, tokens, positions, tables, seq_lens, slots
+                    def body(carry, rand_row):
+                        state, tok, pos, sl = carry
+                        state, logits = decode_fn(
+                            params, state, tok, pos, tables, sl, slots
+                        )
+                        tok = smp.sample(logits, temp, top_k, top_p, rand_row)
+                        return (state, tok, pos + 1, sl + 1), tok
+
+                    (state, *_), toks = jax.lax.scan(
+                        body, (state, tokens, positions, seq_lens), rand,
+                        length=n_steps,
                     )
-                    return state, smp.sample(logits, temp, top_k, top_p, rand)
+                    return state, toks
             fn = jax.jit(fused, donate_argnums=1)
             self._jit_decode[key] = fn
-            log.info("compiling fused decode B=%d P=%d greedy=%s", B, P, greedy)
+            log.info(
+                "compiling fused decode B=%d P=%d greedy=%s N=%d", B, P, greedy, n_steps
+            )
         return fn
 
     def _gather_tokens(self, tokens_dev: jax.Array, index) -> jax.Array:
@@ -361,8 +386,9 @@ class JaxExecutor:
 
     # ── decode ───────────────────────────────────────────────────────
 
-    def _decode_inputs(self, items):
-        """Shared host-side batch assembly for a decode step."""
+    def _decode_inputs(self, items, extra_tokens: int = 0):
+        """Shared host-side batch assembly for a decode step (pages
+        pre-extended for ``1 + extra_tokens`` writes)."""
         B = bucket_batch(len(items))
         positions = np.zeros(B, np.int32)
         tokens = np.zeros(B, np.int32)
@@ -374,7 +400,7 @@ class JaxExecutor:
         for i, it in enumerate(items):
             st = self.acct.state(it.request_id)
             pos = st.length
-            st.ensure_capacity(self.acct.pool, pos + 1)
+            st.ensure_capacity(self.acct.pool, pos + 1 + extra_tokens)
             states.append(st)
             tokens[i] = it.token_id
             positions[i] = pos
@@ -393,19 +419,28 @@ class JaxExecutor:
     def supports_async_decode(self, items) -> bool:
         return not any(it.logprobs > 0 for it in items) and len(items) <= self.max_batch
 
-    def execute_decode_async(self, items, tokens_dev: Optional[jax.Array] = None) -> PendingDecode:
-        """Dispatch one fused decode+sample step without reading results.
+    def execute_decode_async(
+        self,
+        items,
+        tokens_dev: Optional[jax.Array] = None,
+        n_tokens: int = 1,
+        rand_matrix: Optional[np.ndarray] = None,
+    ) -> PendingDecode:
+        """Dispatch one fused N-token decode+sample block without reading
+        results.
 
-        ``tokens_dev``: the previous step's sampled tokens still on device
-        (same item order + bucket) — fed back directly so the host never
-        blocks on them.
+        ``tokens_dev``: the previous block's sampled tokens still on device
+        ([N, B]; the last row feeds the next block) — the host never blocks
+        on them. ``rand_matrix``: [n_tokens, len(items)] uniform draws for
+        non-greedy rows.
         """
         n = len(items)
+        N = n_tokens
         B, P, tokens, positions, tables, seq_lens, slots, states = (
-            self._decode_inputs(items)
+            self._decode_inputs(items, extra_tokens=N - 1)
         )
-        if tokens_dev is not None and tokens_dev.shape[0] == B:
-            tok_arg = tokens_dev
+        if tokens_dev is not None and tokens_dev.shape[-1] == B:
+            tok_arg = tokens_dev[-1] if tokens_dev.ndim == 2 else tokens_dev
         else:
             tok_arg = jnp.asarray(tokens)
 
@@ -415,25 +450,27 @@ class JaxExecutor:
             jnp.asarray(tables), jnp.asarray(seq_lens), jnp.asarray(slots),
         )
         if greedy:
-            fn = self._decode_sampled(B, P, True)
+            fn = self._decode_sampled(B, P, True, N)
             self.state, toks = fn(*args)
         else:
             temp = np.zeros(B, np.float32)
             top_k = np.full(B, -1, np.int32)
             top_p = np.ones(B, np.float32)
-            rand = np.zeros(B, np.float32)
+            rand = np.zeros((N, B), np.float32)
             for i, it in enumerate(items):
                 temp[i] = it.params.temperature
                 top_k[i] = it.params.top_k
                 top_p[i] = it.params.top_p
-                rand[i] = it.random_val
-            fn = self._decode_sampled(B, P, False)
+                rand[0, i] = it.random_val
+            if rand_matrix is not None:
+                rand[:, :n] = rand_matrix
+            fn = self._decode_sampled(B, P, False, N)
             self.state, toks = fn(
                 *args, jnp.asarray(temp), jnp.asarray(top_k),
                 jnp.asarray(top_p), jnp.asarray(rand),
             )
         for st in states:
-            st.advance(1)
+            st.advance(N)
         try:
             toks.copy_to_host_async()
         except Exception:  # noqa: BLE001 — transfer hint only
@@ -441,13 +478,26 @@ class JaxExecutor:
         return PendingDecode(items=list(items), tokens_dev=toks, n=n)
 
     def resolve_pending(self, pending: PendingDecode) -> DecodeResult:
+        """Single-token resolve (sync path)."""
         host = np.asarray(pending.tokens_dev)
+        if host.ndim == 2:
+            host = host[0]
         return DecodeResult(
             requests=[
                 DecodeRequestResult(request_id=it.request_id, token=int(host[i]))
                 for i, it in enumerate(pending.items)
             ]
         )
+
+    def resolve_pending_multi(self, pending: PendingDecode):
+        """[(request_id, [token, ...]), ...] — all n_tokens per row."""
+        host = np.asarray(pending.tokens_dev)
+        if host.ndim == 1:
+            host = host[None, :]
+        return [
+            (it.request_id, [int(t) for t in host[:, i]])
+            for i, it in enumerate(pending.items)
+        ]
 
     def execute_decode(self, plan: DecodePlan) -> DecodeResult:
         items = plan.requests

@@ -258,46 +258,103 @@ class Scheduler:
             self._apply_prefill(pending, result.prefill_requests)
             self._apply_decode(result.decode_requests)
 
-    def _decode_pipelined(self, items) -> None:
-        """Steady-state decode with speculative dispatch.
+    def _min_remaining(self) -> int:
+        return min(st.max_tokens - st.generated_count for st in self.active)
 
-        The device→host token read is slow (high-latency link); so step i+1
-        is dispatched — consuming step i's sampled tokens directly on device
-        — BEFORE step i's tokens are read back. The pipeline drains whenever
-        anything non-steady happens (arrival, finish, receiver drop). Rows
-        of a speculative step whose request finished in the prior step are
+    def _decode_block_size(self, after: int = 0) -> int:
+        """Tokens per dispatch: full block in steady state, single-token
+        near a LENGTH boundary (so page use never exceeds the admitted
+        full-lifetime budget)."""
+        block = getattr(self.executor, "decode_block", 1)
+        return block if (self._min_remaining() - after) >= block else 1
+
+    def _rand_matrix(self, items, n_tokens: int):
+        if all(it.params.is_greedy for it in items):
+            return None
+        return [
+            [self.rng.random() for _ in items] for _ in range(n_tokens)
+        ]
+
+    def _decode_pipelined(self, items) -> None:
+        """Steady-state decode: N-token fused blocks + speculative dispatch.
+
+        The device→host token read is slow (high-latency link), so (a) each
+        dispatch computes ``decode_block`` tokens on device, and (b) block
+        i+1 is dispatched — consuming block i's sampled tokens directly on
+        device — BEFORE block i is read back. The pipeline drains whenever
+        anything non-steady happens (arrival, finish, receiver drop); rows
+        of a speculative block whose request finished in the prior block are
         discarded (their KV is released with the request).
         """
         ex = self.executor
-        pending = ex.execute_decode_async(items)
+        N = self._decode_block_size()
+        pending = ex.execute_decode_async(
+            items, n_tokens=N, rand_matrix=self._rand_matrix(items, N)
+        )
+        pending_n = N
         while True:
             reqs, still_open = self.handle._drain()
             for r in reqs:
                 self._ingest(r)
             closed = any(st.channel.is_closed for st in self.active)
-            may_finish = any(
-                st.generated_count + 1 >= st.max_tokens for st in self.active
-            )
-            can_spec = still_open and not self.deferred and not closed and not may_finish
             next_pending = None
-            next_items = None
-            if can_spec:
-                next_items = self._decode_items()  # token ids are placeholders
-                next_pending = ex.execute_decode_async(
-                    next_items, tokens_dev=pending.tokens_dev
-                )
-            result = ex.resolve_pending(pending)
-            finished = self._apply_decode(result.requests)
+            if still_open and not self.deferred and not closed:
+                # speculate only when no request can LENGTH-finish inside
+                # the pending block (EOS finishes are handled by discarding)
+                if self._min_remaining() > pending_n:
+                    n2 = self._decode_block_size(after=pending_n)
+                    next_items = self._decode_items()  # token ids unused
+                    next_pending = ex.execute_decode_async(
+                        next_items,
+                        tokens_dev=pending.tokens_dev,
+                        n_tokens=n2,
+                        rand_matrix=self._rand_matrix(next_items, n2),
+                    )
+            results = ex.resolve_pending_multi(pending)
+            finished = self._apply_decode_tokens(results)
             if next_pending is None:
                 return
             if finished or not self.active:
                 live = {st.request_id for st in self.active}
-                result2 = ex.resolve_pending(next_pending)
-                keep = [r for r in result2.requests if r.request_id in live]
-                if keep:
-                    self._apply_decode(keep)
+                res2 = [
+                    (rid, toks)
+                    for rid, toks in ex.resolve_pending_multi(next_pending)
+                    if rid in live
+                ]
+                if res2:
+                    self._apply_decode_tokens(res2)
                 return
             pending = next_pending
+            pending_n = n2
+
+    def _apply_decode_tokens(self, results) -> set:
+        """Apply an N-token block per request with single-token semantics
+        (EOS mid-block discards the request's remaining tokens)."""
+        by_id = {st.request_id: st for st in self.active}
+        finished_ids = set()
+        for rid, toks in results:
+            st = by_id[rid]
+            for tok in toks:
+                completion = st.generated_count + 1
+                is_eos = not st.params.ignore_eos and self.executor.is_stop_token(tok)
+                if is_eos:
+                    st.channel.send(Finished(FinishReason.STOP, st.prompt_len, completion))
+                    finished_ids.add(rid)
+                    break
+                st.channel.send(Token(tok))
+                st.last_token = tok
+                st.generated_count = completion
+                if completion >= st.max_tokens:
+                    st.channel.send(
+                        Finished(FinishReason.LENGTH, st.prompt_len, completion)
+                    )
+                    finished_ids.add(rid)
+                    break
+        for rid in finished_ids:
+            self.executor.release_request(rid)
+        if finished_ids:
+            self.active = [s for s in self.active if s.request_id not in finished_ids]
+        return finished_ids
 
     # ── resolve + effects (reference scheduler/{resolve,effects}.rs) ──
 
