@@ -85,6 +85,9 @@ def fp8_round_nope(x: jnp.ndarray, rotary_dim: int, group: int = 64) -> jnp.ndar
     (storage rounding; reference fp8_act_quant_nope_bf16,
     attention_base.rs:407)."""
     nope = x.shape[-1] - rotary_dim
+    if nope == 0:
+        return x
+    group = min(group, nope)
     x_nope, x_rot = x[..., :nope], x[..., nope:]
     g = x_nope.astype(jnp.float32).reshape(*x_nope.shape[:-1], nope // group, group)
     amax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
