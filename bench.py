@@ -94,6 +94,9 @@ def main():
 
     import jax
 
+    from pegainfer_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
     note(f"backend={jax.default_backend()} devices={jax.devices()}")
     cfg = smoke_config() if smoke else qwen3_4b_config()
     params = q3.init_bench_params(cfg)

@@ -256,9 +256,9 @@ def _attn_out(cfg: DSv4Config, lw, o):
 
 
 def _compress_layer(cfg: DSv4Config, comp, x, ratio: int, head_dim: int,
-                    inv_freq) -> jax.Array:
-    """Prefill compressor: x [T, D] → compressed [C, head_dim] (rope'd at
-    group-start positions, fp8-rounded nope dims)."""
+                    inv_freq):
+    """Prefill compressor: x [T, D] → (compressed [C, head_dim] (rope'd at
+    group-start positions, fp8-rounded nope dims), scores, values)."""
     scores, values = dsa.compress_scores_values(x, comp["wgate"], comp["wkv"])
     if ratio == 4:
         c = dsa.compress_overlap(scores, values, comp["ape"], comp["norm"],
@@ -271,7 +271,70 @@ def _compress_layer(cfg: DSv4Config, comp, x, ratio: int, head_dim: int,
     c = dsa.rope_interleaved(
         c.astype(x.dtype), cpos, jnp.asarray(inv_freq), cfg.qk_rope_head_dim
     )
-    return dsa.fp8_round_nope(c, cfg.qk_rope_head_dim)
+    return dsa.fp8_round_nope(c, cfg.qk_rope_head_dim), scores, values
+
+
+def _emit_compressed_block(cfg: DSv4Config, comp, ps_rows, pv_rows, positions,
+                           ratio: int, inv_freq):
+    """Decode-side block emission from the pending projection rings.
+
+    ps_rows/pv_rows: [B, R, out_dim] f32 rings (R = ratio, or 2*ratio for
+    overlap); positions: [B] (the emitting token is the group's last).
+    Returns [B, head_dim] rope'd + rounded compressed rows (garbage for
+    non-emitting rows — caller masks via the dead column).
+    """
+    B = positions.shape[0]
+    if ratio == 4:
+        R = 8
+        base_cur = ((positions - 3) % R)[:, None]  # ring idx of current group
+        r = jnp.arange(4)[None, :]
+        cur_idx = (base_cur + r) % R
+        prev_idx = (base_cur + 4 + r) % R
+        take = lambda rows, idx: jnp.take_along_axis(  # noqa: E731
+            rows, idx[..., None], axis=1
+        )
+        has_prev = (positions + 1) // ratio > 1
+        block = dsa.compress_block_overlap(
+            take(ps_rows, prev_idx), take(pv_rows, prev_idx),
+            take(ps_rows, cur_idx), take(pv_rows, cur_idx),
+            comp["ape"], comp["norm"], cfg.rms_norm_eps, has_prev,
+        )
+    else:
+        # ring slot of token c*ratio + r is exactly r
+        block = dsa.compress_block_nonoverlap(
+            ps_rows, pv_rows, comp["ape"], comp["norm"], cfg.rms_norm_eps
+        )
+    cpos = ((positions + 1) // ratio - 1) * ratio
+    block = dsa.rope_interleaved(block, cpos, jnp.asarray(inv_freq),
+                                 cfg.qk_rope_head_dim)
+    return dsa.fp8_round_nope(block, cfg.qk_rope_head_dim)
+
+
+_sparse_attn_b = jax.vmap(dsa.sparse_attention, in_axes=(0, 0, 0, None, None))
+
+
+def make_state(cfg: DSv4Config, max_slots: int, max_blocks: int,
+               dtype=jnp.float32):
+    """Per-slot decode caches (row max_slots is the dead slot)."""
+    S = max_slots + 1
+    W = cfg.sliding_window
+    hd, ihd = cfg.head_dim, cfg.index_head_dim
+    layers = []
+    for li in range(cfg.n_layers):
+        ratio = cfg.compress_ratios[li]
+        ls: Dict[str, Any] = {"kv": jnp.zeros((S, W, hd), dtype)}
+        if ratio > 0:
+            coff = 2 if ratio == 4 else 1
+            R = 8 if ratio == 4 else ratio
+            ls["ckv"] = jnp.zeros((S, max_blocks + 1, hd), dtype)  # +1 dead col
+            ls["ps"] = jnp.zeros((S, R, coff * hd), jnp.float32)
+            ls["pv"] = jnp.zeros((S, R, coff * hd), jnp.float32)
+        if ratio == 4:
+            ls["ick"] = jnp.zeros((S, max_blocks + 1, ihd), dtype)
+            ls["ips"] = jnp.zeros((S, 8, 2 * ihd), jnp.float32)
+            ls["ipv"] = jnp.zeros((S, 8, 2 * ihd), jnp.float32)
+        layers.append(ls)
+    return {"layers": layers}
 
 
 def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
@@ -327,13 +390,14 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
 # ── Prefill ──────────────────────────────────────────────────────────────
 
 
-def prefill(cfg: DSv4Config, params, tokens, seq_len=None):
-    """Greedy prefill over one prompt (full math, no padding support yet:
-    T == real length). Returns (logits [T, V] f32, caches per layer).
+def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None):
+    """Prefill over one prompt (T == real length; the engine runs DSv4
+    prefill unpadded like the reference direct runtime). Returns
+    (logits [T, V] f32, caches | state').
 
-    caches[li] = dict(kv [T, hd], ckv [C, hd] | None, ick [C, ihd] | None)
-    — consumed by future decode steps (decode wiring lands with the engine
-    integration).
+    Without ``state``: returns per-layer cache dicts (inspection/tests).
+    With ``state`` + ``slot``: seeds that slot's decode caches (kv ring,
+    compressed rows, pending projection rings) and returns the new state.
     """
     T = tokens.shape[0]
     positions = jnp.arange(T, dtype=jnp.int32)
@@ -363,8 +427,11 @@ def prefill(cfg: DSv4Config, params, tokens, seq_len=None):
             idx = win_idx
             kv_all = kv
         else:
-            ckv = _compress_layer(cfg, lw["comp"], h_norm, ratio, cfg.head_dim, inv_freq)
+            ckv, c_s, c_v = _compress_layer(
+                cfg, lw["comp"], h_norm, ratio, cfg.head_dim, inv_freq
+            )
             cache["ckv"] = ckv
+            cache["comp_sv"] = (c_s, c_v)
             C = ckv.shape[0]
             kv_all = jnp.concatenate([kv, ckv], axis=0)
             if ratio == 4:
@@ -373,8 +440,11 @@ def prefill(cfg: DSv4Config, params, tokens, seq_len=None):
                 iq = dsa.rope_interleaved(
                     iq, positions[:, None], jnp.asarray(inv_freq), cfg.qk_rope_head_dim
                 )
-                ick = _compress_layer(cfg, lw["idx_comp"], h_norm, ratio, ihd, inv_freq)
+                ick, i_s, i_v = _compress_layer(
+                    cfg, lw["idx_comp"], h_norm, ratio, ihd, inv_freq
+                )
                 cache["ick"] = ick
+                cache["idx_sv"] = (i_s, i_v)
                 iw = h_norm @ lw["idx_weights_proj"].T  # [T, idx_heads]
                 score_scale = 1.0 / math.sqrt(ihd) / math.sqrt(cfg.index_n_heads)
                 scores = dsa.indexer_scores(iq, ick, iw, score_scale)
@@ -410,4 +480,162 @@ def prefill(cfg: DSv4Config, params, tokens, seq_len=None):
     xf = hc.hc_pre(streams, pre)
     xf = _rms(xf, params["norm"], cfg.rms_norm_eps)
     logits = (xf @ params["head"].T).astype(jnp.float32)
-    return logits, caches
+
+    if state is None:
+        return logits, caches
+    return logits, _seed_state(cfg, state, caches, T, slot)
+
+
+def _seed_state(cfg: DSv4Config, state, caches, T: int, slot):
+    """Write a prefilled request's caches into its decode slot."""
+    W = cfg.sliding_window
+    t_win = np.arange(max(0, T - W), T)
+    new_layers = []
+    for li, cache in enumerate(caches):
+        ratio = cfg.compress_ratios[li]
+        ls = state["layers"][li]
+        kv = cache["kv"]
+        ls = dict(ls)
+        ls["kv"] = ls["kv"].at[slot, t_win % W].set(
+            kv[t_win].astype(ls["kv"].dtype)
+        )
+        if ratio > 0:
+            R = 8 if ratio == 4 else ratio
+            ckv = cache["ckv"]
+            C = ckv.shape[0]
+            ls["ckv"] = ls["ckv"].at[slot, :C].set(ckv.astype(ls["ckv"].dtype))
+            c_s, c_v = cache["comp_sv"]
+            t_pend = np.arange(max(0, T - R), T)
+            ls["ps"] = ls["ps"].at[slot, t_pend % R].set(c_s[t_pend])
+            ls["pv"] = ls["pv"].at[slot, t_pend % R].set(c_v[t_pend])
+        if ratio == 4:
+            ick = cache["ick"]
+            ls["ick"] = ls["ick"].at[slot, : ick.shape[0]].set(
+                ick.astype(ls["ick"].dtype)
+            )
+            i_s, i_v = cache["idx_sv"]
+            t8 = np.arange(max(0, T - 8), T)
+            ls["ips"] = ls["ips"].at[slot, t8 % 8].set(i_s[t8])
+            ls["ipv"] = ls["ipv"].at[slot, t8 % 8].set(i_v[t8])
+        new_layers.append(ls)
+    return {"layers": new_layers}
+
+
+# ── Decode ───────────────────────────────────────────────────────────────
+
+
+def decode(cfg: DSv4Config, params, state, tokens, positions, slots):
+    """One decode step for a batch. tokens/positions/slots: [B] int32
+    (padding rows: slot = dead row, position 0). Returns (state, logits)."""
+    B = tokens.shape[0]
+    W = cfg.sliding_window
+    x = params["embed"][tokens]
+    streams = hc.hc_expand(x, cfg.hc_mult)
+    new_layers = []
+
+    for li, lw in enumerate(params["layers"]):
+        ratio = cfg.compress_ratios[li]
+        inv_freq = cfg.rope_inv_freq(li)
+        ls = dict(state["layers"][li])
+
+        mixes = hc.hc_mixes(streams, lw["hc_attn_fn"], cfg.rms_norm_eps)
+        pre, post, comb = hc.hc_split_sinkhorn(
+            mixes, lw["hc_attn_scale"], lw["hc_attn_base"], cfg.hc_mult,
+            cfg.hc_sinkhorn_iters, cfg.hc_eps,
+        )
+        h_norm = _rms(hc.hc_pre(streams, pre), lw["attn_norm"], cfg.rms_norm_eps)
+
+        q, qa = _attn_q(cfg, lw, h_norm, positions, inv_freq)  # [B, H, hd]
+        kv_new = _attn_kv(cfg, lw, h_norm, positions, inv_freq)  # [B, hd]
+        ls["kv"] = ls["kv"].at[slots, positions % W].set(
+            kv_new.astype(ls["kv"].dtype)
+        )
+
+        win_idx = dsa.window_ring_indices_decode(positions, W)  # [B, W]
+        if ratio == 0:
+            kv_all = ls["kv"][slots]  # [B, W, hd]
+            idx = win_idx
+        else:
+            R = 8 if ratio == 4 else ratio
+            comp = lw["comp"]
+            s_new, v_new = dsa.compress_scores_values(
+                h_norm, comp["wgate"], comp["wkv"]
+            )
+            ls["ps"] = ls["ps"].at[slots, positions % R].set(s_new)
+            ls["pv"] = ls["pv"].at[slots, positions % R].set(v_new)
+            n_blocks = (positions + 1) // ratio  # [B] valid compressed count
+            emit = (positions + 1) % ratio == 0
+            max_blocks = ls["ckv"].shape[1] - 1
+            c_idx = jnp.where(emit, jnp.minimum(n_blocks - 1, max_blocks - 1),
+                              max_blocks)
+            block = _emit_compressed_block(
+                cfg, comp, ls["ps"][slots], ls["pv"][slots], positions, ratio,
+                inv_freq,
+            )
+            ls["ckv"] = ls["ckv"].at[slots, c_idx].set(
+                block.astype(ls["ckv"].dtype)
+            )
+            kv_all = jnp.concatenate(
+                [ls["kv"][slots], ls["ckv"][slots, :max_blocks]], axis=1
+            )
+            if ratio == 4:
+                icomp = lw["idx_comp"]
+                is_new, iv_new = dsa.compress_scores_values(
+                    h_norm, icomp["wgate"], icomp["wkv"]
+                )
+                ls["ips"] = ls["ips"].at[slots, positions % 8].set(is_new)
+                ls["ipv"] = ls["ipv"].at[slots, positions % 8].set(iv_new)
+                iblock = _emit_compressed_block(
+                    cfg, icomp, ls["ips"][slots], ls["ipv"][slots], positions,
+                    ratio, inv_freq,
+                )
+                ls["ick"] = ls["ick"].at[slots, c_idx].set(
+                    iblock.astype(ls["ick"].dtype)
+                )
+                ihd = cfg.index_head_dim
+                iq = (qa @ lw["idx_wq_b"].T).reshape(B, cfg.index_n_heads, ihd)
+                iq = dsa.rope_interleaved(
+                    iq, positions[:, None], jnp.asarray(inv_freq),
+                    cfg.qk_rope_head_dim,
+                )
+                iw = h_norm @ lw["idx_weights_proj"].T
+                score_scale = 1.0 / math.sqrt(ihd) / math.sqrt(cfg.index_n_heads)
+                ick_rows = ls["ick"][slots, :max_blocks]  # [B, C, ihd]
+                dots = jnp.einsum(
+                    "bhd,bcd->bhc", iq.astype(jnp.float32),
+                    ick_rows.astype(jnp.float32),
+                )
+                scores = jnp.einsum(
+                    "bh,bhc->bc", iw.astype(jnp.float32),
+                    jnp.maximum(dots, 0.0),
+                ) * score_scale
+                top_idx = dsa.topk_strict(scores, cfg.index_topk, n_blocks, W)
+                idx = jnp.concatenate([win_idx, top_idx], axis=1)
+            else:
+                cand = jnp.arange(max_blocks, dtype=jnp.int32)[None, :]
+                cb = jnp.where(cand < n_blocks[:, None], W + cand, -1)
+                idx = jnp.concatenate([win_idx, cb], axis=1)
+
+        o = _sparse_attn_b(
+            q[:, None], kv_all, idx[:, None], lw["attn_sink"],
+            cfg.head_dim ** -0.5,
+        )[:, 0]
+        attn_out = _attn_out(cfg, lw, o)
+        streams = hc.hc_post(attn_out, streams, post, comb)
+
+        mixes = hc.hc_mixes(streams, lw["hc_ffn_fn"], cfg.rms_norm_eps)
+        pre, post, comb = hc.hc_split_sinkhorn(
+            mixes, lw["hc_ffn_scale"], lw["hc_ffn_base"], cfg.hc_mult,
+            cfg.hc_sinkhorn_iters, cfg.hc_eps,
+        )
+        f_norm = _rms(hc.hc_pre(streams, pre), lw["ffn_norm"], cfg.rms_norm_eps)
+        ffn_out = _moe(cfg, lw, li, f_norm, tokens)
+        streams = hc.hc_post(ffn_out, streams, post, comb)
+        new_layers.append(ls)
+
+    mixes = hc.hc_mixes(streams, params["hc_head_fn"], cfg.rms_norm_eps)
+    pre = hc.hc_head_pre(mixes, params["hc_head_scale"], params["hc_head_base"],
+                         cfg.hc_mult, cfg.hc_eps)
+    xf = _rms(hc.hc_pre(streams, pre), params["norm"], cfg.rms_norm_eps)
+    logits = (xf @ params["head"].T).astype(jnp.float32)
+    return {"layers": new_layers}, logits

@@ -159,6 +159,41 @@ def compress_overlap(scores, values, ape, norm_w, eps: float):
     return _rms_norm_f32(w, norm_w, eps)
 
 
+def compress_block_nonoverlap(sg, vg, ape, norm_w, eps: float):
+    """Single-block decode emission. sg/vg: [..., ratio, hd] f32 (the
+    group's projections in token order); ape: [ratio, hd].
+    Returns [..., hd] f32 — identical math to compress_nonoverlap."""
+    s = sg + ape.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-2)
+    w = jnp.sum(p * vg, axis=-2)
+    return _rms_norm_f32(w, norm_w, eps)
+
+
+def compress_block_overlap(s_prev, v_prev, s_cur, v_cur, ape, norm_w,
+                           eps: float, has_prev):
+    """Single-block overlap (ratio 4) emission.
+
+    s_prev/v_prev: [..., 4, 2*hd] projections of the PREVIOUS group's
+    tokens; s_cur/v_cur: the current group's; ape: [4, 2*hd];
+    has_prev: [...] bool (block 0 has no previous group).
+    Returns [..., hd] f32 — identical math to compress_overlap.
+    """
+    hd = s_cur.shape[-1] // 2
+    apef = ape.astype(jnp.float32)
+    sp = s_prev[..., :hd] + apef[:, :hd]
+    vp = v_prev[..., :hd]
+    mask = has_prev[..., None, None]
+    sp = jnp.where(mask, sp, NEG_INF)
+    vp = jnp.where(mask, vp, 0.0)
+    sc = s_cur[..., hd:] + apef[:, hd:]
+    vc = v_cur[..., hd:]
+    s_all = jnp.concatenate([sp, sc], axis=-2)  # [..., 8, hd]
+    v_all = jnp.concatenate([vp, vc], axis=-2)
+    p = jax.nn.softmax(s_all, axis=-2)
+    w = jnp.sum(p * v_all, axis=-2)
+    return _rms_norm_f32(w, norm_w, eps)
+
+
 # ── Index generation ─────────────────────────────────────────────────────
 
 
@@ -171,6 +206,24 @@ def window_indices(seq_len: int, window: int) -> jnp.ndarray:
     key_start = jnp.maximum(t - (window - 1), 0)
     key = key_start + r
     return jnp.where(key <= t, key, -1).astype(jnp.int32)
+
+
+def window_ring_indices_decode(pos: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Decode window indices into a ring KV buffer.
+
+    pos: [B] current token positions (token already written at
+    pos % window). Returns [B, window] ring-slot indices covering the last
+    min(pos+1, window) tokens, -1 padded (reference
+    deepseek_window_topk_indices_decode_kernel; order is irrelevant to the
+    softmax)."""
+    B = pos.shape[0]
+    route = jnp.arange(window, dtype=jnp.int32)[None, :]
+    p = pos[:, None]
+    ring_pos = p % window
+    first = window - 1 - ring_pos
+    full = jnp.where(route < first, ring_pos + 1 + route, route - first)
+    partial = jnp.where(route <= p, route, -1)
+    return jnp.where(p >= window - 1, full, partial).astype(jnp.int32)
 
 
 def compressed_block_indices(seq_len: int, num_blocks: int, ratio: int,

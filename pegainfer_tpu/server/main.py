@@ -84,6 +84,9 @@ def main(argv=None):
     if not args.sim and not args.model_path:
         p.error("--model-path required (or use --sim)")
 
+    from pegainfer_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
     engine, tokenizer, model_name = build_engine_and_tokenizer(args)
 
     from aiohttp import web

@@ -88,6 +88,64 @@ def test_prefill_deterministic_and_jittable(tiny):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("T_pre,k", [(12, 4), (13, 3), (10, 6)])
+def test_decode_matches_prefill(tiny, T_pre, k):
+    """The gold invariant: prefill(T) last logits == prefill(T-k) seeding a
+    decode slot + k decode steps — across all three layer classes, ring
+    wrap, mid-group boundaries, and compressed-block emission."""
+    cfg, params = tiny
+    rng = np.random.default_rng(7)
+    T = T_pre + k
+    toks = rng.integers(2, 128, T)
+
+    full_logits, _ = dsv4.prefill(cfg, params, jnp.asarray(toks, jnp.int32))
+
+    state = dsv4.make_state(cfg, max_slots=2, max_blocks=8)
+    slot = 1
+    pre_logits, state = dsv4.prefill(
+        cfg, params, jnp.asarray(toks[:T_pre], jnp.int32), state=state,
+        slot=jnp.int32(slot),
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre_logits[-1]), np.asarray(full_logits[T_pre - 1]),
+        rtol=2e-4, atol=2e-4,
+    )
+    logits = None
+    for i in range(k):
+        pos = T_pre + i
+        state, logits = dsv4.decode(
+            cfg, params, state,
+            jnp.asarray([toks[pos]], jnp.int32),
+            jnp.asarray([pos], jnp.int32),
+            jnp.asarray([slot], jnp.int32),
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits[0]), np.asarray(full_logits[-1]), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_decode_batch_with_dead_rows(tiny):
+    """Padded rows (dead slot) must not disturb a live request."""
+    cfg, params = tiny
+    rng = np.random.default_rng(8)
+    toks = rng.integers(2, 128, 9)
+    state = dsv4.make_state(cfg, max_slots=2, max_blocks=8)
+    _, state = dsv4.prefill(cfg, params, jnp.asarray(toks[:8], jnp.int32),
+                            state=state, slot=jnp.int32(0))
+    # bs1
+    s1, l1 = dsv4.decode(cfg, params, state,
+                         jnp.asarray([toks[8]], jnp.int32),
+                         jnp.asarray([8], jnp.int32),
+                         jnp.asarray([0], jnp.int32))
+    # bs3 with two dead rows
+    s3, l3 = dsv4.decode(cfg, params, state,
+                         jnp.asarray([toks[8], 0, 0], jnp.int32),
+                         jnp.asarray([8, 0, 0], jnp.int32),
+                         jnp.asarray([0, 2, 2], jnp.int32))
+    np.testing.assert_allclose(np.asarray(l1[0]), np.asarray(l3[0]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_hash_vs_score_gate_paths(tiny):
     """Layer 0 uses tid2eid hash routing (token-dependent experts); layers
     >= n_hash_layers use score routing — both must contribute."""
