@@ -390,16 +390,23 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
 # ── Prefill ──────────────────────────────────────────────────────────────
 
 
-def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None):
-    """Prefill over one prompt (T == real length; the engine runs DSv4
-    prefill unpadded like the reference direct runtime). Returns
+def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None,
+            seq_len=None):
+    """Prefill over one (optionally right-padded) prompt. Returns
     (logits [T, V] f32, caches | state').
+
+    ``seq_len`` (default T) is the real token count: queries past it emit
+    garbage rows that are never consumed (causal index masks bound every
+    lookup by the query position), and the state seeding slices the last
+    valid rows dynamically — so bucket-padded prompts are safe.
 
     Without ``state``: returns per-layer cache dicts (inspection/tests).
     With ``state`` + ``slot``: seeds that slot's decode caches (kv ring,
     compressed rows, pending projection rings) and returns the new state.
     """
     T = tokens.shape[0]
+    if seq_len is None:
+        seq_len = T
     positions = jnp.arange(T, dtype=jnp.int32)
     x = params["embed"][tokens]
     streams = hc.hc_expand(x, cfg.hc_mult)
@@ -483,40 +490,52 @@ def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None):
 
     if state is None:
         return logits, caches
-    return logits, _seed_state(cfg, state, caches, T, slot)
+    return logits, _seed_state(cfg, state, caches, seq_len, slot)
 
 
-def _seed_state(cfg: DSv4Config, state, caches, T: int, slot):
-    """Write a prefilled request's caches into its decode slot."""
+def _ring_seed(dst, slot, src, seq_len, R: int):
+    """Fill dst[slot] (a [R, d] ring keyed by position % R) from src
+    ([T, d]): ring slot r gets the LAST position p < seq_len with
+    p % R == r (unwritten slots belong to future positions and are
+    rewritten by decode before any read)."""
+    r = jnp.arange(R, dtype=jnp.int32)
+    p = seq_len - 1 - ((seq_len - 1 - r) % R)
+    valid = p >= 0
+    rows = src[jnp.maximum(p, 0)].astype(dst.dtype)
+    ring = jnp.where(valid[:, None], rows, dst[slot, r])
+    return dst.at[slot, r].set(ring)
+
+
+def _seed_state(cfg: DSv4Config, state, caches, seq_len, slot):
+    """Write a prefilled request's caches into its decode slot.
+
+    seq_len may be traced (padded prefill): ring seeds slice the last valid
+    rows dynamically; compressed rows past seq_len//ratio are garbage but
+    never referenced (decode bounds lookups by position) and the partial
+    group re-emits over them.
+    """
     W = cfg.sliding_window
-    t_win = np.arange(max(0, T - W), T)
+    seq_len = jnp.asarray(seq_len, jnp.int32)
     new_layers = []
     for li, cache in enumerate(caches):
         ratio = cfg.compress_ratios[li]
-        ls = state["layers"][li]
-        kv = cache["kv"]
-        ls = dict(ls)
-        ls["kv"] = ls["kv"].at[slot, t_win % W].set(
-            kv[t_win].astype(ls["kv"].dtype)
-        )
+        ls = dict(state["layers"][li])
+        ls["kv"] = _ring_seed(ls["kv"], slot, cache["kv"], seq_len, W)
         if ratio > 0:
             R = 8 if ratio == 4 else ratio
             ckv = cache["ckv"]
-            C = ckv.shape[0]
-            ls["ckv"] = ls["ckv"].at[slot, :C].set(ckv.astype(ls["ckv"].dtype))
+            C = min(ckv.shape[0], ls["ckv"].shape[1] - 1)
+            ls["ckv"] = ls["ckv"].at[slot, :C].set(ckv[:C].astype(ls["ckv"].dtype))
             c_s, c_v = cache["comp_sv"]
-            t_pend = np.arange(max(0, T - R), T)
-            ls["ps"] = ls["ps"].at[slot, t_pend % R].set(c_s[t_pend])
-            ls["pv"] = ls["pv"].at[slot, t_pend % R].set(c_v[t_pend])
+            ls["ps"] = _ring_seed(ls["ps"], slot, c_s, seq_len, R)
+            ls["pv"] = _ring_seed(ls["pv"], slot, c_v, seq_len, R)
         if ratio == 4:
             ick = cache["ick"]
-            ls["ick"] = ls["ick"].at[slot, : ick.shape[0]].set(
-                ick.astype(ls["ick"].dtype)
-            )
+            Ci = min(ick.shape[0], ls["ick"].shape[1] - 1)
+            ls["ick"] = ls["ick"].at[slot, :Ci].set(ick[:Ci].astype(ls["ick"].dtype))
             i_s, i_v = cache["idx_sv"]
-            t8 = np.arange(max(0, T - 8), T)
-            ls["ips"] = ls["ips"].at[slot, t8 % 8].set(i_s[t8])
-            ls["ipv"] = ls["ipv"].at[slot, t8 % 8].set(i_v[t8])
+            ls["ips"] = _ring_seed(ls["ips"], slot, i_s, seq_len, 8)
+            ls["ipv"] = _ring_seed(ls["ipv"], slot, i_v, seq_len, 8)
         new_layers.append(ls)
     return {"layers": new_layers}
 

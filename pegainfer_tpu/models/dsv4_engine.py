@@ -1,0 +1,98 @@
+"""DeepSeek-V4 engine: ModelRuntime wiring + startup.
+
+Reference analog: the DSv4 "direct" engine (deepseek-v4/src/direct/
+scheduler.rs — serial prefill + small-batch decode, greedy only). Here the
+generic continuous-batching executor drives it; DSv4 has no paged KV (fixed
+per-slot window ring + compressed rows), so the page accounting degenerates:
+page_size=1 and per-request page budget = max_model_len, making admission
+effectively slot-bound.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+from pegainfer_tpu.engine.contract import EngineHandle, EngineLoadOptions
+from pegainfer_tpu.engine.jax_executor import JaxExecutor, ModelRuntime
+from pegainfer_tpu.engine.scheduler import start_scheduler
+from pegainfer_tpu.models import dsv4
+
+log = logging.getLogger("pegainfer.dsv4")
+
+
+def probe_model(model_path: str) -> bool:
+    try:
+        with open(os.path.join(model_path, "config.json")) as f:
+            c = json.load(f)
+    except OSError:
+        return False
+    return c.get("model_type") == "deepseek_v4"
+
+
+def max_blocks_for(cfg: dsv4.DSv4Config, max_model_len: int) -> int:
+    ratios = [r for r in cfg.compress_ratios if r > 0]
+    if not ratios:
+        return 1
+    return -(-max_model_len // min(ratios))
+
+
+def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
+                 max_slots: int = 2, state_dtype=jnp.bfloat16) -> ModelRuntime:
+    """DSv4 runtime over the generic executor contract. Page args are
+    ignored (no paged KV); slot args select the per-request caches."""
+    state = dsv4.make_state(
+        cfg, max_slots, max_blocks_for(cfg, max_model_len), dtype=state_dtype
+    )
+
+    def prefill_fn(params_, state_, tokens, seq_len, page_table, slot):
+        logits, state_ = dsv4.prefill(cfg, params_, tokens, state=state_,
+                                      slot=slot, seq_len=seq_len)
+        return state_, logits[seq_len - 1], None
+
+    def prefill_all_fn(params_, state_, tokens, seq_len, page_table, slot):
+        logits, state_ = dsv4.prefill(cfg, params_, tokens, state=state_,
+                                      slot=slot, seq_len=seq_len)
+        return state_, logits[seq_len - 1], logits
+
+    def decode_fn(params_, state_, tokens, positions, tables, seq_lens, slots):
+        return dsv4.decode(cfg, params_, state_, tokens, positions, slots)
+
+    return ModelRuntime(
+        prefill_fn=prefill_fn,
+        prefill_all_logits_fn=prefill_all_fn,
+        decode_fn=decode_fn,
+        params=params,
+        state=state,
+        page_size=1,
+        num_pages=max_model_len * max_slots + 2,
+        stop_token_ids=frozenset({cfg.eos_token_id}),
+        max_model_len=max_model_len,
+        vocab_size=cfg.vocab_size,
+        max_slots=max_slots,
+    )
+
+
+def start_engine(
+    model_path: str,
+    options: Optional[EngineLoadOptions] = None,
+    tp_size: int = 1,
+) -> EngineHandle:
+    opts = options or EngineLoadOptions()
+    cfg = dsv4.DSv4Config.from_model_path(model_path)
+    log.info("loading DeepSeek-V4 (%d layers, dim %d)", cfg.n_layers, cfg.dim)
+    from pegainfer_tpu.models.dsv4_weights import load_params
+
+    params = load_params(cfg, model_path, tp_size=tp_size)
+    max_slots = min(opts.max_batch_size, 2)  # reference serves bs<=2
+    runtime = make_runtime(
+        cfg, params,
+        max_model_len=opts.max_model_len or 4096,
+        max_slots=max_slots,
+    )
+    executor = JaxExecutor(runtime, opts)
+    return start_scheduler(executor, seed=opts.seed)

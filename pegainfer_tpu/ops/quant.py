@@ -16,6 +16,8 @@ helpers here define the *reference numerics* and the storage format.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,6 +66,7 @@ def dequant_fp8_blocks(q: jax.Array, scales: jax.Array, block: int = 128,
 def quant_fp4_groups(w: np.ndarray, group: int = 32):
     """Weight → (E2M1 values, E8M0 scales [out, in/32])."""
     out_dim, in_dim = w.shape
+    group = min(group, in_dim)
     assert in_dim % group == 0, (in_dim, group)
     g = np.asarray(w, np.float32).reshape(out_dim, in_dim // group, group)
     amax = np.abs(g).max(axis=-1)
@@ -72,9 +75,10 @@ def quant_fp4_groups(w: np.ndarray, group: int = 32):
     return jnp.asarray(q).astype(F4), jnp.asarray(scales).astype(E8M0)
 
 
-def dequant_fp4_groups(q: jax.Array, scales: jax.Array, group: int = 32,
+def dequant_fp4_groups(q: jax.Array, scales: jax.Array, group: Optional[int] = None,
                        dtype=jnp.bfloat16) -> jax.Array:
     out_dim, in_dim = q.shape
+    group = group or in_dim // scales.shape[1]
     s = jnp.repeat(scales.astype(jnp.float32), group, axis=1)
     return (q.astype(jnp.float32) * s).astype(dtype)
 

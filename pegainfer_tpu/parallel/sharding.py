@@ -99,11 +99,71 @@ def shard_qwen3(mesh: Mesh, cfg, params, kv_pages):
 
 
 def place_tree(mesh: Mesh, params, specs):
-    """device_put leaves of a dict-pytree by matching PartitionSpec leaves.
+    """device_put leaves of a dict/list-pytree by matching PartitionSpec
+    leaves.
 
     (Not jax.tree.map: PartitionSpec subclasses tuple, so tree_map would
     recurse into the spec itself.)
     """
     if isinstance(params, dict):
         return {k: place_tree(mesh, params[k], specs[k]) for k in params}
+    if isinstance(params, (list, tuple)):
+        return type(params)(
+            place_tree(mesh, p, s) for p, s in zip(params, specs)
+        )
     return jax.device_put(params, NamedSharding(mesh, specs))
+
+
+# ── DeepSeek-V4 MP8 specs ────────────────────────────────────────────────
+# The sharding axes are exactly the reference's mp8 rank split
+# (deepseek-v4/src/config.rs TensorParallelConfig: vocab / attention heads /
+# o-groups / index heads / routed experts over 8 ranks); NCCL collectives
+# become XLA psum/all-gather inside the jitted step.
+
+
+def dsv4_layer_specs(lw: dict) -> dict:
+    sharded = {
+        "attn_sink": P("tp"),
+        "wq_b": P("tp", None),
+        "wo_a": P("tp", None),
+        "wo_b": P(None, "tp"),
+        "idx_wq_b": P("tp", None),
+        "idx_weights_proj": P("tp", None),
+        "experts_w1": P("tp", None, None),
+        "experts_w2": P("tp", None, None),
+        "experts_w3": P("tp", None, None),
+    }
+    out = {}
+    for k, v in lw.items():
+        if isinstance(v, dict):  # compressors: replicated
+            out[k] = {kk: P() for kk in v}
+        else:
+            out[k] = sharded.get(k, P())
+    return out
+
+
+def dsv4_param_specs(params: dict) -> dict:
+    return {
+        "embed": P("tp", None),
+        "head": P("tp", None),
+        "norm": P(),
+        "hc_head_fn": P(),
+        "hc_head_base": P(),
+        "hc_head_scale": P(),
+        "layers": [dsv4_layer_specs(lw) for lw in params["layers"]],
+    }
+
+
+def dsv4_state_specs(state: dict) -> dict:
+    """Decode caches are replicated (MQA: one joint KV shared by all head
+    shards — the reference's ranks each hold the full kv too)."""
+    return {
+        "layers": [{k: P() for k in ls} for ls in state["layers"]]
+    }
+
+
+def shard_dsv4(mesh: Mesh, params, state=None):
+    params = place_tree(mesh, params, dsv4_param_specs(params))
+    if state is not None:
+        state = place_tree(mesh, state, dsv4_state_specs(state))
+    return params, state

@@ -18,6 +18,8 @@ def detect_model_type(model_path: str) -> str:
     """From config.json architectures (reference server_engine.rs:33-76)."""
     with open(os.path.join(model_path, "config.json")) as f:
         cfg = json.load(f)
+    if cfg.get("model_type") == "deepseek_v4":
+        return "deepseek_v4"
     archs = cfg.get("architectures", [])
     if "Qwen3ForCausalLM" in archs:
         return "qwen3"
@@ -55,6 +57,10 @@ def build_engine_and_tokenizer(args):
         from pegainfer_tpu.models import qwen35_engine
 
         handle = qwen35_engine.start_engine(args.model_path, opts, tp_size=args.tp_size)
+    elif mtype == "deepseek_v4":
+        from pegainfer_tpu.models import dsv4_engine
+
+        handle = dsv4_engine.start_engine(args.model_path, opts, tp_size=args.tp_size)
     else:
         raise NotImplementedError(f"model type {mtype} engine not wired yet")
     name = os.path.basename(os.path.normpath(args.model_path))

@@ -1,0 +1,227 @@
+"""DSv4 engine e2e over a synthetic mp8 checkpoint.
+
+Writes a tiny 8-rank checkpoint in the reference's on-disk schema
+(mp8/model{r}-mp8.safetensors, deepseek-v4/src/weights.rs:128 +
+src/model.rs tensor names/dtypes), loads it through dsv4_weights +
+dsv4_engine, and drives generation through the real scheduler.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pegainfer_tpu.engine.contract import (
+    EngineLoadOptions,
+    Finished,
+    GenerateRequest,
+    SamplingParams,
+    Token,
+)
+from pegainfer_tpu.models import dsv4
+from pegainfer_tpu.ops import quant
+
+WORLD = 8
+
+
+def tiny_cfg_dict():
+    return {
+        "model_type": "deepseek_v4",
+        "bos_token_id": 0,
+        "eos_token_id": 1,
+        "vocab_size": 128,
+        "hidden_size": 32,
+        "moe_intermediate_size": 16,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 8,
+        "num_key_value_heads": 1,
+        "head_dim": 16,
+        "q_lora_rank": 16,
+        "qk_rope_head_dim": 8,
+        "o_groups": 8,
+        "o_lora_rank": 4,
+        "sliding_window": 8,
+        "n_routed_experts": 8,
+        "n_shared_experts": 1,
+        "num_experts_per_tok": 2,
+        "num_hash_layers": 1,
+        "scoring_func": "sigmoid",
+        "routed_scaling_factor": 1.5,
+        "swiglu_limit": 7.0,
+        "rms_norm_eps": 1e-6,
+        "index_n_heads": 8,
+        "index_head_dim": 16,
+        "index_topk": 4,
+        "max_position_embeddings": 4096,
+        "rope_theta": 10000.0,
+        "compress_rope_theta": 10000.0,
+        "compress_ratios": [0, 4],
+        "rope_scaling": {
+            "type": "yarn", "factor": 4.0, "beta_fast": 32, "beta_slow": 1,
+            "original_max_position_embeddings": 256,
+        },
+    }
+
+
+def write_fake_checkpoint(tmpdir, cfg: dsv4.DSv4Config, params):
+    """Inverse of dsv4_weights.load_params for the tiny config."""
+    import ml_dtypes
+    import jax.numpy as jnp
+    from safetensors.flax import save_file
+
+    (tmpdir / "mp8").mkdir()
+    with open(tmpdir / "config.json", "w") as f:
+        json.dump(tiny_cfg_dict(), f)
+
+    def bf16(x):
+        return np.asarray(x, np.float32).astype(ml_dtypes.bfloat16)
+
+    def f32(x):
+        return np.asarray(x, np.float32)
+
+    def fp8_pair(x):
+        q, s = quant.quant_fp8_blocks(np.asarray(x, np.float32))
+        # scales stored f32 (exact pow2 values): the safetensors python
+        # binding cannot round-trip e8m0; the loader accepts either dtype
+        return np.asarray(q), np.asarray(s).astype(np.float32)
+
+    def fp4_pair(x):
+        q, s = quant.quant_fp4_groups(np.asarray(x, np.float32))
+        # container: E4M3 holds every E2M1 value exactly (safetensors has no
+        # unpacked fp4 dtype; the real checkpoint uses packed F4, which the
+        # loader unpacks)
+        return np.asarray(q).astype(ml_dtypes.float8_e4m3fn), np.asarray(s).astype(np.float32)
+
+    H = cfg.num_attention_heads
+    E_loc = cfg.n_routed_experts // WORLD
+
+    for rank in range(WORLD):
+        t = {}
+
+        def put_fp8(name, arr):
+            q, s = fp8_pair(arr)
+            t[f"{name}.weight"] = q
+            t[f"{name}.scale"] = s
+
+        def put_fp4(name, arr):
+            q, s = fp4_pair(arr)
+            t[f"{name}.weight"] = q
+            t[f"{name}.scale"] = s
+
+        def shard0(x):
+            n = x.shape[0] // WORLD
+            return np.asarray(x)[rank * n:(rank + 1) * n]
+
+        def shard1(x):
+            n = x.shape[1] // WORLD
+            return np.asarray(x)[:, rank * n:(rank + 1) * n]
+
+        t["embed.weight"] = bf16(shard0(params["embed"]))
+        t["head.weight"] = bf16(shard0(params["head"]))
+        t["norm.weight"] = bf16(params["norm"])
+        t["hc_head_fn"] = f32(params["hc_head_fn"])
+        t["hc_head_base"] = f32(params["hc_head_base"])
+        t["hc_head_scale"] = f32(params["hc_head_scale"])
+
+        for li, lw in enumerate(params["layers"]):
+            p = f"layers.{li}"
+            t[f"{p}.attn_norm.weight"] = bf16(lw["attn_norm"])
+            t[f"{p}.ffn_norm.weight"] = bf16(lw["ffn_norm"])
+            for hk in ("hc_attn_fn", "hc_attn_base", "hc_attn_scale",
+                       "hc_ffn_fn", "hc_ffn_base", "hc_ffn_scale"):
+                t[f"{p}.{hk}"] = f32(lw[hk])
+            t[f"{p}.attn.attn_sink"] = f32(shard0(lw["attn_sink"]))
+            t[f"{p}.attn.q_norm.weight"] = bf16(lw["q_norm"])
+            t[f"{p}.attn.kv_norm.weight"] = bf16(lw["kv_norm"])
+            put_fp8(f"{p}.attn.wq_a", lw["wq_a"])
+            put_fp8(f"{p}.attn.wq_b", shard0(lw["wq_b"]))
+            put_fp8(f"{p}.attn.wkv", lw["wkv"])
+            t[f"{p}.attn.wo_a.weight"] = bf16(shard0(lw["wo_a"]))
+            put_fp8(f"{p}.attn.wo_b", shard1(lw["wo_b"]))
+            t[f"{p}.ffn.gate.weight"] = bf16(lw["gate_weight"])
+            if "gate_tid2eid" in lw:
+                t[f"{p}.ffn.gate.tid2eid"] = np.asarray(lw["gate_tid2eid"], np.int64)
+            else:
+                t[f"{p}.ffn.gate.bias"] = f32(lw["gate_bias"])
+            put_fp8(f"{p}.ffn.shared_experts.w1", lw["shared_w1"])
+            put_fp8(f"{p}.ffn.shared_experts.w2", lw["shared_w2"])
+            put_fp8(f"{p}.ffn.shared_experts.w3", lw["shared_w3"])
+            for le in range(E_loc):
+                ge = rank * E_loc + le
+                for name in ("w1", "w2", "w3"):
+                    put_fp4(f"{p}.ffn.experts.{ge}.{name}",
+                            np.asarray(lw[f"experts_{name}"])[ge])
+            if "comp" in lw:
+                cp = f"{p}.attn.compressor"
+                t[f"{cp}.ape"] = f32(lw["comp"]["ape"])
+                t[f"{cp}.wkv.weight"] = bf16(lw["comp"]["wkv"])
+                t[f"{cp}.wgate.weight"] = bf16(lw["comp"]["wgate"])
+                t[f"{cp}.norm.weight"] = bf16(lw["comp"]["norm"])
+            if "idx_wq_b" in lw:
+                ip = f"{p}.attn.indexer"
+                put_fp8(f"{ip}.wq_b", shard0(lw["idx_wq_b"]))
+                t[f"{ip}.weights_proj.weight"] = bf16(shard0(lw["idx_weights_proj"]))
+                icp = f"{ip}.compressor"
+                t[f"{icp}.ape"] = f32(lw["idx_comp"]["ape"])
+                t[f"{icp}.wkv.weight"] = bf16(lw["idx_comp"]["wkv"])
+                t[f"{icp}.wgate.weight"] = bf16(lw["idx_comp"]["wgate"])
+                t[f"{icp}.norm.weight"] = bf16(lw["idx_comp"]["norm"])
+
+        save_file({k: jnp.asarray(v) for k, v in t.items()},
+                  str(tmpdir / "mp8" / f"model{rank}-mp8.safetensors"))
+
+
+def test_dsv4_engine_e2e(tmp_path):
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=32, moe_inter_dim=16, n_layers=2,
+        num_attention_heads=8, head_dim=16, q_lora_rank=16,
+        qk_rope_head_dim=8, o_groups=8, o_lora_rank=4, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=16, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.init_random_params(cfg, seed=5, dtype=jnp.float32, scale=0.08)
+    write_fake_checkpoint(tmp_path, cfg, params)
+
+    # config parse roundtrip
+    cfg2 = dsv4.DSv4Config.from_model_path(str(tmp_path))
+    assert cfg2.compress_ratios == cfg.compress_ratios
+    assert cfg2.index_topk == cfg.index_topk
+
+    from pegainfer_tpu.models import dsv4_engine
+
+    assert dsv4_engine.probe_model(str(tmp_path))
+    handle = dsv4_engine.start_engine(
+        str(tmp_path),
+        EngineLoadOptions(precompile=False, max_batch_size=2, max_model_len=64),
+    )
+    try:
+        req = GenerateRequest(
+            prompt_tokens=[3, 17, 42, 9, 88],
+            max_tokens=6,
+            params=SamplingParams(ignore_eos=True),
+        )
+        handle.submit(req)
+        toks, finish = [], None
+        for ev in req.channel:
+            if isinstance(ev, Token):
+                toks.append(ev.id)
+            elif isinstance(ev, Finished):
+                finish = ev.finish_reason
+        assert len(toks) == 6
+        assert all(0 <= t < 128 for t in toks)
+
+        # determinism across submissions
+        req2 = GenerateRequest(
+            prompt_tokens=[3, 17, 42, 9, 88], max_tokens=6,
+            params=SamplingParams(ignore_eos=True),
+        )
+        handle.submit(req2)
+        toks2 = [ev.id for ev in req2.channel if isinstance(ev, Token)]
+        assert toks2 == toks
+    finally:
+        handle.shutdown()
