@@ -1,0 +1,223 @@
+"""In-process serving benchmark: the reference bench_serving equivalent.
+
+Reference: pegainfer-server/src/bin/bench_serving.rs — request/snapshot/
+compare subcommands, snapshot schema (prefill_heavy 10k/1 + decode_heavy
+1024/256, warmup + measured iters, TTFT/steady-TPOT percentiles), and the
+regression thresholds (steady TPOT > 2% or TTFT > 3% fails,
+docs/conventions/bench-regression.md).
+
+Run: ``python -m pegainfer_tpu.bench.serving snapshot --model-path … --out …``
+     ``python -m pegainfer_tpu.bench.serving compare baseline.json new.json``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pegainfer_tpu.engine.contract import (
+    EngineHandle,
+    Finished,
+    GenerateRequest,
+    SamplingParams,
+    Token,
+)
+
+TPOT_REGRESSION_PCT = 2.0
+TTFT_REGRESSION_PCT = 3.0
+
+
+@dataclass
+class CaseConfig:
+    name: str
+    prompt_len: int
+    output_len: int
+    iters: int = 20
+    warmup: int = 5
+
+
+DEFAULT_CASES = (
+    CaseConfig("prefill_heavy", 10_000, 1, iters=5, warmup=2),
+    CaseConfig("decode_heavy", 1024, 256, iters=20, warmup=5),
+)
+
+
+def _pct(sorted_vals: List[float], p: float) -> float:
+    if not sorted_vals:
+        return float("nan")
+    i = min(int(len(sorted_vals) * p / 100), len(sorted_vals) - 1)
+    return sorted_vals[i]
+
+
+def run_case(engine: EngineHandle, case: CaseConfig, vocab_size: int,
+             seed: int = 0) -> Dict:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    params = SamplingParams(ignore_eos=True)
+    ttfts: List[float] = []
+    tpots: List[float] = []
+    e2es: List[float] = []
+
+    for it in range(case.warmup + case.iters):
+        prompt = rng.integers(0, vocab_size, case.prompt_len).tolist()
+        req = GenerateRequest(prompt_tokens=prompt, max_tokens=case.output_len,
+                              params=params, queued_at_unix_s=time.time())
+        t0 = time.perf_counter()
+        engine.submit(req)
+        stamps = []
+        for ev in req.channel:
+            if isinstance(ev, Token):
+                stamps.append(time.perf_counter())
+            elif isinstance(ev, Finished):
+                break
+        if it < case.warmup or not stamps:
+            continue
+        ttfts.append((stamps[0] - t0) * 1e3)
+        e2es.append((stamps[-1] - t0) * 1e3)
+        if len(stamps) > 2:
+            # steady region: skip the first decode block
+            k = min(2, len(stamps) - 2)
+            tpots.append((stamps[-1] - stamps[k]) * 1e3 / (len(stamps) - 1 - k))
+
+    ttfts.sort()
+    tpots.sort()
+    e2es.sort()
+    out = {
+        "prompt_len": case.prompt_len,
+        "output_len": case.output_len,
+        "iters": case.iters,
+        "ttft_ms": {"p50": _pct(ttfts, 50), "p95": _pct(ttfts, 95),
+                    "avg": statistics.fmean(ttfts) if ttfts else float("nan")},
+        "e2e_ms": {"p50": _pct(e2es, 50), "p95": _pct(e2es, 95)},
+    }
+    if tpots:
+        out["steady_tpot_ms"] = {"p50": _pct(tpots, 50), "p95": _pct(tpots, 95)}
+        out["decode_tok_s"] = 1e3 / _pct(tpots, 50)
+    return out
+
+
+def snapshot(engine: EngineHandle, vocab_size: int, model: str,
+             cases=DEFAULT_CASES, hardware: str = "") -> Dict:
+    return {
+        "model": model,
+        "hardware": hardware,
+        "created_unix_s": int(time.time()),
+        "cases": {c.name: run_case(engine, c, vocab_size) for c in cases},
+    }
+
+
+def compare(baseline: Dict, new: Dict) -> List[str]:
+    """Regression check. Returns failure strings (empty = pass)."""
+    failures = []
+    for name, base_case in baseline.get("cases", {}).items():
+        new_case = new.get("cases", {}).get(name)
+        if new_case is None:
+            failures.append(f"{name}: missing in new snapshot")
+            continue
+        bt = base_case.get("steady_tpot_ms", {}).get("p50")
+        nt = new_case.get("steady_tpot_ms", {}).get("p50")
+        if bt and nt and nt > bt * (1 + TPOT_REGRESSION_PCT / 100):
+            failures.append(
+                f"{name}: steady TPOT p50 regressed {bt:.2f} -> {nt:.2f} ms "
+                f"(>{TPOT_REGRESSION_PCT}%)"
+            )
+        bf = base_case.get("ttft_ms", {}).get("p50")
+        nf = new_case.get("ttft_ms", {}).get("p50")
+        if bf and nf and nf > bf * (1 + TTFT_REGRESSION_PCT / 100):
+            failures.append(
+                f"{name}: TTFT p50 regressed {bf:.2f} -> {nf:.2f} ms "
+                f"(>{TTFT_REGRESSION_PCT}%)"
+            )
+    return failures
+
+
+def _build_engine(args):
+    from pegainfer_tpu.engine.contract import EngineLoadOptions
+
+    opts = EngineLoadOptions(max_num_pages=args.max_num_pages)
+    if args.sim:
+        from pegainfer_tpu.sim import SimulatedEngineConfig, start_engine
+
+        cfg = SimulatedEngineConfig(ttft_s=0.002, tpot_s=0.001)
+        return start_engine(cfg, opts), cfg.vocab_size, "sim"
+    from pegainfer_tpu.server.main import detect_model_type
+
+    mtype = detect_model_type(args.model_path)
+    if mtype == "qwen3":
+        from pegainfer_tpu.models import qwen3_engine
+
+        handle = qwen3_engine.start_engine(args.model_path, opts)
+        from pegainfer_tpu.models.qwen3 import Qwen3Config
+
+        vocab = Qwen3Config.from_model_path(args.model_path).vocab_size
+    elif mtype == "qwen35":
+        from pegainfer_tpu.models import qwen35_engine
+
+        handle = qwen35_engine.start_engine(args.model_path, opts)
+        from pegainfer_tpu.models.qwen35 import Qwen35Config
+
+        vocab = Qwen35Config.from_model_path(args.model_path).vocab_size
+    else:
+        from pegainfer_tpu.models import dsv4_engine
+
+        handle = dsv4_engine.start_engine(args.model_path, opts)
+        from pegainfer_tpu.models.dsv4 import DSv4Config
+
+        vocab = DSv4Config.from_model_path(args.model_path).vocab_size
+    return handle, vocab, args.model_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("pegainfer-tpu bench_serving")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    snap = sub.add_parser("snapshot")
+    snap.add_argument("--model-path")
+    snap.add_argument("--sim", action="store_true")
+    snap.add_argument("--out", required=True)
+    snap.add_argument("--hardware", default="tpu-v5e")
+    snap.add_argument("--max-num-pages", type=int, default=None)
+    snap.add_argument("--quick", action="store_true",
+                      help="small iters for smoke runs")
+
+    cmp_ = sub.add_parser("compare")
+    cmp_.add_argument("baseline")
+    cmp_.add_argument("new")
+
+    args = p.parse_args(argv)
+    if args.cmd == "snapshot":
+        engine, vocab, model = _build_engine(args)
+        cases = DEFAULT_CASES
+        if args.quick:
+            cases = (
+                CaseConfig("prefill_heavy", 512, 1, iters=2, warmup=1),
+                CaseConfig("decode_heavy", 128, 32, iters=3, warmup=1),
+            )
+        snap_data = snapshot(engine, vocab, model, cases, args.hardware)
+        engine.shutdown()
+        with open(args.out, "w") as f:
+            json.dump(snap_data, f, indent=2)
+        print(json.dumps(snap_data["cases"], indent=2))
+        return 0
+    else:
+        with open(args.baseline) as f:
+            base = json.load(f)
+        with open(args.new) as f:
+            new = json.load(f)
+        failures = compare(base, new)
+        for fmsg in failures:
+            print("REGRESSION:", fmsg)
+        if not failures:
+            print("PASS: within thresholds "
+                  f"(TPOT {TPOT_REGRESSION_PCT}%, TTFT {TTFT_REGRESSION_PCT}%)")
+        return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
