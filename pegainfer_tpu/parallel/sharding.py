@@ -114,6 +114,82 @@ def place_tree(mesh: Mesh, params, specs):
     return jax.device_put(params, NamedSharding(mesh, specs))
 
 
+# ── Qwen3.5 hybrid specs ─────────────────────────────────────────────────
+# Shard the linear-attention value heads (Hv) and full-attention heads over
+# tp; requires tp | {Hk, Hv, Hkv, intermediate, vocab}. conv channels are
+# sharded blockwise (depthwise conv is per-channel, any split is exact).
+
+
+def qwen35_param_specs(cfg) -> dict:
+    lin = {
+        "input_ln": P(None, None, None),
+        "wq": P(None, None, None, "tp"),
+        "wk": P(None, None, None, "tp"),
+        "wv": P(None, None, None, "tp"),
+        "wz": P(None, None, None, "tp"),
+        "wb": P(None, None, None, "tp"),
+        "wa": P(None, None, None, "tp"),
+        "conv_w": P(None, None, "tp", None),
+        "dt_bias": P(None, None, "tp"),
+        "A_log": P(None, None, "tp"),
+        "norm_w": P(None, None, None),
+        "out_proj": P(None, None, "tp", None),
+        "post_ln": P(None, None, None),
+        "mlp_gate_up": P(None, None, None, "tp"),
+        "mlp_down": P(None, None, "tp", None),
+    }
+    full = {
+        "input_ln": P(None, None),
+        "wq": P(None, None, "tp"),
+        "wgate": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "q_norm": P(None, None),
+        "k_norm": P(None, None),
+        "wo": P(None, "tp", None),
+        "post_ln": P(None, None),
+        "mlp_gate_up": P(None, None, "tp"),
+        "mlp_down": P(None, "tp", None),
+    }
+    return {
+        "embed": P(None, None),
+        "lin": lin,
+        "full": full,
+        "final_ln": P(None),
+        "lm_head": P(None, "tp"),
+    }
+
+
+def qwen35_state_specs() -> dict:
+    return {
+        "kv": P(None, None, "tp", None, None, None),   # [G,2,Hkv,pages,ps,hd]→kv heads
+        "rec": P(None, None, None, "tp", None, None),  # [G,pl,S,Hv,dk,dv]→v heads
+        "conv": P(None, None, None, None, "tp"),       # [G,pl,S,K,conv_dim]→channels
+    }
+
+
+def validate_qwen35_tp(cfg, tp: int) -> None:
+    for name, v in (
+        ("linear_num_key_heads", cfg.linear_num_key_heads),
+        ("linear_num_value_heads", cfg.linear_num_value_heads),
+        ("num_attention_heads", cfg.num_attention_heads),
+        ("num_key_value_heads", cfg.num_key_value_heads),
+        ("intermediate_size", cfg.intermediate_size),
+        ("vocab_size", cfg.vocab_size),
+    ):
+        if v % tp:
+            raise ValueError(f"tp={tp} must divide {name}={v}")
+
+
+def shard_qwen35(mesh: Mesh, cfg, params, state):
+    tp = mesh.shape.get("tp", 1)
+    validate_qwen35_tp(cfg, tp)
+    specs = qwen35_param_specs(cfg)
+    params = place_tree(mesh, params, specs)
+    state = place_tree(mesh, state, qwen35_state_specs())
+    return params, state
+
+
 # ── DeepSeek-V4 MP8 specs ────────────────────────────────────────────────
 # The sharding axes are exactly the reference's mp8 rank split
 # (deepseek-v4/src/config.rs TensorParallelConfig: vocab / attention heads /
