@@ -36,7 +36,8 @@ from pegainfer_tpu.engine.executor import (
     UnifiedPlan,
     UnifiedResult,
 )
-from pegainfer_tpu.engine.kv import KvAccounting, PagePool
+from pegainfer_tpu.engine import kv as kvmod
+from pegainfer_tpu.engine.kv import KvAccounting, NativeKvAccounting, PagePool
 from pegainfer_tpu.ops import sampling as smp
 
 log = logging.getLogger("pegainfer.executor")
@@ -116,15 +117,14 @@ class JaxExecutor:
         self.rt = runtime
         self.params = runtime.params
         self.state = runtime.state
-        pool = PagePool(runtime.num_pages)
-        self.acct = KvAccounting(pool, runtime.page_size)
+        self.acct = kvmod.make_accounting(runtime.num_pages, runtime.page_size)
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
         self.decode_block = max(1, opts.decode_block)
         # request → persistent state slot (hybrid models' recurrent state)
         self._slots: Dict[int, int] = {}
         self._free_slots = list(range(runtime.max_slots - 1, -1, -1))
         self._max_pages = min(
-            pool.available,
+            self.acct.pool.available,
             -(-runtime.max_model_len // runtime.page_size),
         )
         # max page-table width (static cap for decode jit)
@@ -390,6 +390,24 @@ class JaxExecutor:
         """Shared host-side batch assembly for a decode step (pages
         pre-extended for ``1 + extra_tokens`` writes)."""
         B = bucket_batch(len(items))
+        if isinstance(self.acct, NativeKvAccounting):
+            # one C call builds the whole batch (native host hot path)
+            states = [self.acct.state(it.request_id) for it in items]
+            max_pages = max(
+                (len(st.pages) for st in states), default=1
+            ) or 1
+            # pages may grow inside assemble; bound P by post-growth count
+            grown = -(-(max(
+                (st.length for st in states), default=0
+            ) + 1 + extra_tokens) // self.rt.page_size)
+            P = bucket_pow2(max(max_pages, grown, 1), 8, self._table_cap)
+            slot_ids = [self._slot(it.request_id) for it in items]
+            tokens, positions, tables, seq_lens, slots = self.acct.assemble(
+                [it.request_id for it in items],
+                [it.token_id for it in items],
+                B, P, extra_tokens, self.rt.max_slots, slot_ids,
+            )
+            return B, P, tokens, positions, tables, seq_lens, slots, states
         positions = np.zeros(B, np.int32)
         tokens = np.zeros(B, np.int32)
         seq_lens = np.zeros(B, np.int32)

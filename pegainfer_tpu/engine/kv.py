@@ -128,6 +128,101 @@ class KvAccounting:
             self.release(rid)
 
 
+# ── Native backend ───────────────────────────────────────────────────────
+
+
+class _NativeKvState:
+    """KvState-compatible proxy over the C++ HostKv."""
+
+    __slots__ = ("_kv", "_rid")
+
+    def __init__(self, kv, rid: int):
+        self._kv = kv
+        self._rid = rid
+
+    @property
+    def length(self) -> int:
+        return self._kv.length(self._rid)
+
+    @property
+    def pages(self):
+        return self._kv.pages(self._rid)
+
+    def ensure_capacity(self, _pool, total_tokens: int) -> None:
+        self._kv.ensure(self._rid, total_tokens)
+
+    def advance(self, n: int = 1) -> None:
+        self._kv.advance(self._rid, n)
+
+
+class _NativePoolView:
+    __slots__ = ("_pool",)
+
+    def __init__(self, pool):
+        self._pool = pool
+
+    @property
+    def available(self) -> int:
+        return self._pool.available
+
+    @property
+    def allocated(self) -> int:
+        return self._pool.allocated
+
+
+class NativeKvAccounting:
+    """KvAccounting backed by the C++ host runtime core (native/).
+
+    Same surface as KvAccounting; `assemble` additionally builds a whole
+    decode batch (tokens/positions/tables/seq_lens/slots) in one C call.
+    """
+
+    def __init__(self, host_module, num_pages: int, page_size: int):
+        self._host = host_module
+        self._pool = host_module.HostPool(num_pages)
+        self._kv = host_module.HostKv(self._pool, page_size)
+        self.pool = _NativePoolView(self._pool)
+        self.page_size = page_size
+
+    def state(self, request_id: int) -> _NativeKvState:
+        return _NativeKvState(self._kv, request_id)
+
+    def get(self, request_id: int):
+        return self.state(request_id)
+
+    def release(self, request_id: int) -> None:
+        self._kv.release(request_id)
+
+    def assemble(self, request_ids, token_ids, B: int, P: int,
+                 extra_tokens: int, dead_slot: int, slot_ids):
+        import numpy as np
+
+        buf = self._kv.assemble(
+            list(request_ids), list(token_ids), B, P, extra_tokens,
+            dead_slot, list(slot_ids),
+        )
+        arr = np.frombuffer(buf, np.int32)
+        tokens = arr[:B]
+        positions = arr[B:2 * B]
+        tables = arr[2 * B:2 * B + B * P].reshape(B, P)
+        seq_lens = arr[2 * B + B * P:3 * B + B * P]
+        slots = arr[3 * B + B * P:]
+        return tokens, positions, tables, seq_lens, slots
+
+
+def make_accounting(num_pages: int, page_size: int):
+    """Native accounting when the C++ core is available, Python otherwise."""
+    try:
+        from pegainfer_tpu.native import get_module
+
+        host = get_module()
+    except Exception:  # noqa: BLE001
+        host = None
+    if host is not None:
+        return NativeKvAccounting(host, num_pages, page_size)
+    return KvAccounting(PagePool(num_pages), page_size)
+
+
 # ── Admission control ────────────────────────────────────────────────────
 # Reference: pegainfer-qwen3-4b/src/scheduler.rs:185-254. Prefill samples the
 # first output token but does not append it to KV; a generated token occupies

@@ -35,8 +35,6 @@ def start_engine(
     options: Optional[EngineLoadOptions] = None,
     tp_size: int = 1,
 ) -> EngineHandle:
-    if tp_size > 1:
-        raise NotImplementedError("qwen35 TP sharding lands with the mesh specs")
     opts = options or EngineLoadOptions()
     cfg = q35.Qwen35Config.from_model_path(model_path)
     log.info(
@@ -54,6 +52,11 @@ def start_engine(
     runtime = q35.make_runtime(
         cfg, params, num_pages, page_size, max_slots=opts.max_batch_size
     )
+    if tp_size > 1:
+        from pegainfer_tpu.parallel.sharding import MeshConfig, make_mesh, shard_qwen35
+
+        mesh = make_mesh(MeshConfig(dp=1, tp=tp_size))
+        runtime.params, runtime.state = shard_qwen35(mesh, cfg, runtime.params, runtime.state)
     executor = JaxExecutor(runtime, opts)
     if opts.precompile and opts.enable_cuda_graph:
         log.info("precompiling decode buckets")

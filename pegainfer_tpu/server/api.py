@@ -61,6 +61,16 @@ class OpenAIApp:
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
+        # serving counters (reference analog: bench/KV telemetry snapshots,
+        # deepseek-v4/src/direct/scheduler.rs:92-120)
+        self.stats = {
+            "requests_total": 0,
+            "requests_rejected": 0,
+            "requests_errored": 0,
+            "prompt_tokens_total": 0,
+            "completion_tokens_total": 0,
+            "started_unix_s": time.time(),
+        }
 
     # ── app wiring ───────────────────────────────────────────────────
 
@@ -70,10 +80,15 @@ class OpenAIApp:
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
+        app.router.add_get("/metrics", self.metrics)
         return app
 
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        up = time.time() - self.stats["started_unix_s"]
+        return web.json_response({**self.stats, "uptime_s": round(up, 1)})
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(
@@ -93,6 +108,8 @@ class OpenAIApp:
     # ── shared generation plumbing ───────────────────────────────────
 
     def _submit(self, prompt_tokens: List[int], body: Dict[str, Any]) -> GenerateRequest:
+        self.stats["requests_total"] += 1
+        self.stats["prompt_tokens_total"] += len(prompt_tokens)
         req = GenerateRequest(
             prompt_tokens=prompt_tokens,
             max_tokens=int(body.get("max_tokens", 16)),
@@ -177,8 +194,10 @@ class OpenAIApp:
             req = self._submit(toks, body)
             out = await _collect_events(req)
             if isinstance(out, Rejected):
+                self.stats["requests_rejected"] += 1
                 return _error_response(400, out.message)
             if isinstance(out, _Failed):
+                self.stats["requests_errored"] += 1
                 return _error_response(500, out.message, "internal_error")
             text = self.tokenizer.decode(out.token_ids)
             finish = out.finish
@@ -194,8 +213,11 @@ class OpenAIApp:
                     "logprobs": self._logprobs_obj(out, int(body.get("logprobs") or 0)),
                 }
             )
+            if out.queue_ms is not None:
+                choices[-1]["pegainfer"] = {"queue_ms": out.queue_ms}
             total_prompt += len(toks)
             total_completion += len(out.token_ids)
+        self.stats["completion_tokens_total"] += total_completion
         return web.json_response(
             {
                 "id": f"cmpl-{uuid.uuid4().hex[:24]}",
@@ -384,6 +406,7 @@ class _Collected:
         self.prompt_token_ids: List[int] = []
         self.prompt_logprobs: List[Any] = []
         self.finish = "stop"
+        self.queue_ms: Any = None
 
 
 async def _collect_events(req: GenerateRequest):
@@ -402,5 +425,7 @@ async def _collect_events(req: GenerateRequest):
         elif isinstance(ev, Error):
             return _Failed(ev.message)
         elif isinstance(ev, Scheduled):
-            pass
+            out.queue_ms = round(
+                (ev.scheduled_at_unix_s - ev.queued_at_unix_s) * 1e3, 2
+            )
     return out
