@@ -146,6 +146,24 @@ def _build_engine(args):
 
         cfg = SimulatedEngineConfig(ttft_s=0.002, tpot_s=0.001)
         return start_engine(cfg, opts), cfg.vocab_size, "sim"
+    if args.random_qwen3_4b:
+        # true Qwen3-4B shapes, device-side constant weights (timing is
+        # data-independent) — the reference snapshot workload without a
+        # checkpoint download
+        from bench import qwen3_4b_config
+        from pegainfer_tpu.engine.jax_executor import JaxExecutor
+        from pegainfer_tpu.engine.scheduler import start_scheduler
+        from pegainfer_tpu.models import qwen3 as q3
+
+        cfg = qwen3_4b_config()
+        params = q3.init_bench_params(cfg)
+        runtime = q3.make_runtime(cfg, params, num_pages=args.max_num_pages or 768,
+                                  page_size=16)
+        return (
+            start_scheduler(JaxExecutor(runtime, opts)),
+            cfg.vocab_size,
+            "qwen3-4b-randomweights",
+        )
     from pegainfer_tpu.server.main import detect_model_type
 
     mtype = detect_model_type(args.model_path)
@@ -180,6 +198,8 @@ def main(argv=None):
     snap = sub.add_parser("snapshot")
     snap.add_argument("--model-path")
     snap.add_argument("--sim", action="store_true")
+    snap.add_argument("--random-qwen3-4b", action="store_true",
+                      help="bench-shaped Qwen3-4B without a checkpoint")
     snap.add_argument("--out", required=True)
     snap.add_argument("--hardware", default="tpu-v5e")
     snap.add_argument("--max-num-pages", type=int, default=None)

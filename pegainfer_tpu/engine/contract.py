@@ -62,6 +62,9 @@ class EngineLoadOptions:
     # host link's read latency is amortized over this many tokens. Token
     # events are emitted in bursts of this size.
     decode_block: int = 4
+    # Prompts longer than this prefill in fixed-size chunks (bounded compile
+    # sizes + tighter padding); models without a chunk path ignore it.
+    prefill_chunk: int = 2048
 
 
 @dataclass

@@ -91,6 +91,12 @@ class ModelRuntime:
     max_model_len: int
     vocab_size: int
     max_slots: int = 64
+    # Optional prefill continuation:
+    # (params, state, tokens[Tc], start_pos, valid, page_table[P], slot)
+    #   -> (state, last_logits[V])
+    # Long prompts then run as fixed-size chunks (bounded compile sizes,
+    # tighter padding) — the reference's unified-step ingredient.
+    prefill_chunk_fn: Optional[Callable] = None
 
 
 @dataclass
@@ -120,6 +126,7 @@ class JaxExecutor:
         self.acct = kvmod.make_accounting(runtime.num_pages, runtime.page_size)
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
         self.decode_block = max(1, opts.decode_block)
+        self.prefill_chunk = max(self.rt.page_size, opts.prefill_chunk)
         # request → persistent state slot (hybrid models' recurrent state)
         self._slots: Dict[int, int] = {}
         self._free_slots = list(range(runtime.max_slots - 1, -1, -1))
@@ -316,11 +323,61 @@ class JaxExecutor:
 
     # ── prefill ──────────────────────────────────────────────────────
 
+    def _prefill_chunk_jit(self, Tc: int, P: int) -> Callable:
+        key = ("chunk", Tc, P)
+        fn = self._jit_prefill.get(key)
+        if fn is None:
+            fn = jax.jit(self.rt.prefill_chunk_fn, donate_argnums=1)
+            self._jit_prefill[key] = fn
+            log.info("compiling prefill chunk Tc=%d P=%d", Tc, P)
+        return fn
+
+    def _prefill_chunked(self, item, st) -> PrefillRequestResult:
+        """Long-prompt prefill as fixed-size chunks (requires
+        runtime.prefill_chunk_fn). One compiled program per (chunk, table)
+        bucket regardless of prompt length."""
+        ps = self.rt.page_size
+        T = len(item.prompt_tokens)
+        chunk = self.prefill_chunk
+        st.ensure_capacity(self.acct.pool, T)
+        pages = st.pages
+        P = bucket_pow2(len(pages), 8, self._table_cap)
+        table = np.full(P, PagePool.NULL_PAGE, dtype=np.int32)
+        table[: len(pages)] = pages
+        table_dev = jnp.asarray(table)
+        slot = jnp.int32(self._slot(item.request_id))
+
+        fn = self._prefill_chunk_jit(chunk, P)
+        last_logits = None
+        for start in range(0, T, chunk):
+            part = item.prompt_tokens[start:start + chunk]
+            toks = np.zeros(chunk, dtype=np.int32)
+            toks[: len(part)] = part
+            self.state, last_logits = fn(
+                self.params, self.state, jnp.asarray(toks), jnp.int32(start),
+                jnp.int32(len(part)), table_dev, slot,
+            )
+        st.advance(T)
+        logits_b = last_logits[None, :]
+        host_toks, dev_toks = self._sample(logits_b, [item])
+        lp = self._maybe_logprobs(logits_b, dev_toks, [item])[0]
+        return PrefillRequestResult(
+            request_id=item.request_id,
+            first_token=int(host_toks[0]),
+            first_token_logprob=lp,
+        )
+
     def _prefill_one(self, item) -> PrefillRequestResult:
         ps = self.rt.page_size
         T = len(item.prompt_tokens)
-        Tp = bucket_pow2(-(-T // ps) * ps, ps * 4, 1 << 30)
         st = self.acct.state(item.request_id)
+        if (
+            self.rt.prefill_chunk_fn is not None
+            and T > self.prefill_chunk
+            and not (item.echo and item.logprobs > 0)
+        ):
+            return self._prefill_chunked(item, st)
+        Tp = bucket_pow2(-(-T // ps) * ps, ps * 4, 1 << 30)
         st.ensure_capacity(self.acct.pool, T)
 
         table = np.full(Tp // ps, PagePool.NULL_PAGE, dtype=np.int32)

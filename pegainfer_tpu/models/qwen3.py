@@ -306,6 +306,9 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
         ),
         decode_fn=lambda w, kv, t, p, pt, sl, slots: decode(cfg, w, kv, t, p, pt, sl,
                                                             use_pallas=up),
+        prefill_chunk_fn=lambda w, kv, t, sp, va, pt, slot: prefill_chunk(
+            cfg, w, kv, t, sp, va, pt, use_pallas=up
+        ),
         params=params,
         state=kv,
         page_size=page_size,
@@ -393,6 +396,59 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
     last_h = x[seq_len - 1]
     last_logits = (last_h @ params["lm_head"]).astype(jnp.float32)
     return kv_pages, last_logits, None
+
+
+# ── Chunked prefill continuation ─────────────────────────────────────────
+
+
+def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
+                  valid, page_table, use_pallas: bool = False):
+    """Prefill continuation: one chunk of a prompt whose earlier tokens are
+    already in the paged KV (the TPU unified-step ingredient: long prompts
+    run as fixed-size chunks so the decode path can interleave and compile
+    sizes stay bounded — reference analog: unified_forward.rs).
+
+    tokens: [Tc] (chunk, padded; Tc % page_size == 0 and start_pos %
+    page_size == 0); start_pos: scalar; valid: scalar valid count in this
+    chunk; page_table: [P] the request's FULL page table (pages for the
+    chunk already allocated). Returns (kv_pages, last_logits [V] f32) where
+    last_logits is for chunk position valid-1.
+    """
+    Tc = tokens.shape[0]
+    page_size = kv_pages.shape[4]
+    x = params["embed"][tokens]
+    positions = start_pos + jnp.arange(Tc, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(
+        positions, jnp.asarray(rope_inv_freq(cfg.head_dim, cfg.rope_theta), jnp.float32),
+        x.dtype,
+    )
+    scale = _scale(cfg)
+    # chunk pages inside the full table
+    first_page = start_pos // page_size
+    chunk_table = lax.dynamic_slice_in_dim(page_table, first_page, Tc // page_size)
+    def layer(carry, inputs):
+        x, kv_pages = carry
+        li, lw = inputs
+        h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lw, h, cos, sin)
+        layer_kv = lax.dynamic_index_in_dim(kv_pages, li, axis=0, keepdims=False)
+        kp, vp = att.write_kv_prefill(layer_kv[0], layer_kv[1], k, v, chunk_table)
+        kv_pages = lax.dynamic_update_index_in_dim(
+            kv_pages, jnp.stack([kp, vp]), li, axis=0
+        )
+        o = att.chunk_paged_attention(q, kp, vp, page_table, start_pos, scale)
+        x = x + o.reshape(Tc, -1) @ lw["wo"]
+        h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(cfg, lw, h)
+        return (x, kv_pages), None
+
+    L = cfg.num_hidden_layers
+    (x, kv_pages), _ = lax.scan(
+        layer, (x, kv_pages), (jnp.arange(L, dtype=jnp.int32), params["layers"])
+    )
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    last = (x[valid - 1] @ params["lm_head"]).astype(jnp.float32)
+    return kv_pages, last
 
 
 # ── Batched decode: one token per active request ─────────────────────────

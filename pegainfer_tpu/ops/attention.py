@@ -94,6 +94,46 @@ def paged_attention_decode(q, k_pages, v_pages, page_tables, seq_lens, scale):
     return out.reshape(B, Hq, hd).astype(q.dtype)
 
 
+def chunk_paged_attention(q, k_pages, v_pages, page_table, start_pos, scale,
+                          q_chunk: int = 128):
+    """Prefill-continuation attention: a chunk of queries over ONE request's
+    paged KV (gathered once — all rows share the table).
+
+    q: [Tc, Hq, hd] (chunk rows at positions start_pos + i); page_table: [P];
+    the chunk's own KV must already be written. Returns [Tc, Hq, hd].
+    """
+    Tc, Hq, hd = q.shape
+    Hkv = k_pages.shape[0]
+    G = Hq // Hkv
+    P = page_table.shape[0]
+    S = P * k_pages.shape[2]
+
+    k = k_pages[:, page_table].reshape(Hkv, S, hd).astype(jnp.float32)
+    v = v_pages[:, page_table].reshape(Hkv, S, hd).astype(jnp.float32)
+    key_pos = lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+
+    if Tc % q_chunk != 0:
+        q_chunk = Tc
+    nc = Tc // q_chunk
+
+    def one_chunk(ci):
+        qs = lax.dynamic_slice_in_dim(q, ci * q_chunk, q_chunk, axis=0)
+        qg = qs.reshape(q_chunk, Hkv, G, hd).astype(jnp.float32)
+        scores = jnp.einsum("thgd,hsd->thgs", qg, k) * scale
+        q_pos = (
+            start_pos + ci * q_chunk
+            + lax.broadcasted_iota(jnp.int32, (q_chunk, 1, 1, 1), 0)
+        )
+        mask = key_pos <= q_pos
+        scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("thgs,hsd->thgd", probs, v)
+        return out.reshape(q_chunk, Hq, hd)
+
+    out = lax.map(one_chunk, jnp.arange(nc))
+    return out.reshape(Tc, Hq, hd).astype(q.dtype)
+
+
 # ── Prefill attention ────────────────────────────────────────────────────
 
 
