@@ -134,8 +134,13 @@ class JaxExecutor:
             self.acct.pool.available,
             -(-runtime.max_model_len // runtime.page_size),
         )
-        # max page-table width (static cap for decode jit)
-        self._table_cap = self._max_pages
+        # max page-table width (static cap for decode jit), rounded up to a
+        # power of two — table entries beyond the pool are null pages, and
+        # pow2 widths keep jit variants few and kernel tiles aligned
+        cap = 8
+        while cap < self._max_pages:
+            cap *= 2
+        self._table_cap = cap
 
         self._jit_prefill: Dict[Tuple[int, bool], Callable] = {}
         self._jit_decode: Dict[Tuple[int, int], Callable] = {}

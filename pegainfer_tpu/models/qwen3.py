@@ -436,7 +436,15 @@ def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
         kv_pages = lax.dynamic_update_index_in_dim(
             kv_pages, jnp.stack([kp, vp]), li, axis=0
         )
-        o = att.chunk_paged_attention(q, kp, vp, page_table, start_pos, scale)
+        if use_pallas:
+            from pegainfer_tpu.ops.pallas import flash_attention
+
+            S = page_table.shape[0] * page_size
+            k_seq = kp[:, page_table].reshape(kp.shape[0], S, -1).transpose(1, 0, 2)
+            v_seq = vp[:, page_table].reshape(vp.shape[0], S, -1).transpose(1, 0, 2)
+            o = flash_attention(q, k_seq, v_seq, start_pos + valid, start_pos, scale)
+        else:
+            o = att.chunk_paged_attention(q, kp, vp, page_table, start_pos, scale)
         x = x + o.reshape(Tc, -1) @ lw["wo"]
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)

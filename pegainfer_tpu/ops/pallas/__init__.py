@@ -12,5 +12,5 @@ code path the TPU compiles (tests/test_pallas_*.py verify vs the XLA
 reference implementations).
 """
 
-from pegainfer_tpu.ops.pallas.flash_prefill import flash_prefill  # noqa: F401
+from pegainfer_tpu.ops.pallas.flash_prefill import flash_attention, flash_prefill  # noqa: F401
 from pegainfer_tpu.ops.pallas.paged_decode import paged_attention_decode  # noqa: F401

@@ -1,16 +1,19 @@
-"""Flash attention for prefill (causal, GQA, single ragged prompt).
+"""Flash attention for prefill (causal, GQA, prefill-continuation aware).
 
 The TPU answer to the reference's FlashInfer prefill path
 (batch_prefill_paged_cuda, csrc/paged_attention.cu:1-45, CTA_TILE_Q=64):
 online-softmax tiles over (q-block, kv-block) with causal block skipping.
-Never materializes the [T, T] score matrix — prefill HBM traffic stays
-O(T * hd) per head, which is what makes 10k-token TTFT competitive.
+Never materializes the [T, S] score matrix — prefill HBM traffic stays
+O(T * hd) per head.
 
-Layout: q [T, Hq, hd], k/v [T, Hkv, hd], bf16 in, f32 accumulation.
-Grid (Hq, T/TQ, T/TK), kv-block innermost so the output tile accumulates in
-VMEM scratch across the kv sweep. Causal blocks strictly above the diagonal
-are masked out (their DMA still happens; a fully block-sparse grid is a
-later optimization).
+Shape generality: queries at absolute positions ``q_offset + i`` attend
+over a key array of independent length S (``kv_valid`` valid rows) — this
+serves both whole-prompt prefill (q_offset=0, S=T) and chunked prefill
+continuation (q = one chunk, k/v = the gathered paged KV so far).
+
+Grid (Hkv, T/tq, S/tk): one program computes ALL G query heads of a KV
+group, so each K/V tile is DMA'd once per group instead of once per query
+head, and the MXU sees [G*tq, hd] x [hd, tk] tiles.
 """
 
 from __future__ import annotations
@@ -26,23 +29,25 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _kernel(
-    seq_len_ref,  # scalar prefetch: [1] int32
-    q_ref,  # [1, TQ, hd] (head-major block)
+    scalars_ref,  # scalar prefetch: [2] int32 = (kv_valid, q_offset)
+    q_ref,  # [1, G, TQ, hd]
     k_ref,  # [1, TK, hd]
     v_ref,  # [1, TK, hd]
-    o_ref,  # [1, TQ, hd]
-    m_scr,  # [TQ, 128] f32
-    l_scr,  # [TQ, 128] f32
-    acc_scr,  # [TQ, hd] f32
+    o_ref,  # [1, G, TQ, hd]
+    m_scr,  # [G*TQ, 128] f32
+    l_scr,  # [G*TQ, 128] f32
+    acc_scr,  # [G*TQ, hd] f32
     *,
     scale: float,
+    g: int,
     tq: int,
     tk: int,
 ):
     i = pl.program_id(1)  # q block
     j = pl.program_id(2)  # kv block
     nk = pl.num_programs(2)
-    seq_len = seq_len_ref[0]
+    kv_valid = scalars_ref[0]
+    q_offset = scalars_ref[1]
 
     @pl.when(j == 0)
     def _init():
@@ -50,36 +55,37 @@ def _kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q_start = i * tq
+    q_start = q_offset + i * tq  # absolute position of this q tile
     k_start = j * tk
 
-    # Skip kv blocks entirely above the causal diagonal or past seq_len.
-    live = (k_start <= q_start + tq - 1) & (k_start < seq_len)
+    # Skip kv blocks entirely above the causal diagonal or past kv_valid.
+    live = (k_start <= q_start + tq - 1) & (k_start < kv_valid)
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # [TQ, hd]
+        hd = q_ref.shape[-1]
+        q = q_ref[0].reshape(g * tq, hd).astype(jnp.float32)
         k = k_ref[0].astype(jnp.float32)  # [TK, hd]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [TQ, TK]
+        ) * scale  # [G*TQ, TK]
 
-        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
-        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        mask = (k_pos <= q_pos) & (k_pos < seq_len)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (g * tq, tk), 0) % tq
+        q_pos = q_start + row_t
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (g * tq, tk), 1)
+        mask = (k_pos <= q_pos) & (k_pos < kv_valid)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:, :1]  # [TQ, 1]
+        m_prev = m_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        # rows with no live key yet keep m = -inf; guard exp(-inf - -inf)
         safe_m = jnp.where(m_new == NEG_INF, 0.0, m_new)
         p = jnp.exp(s - safe_m)
         p = jnp.where(mask, p, 0.0)
         corr = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - safe_m))
 
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0].astype(jnp.float32)  # [TK, hd]
+        v = v_ref[0].astype(jnp.float32)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -89,63 +95,73 @@ def _kernel(
 
     @pl.when(j == nk - 1)
     def _finalize():
+        hd = o_ref.shape[-1]
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / safe_l).reshape(g, tq, hd).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "tq", "tk", "interpret"))
-def flash_prefill(
+@functools.partial(
+    jax.jit, static_argnames=("scale", "tq", "tk", "interpret")
+)
+def flash_attention(
     q: jax.Array,  # [T, Hq, hd]
-    k: jax.Array,  # [T, Hkv, hd]
-    v: jax.Array,  # [T, Hkv, hd]
-    seq_len: jax.Array,  # scalar int32 — valid token count
+    k: jax.Array,  # [S, Hkv, hd]
+    v: jax.Array,  # [S, Hkv, hd]
+    kv_valid: jax.Array,  # scalar int32 — valid key count
+    q_offset,  # scalar int32 — absolute position of q row 0
     scale: float,
-    tq: int = 128,
-    tk: int = 128,
+    tq: int = 256,
+    tk: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Causal GQA flash attention over one padded prompt. Returns [T, Hq, hd].
-
-    Rows at positions >= seq_len hold garbage (contract matches
-    ops.attention.prefill_attention).
-    """
+    """Causal GQA flash attention. Returns [T, Hq, hd]; rows whose absolute
+    position >= kv_valid hold garbage."""
     T, Hq, hd = q.shape
+    S = k.shape[0]
     Hkv = k.shape[1]
     G = Hq // Hkv
     tq = min(tq, T)
-    tk = min(tk, T)
-    if T % tq or T % tk:
-        raise ValueError(f"T={T} must be a multiple of tq={tq}, tk={tk}")
+    tk = min(tk, S)
+    if T % tq or S % tk:
+        raise ValueError(f"T={T}/S={S} must be multiples of tq={tq}, tk={tk}")
 
-    grid = (Hq, T // tq, T // tk)
-    seq_len_arr = jnp.reshape(seq_len.astype(jnp.int32), (1,))
+    grid = (Hkv, T // tq, S // tk)
+    scalars = jnp.stack(
+        [jnp.asarray(kv_valid, jnp.int32), jnp.asarray(q_offset, jnp.int32)]
+    )
 
-    # head-major layout so blocks are [1, time, hd] (TPU tiling wants the
-    # last two dims aligned; a middle head axis of size 1 is not)
-    qh = q.transpose(1, 0, 2)
+    # head-major + kv-grouped layout: q [Hkv, G, T, hd], k/v [Hkv, S, hd]
+    qh = q.reshape(T, Hkv, G, hd).transpose(1, 2, 0, 3)
     kh = k.transpose(1, 0, 2)
     vh = v.transpose(1, 0, 2)
 
-    kernel = functools.partial(_kernel, scale=scale, tq=tq, tk=tk)
+    kernel = functools.partial(_kernel, scale=scale, g=G, tq=tq, tk=tk)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, tq, hd), lambda h, i, j, *_: (h, i, 0)),
-                pl.BlockSpec((1, tk, hd), lambda h, i, j, *_: (h // G, j, 0)),
-                pl.BlockSpec((1, tk, hd), lambda h, i, j, *_: (h // G, j, 0)),
+                pl.BlockSpec((1, G, tq, hd), lambda h, i, j, *_: (h, 0, i, 0)),
+                pl.BlockSpec((1, tk, hd), lambda h, i, j, *_: (h, j, 0)),
+                pl.BlockSpec((1, tk, hd), lambda h, i, j, *_: (h, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, tq, hd), lambda h, i, j, *_: (h, i, 0)),
+            out_specs=pl.BlockSpec((1, G, tq, hd), lambda h, i, j, *_: (h, 0, i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((tq, 128), jnp.float32),
-                pltpu.VMEM((tq, 128), jnp.float32),
-                pltpu.VMEM((tq, hd), jnp.float32),
+                pltpu.VMEM((G * tq, 128), jnp.float32),
+                pltpu.VMEM((G * tq, 128), jnp.float32),
+                pltpu.VMEM((G * tq, hd), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
         interpret=interpret,
-    )(seq_len_arr, qh, kh, vh)
-    return out.transpose(1, 0, 2)
+    )(scalars, qh, kh, vh)
+    return out.transpose(2, 0, 1, 3).reshape(T, Hq, hd)
+
+
+def flash_prefill(q, k, v, seq_len, scale, tq: int = 256, tk: int = 512,
+                  interpret: bool = False):
+    """Whole-prompt causal flash attention (q_offset = 0)."""
+    return flash_attention(q, k, v, seq_len, 0, scale, tq=tq, tk=tk,
+                           interpret=interpret)

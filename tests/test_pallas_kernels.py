@@ -103,3 +103,32 @@ def test_paged_decode_bf16_kv():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
     )
+
+
+def test_flash_attention_chunk_continuation():
+    """flash_attention with q_offset == chunk_paged_attention semantics."""
+    from pegainfer_tpu.ops.pallas.flash_prefill import flash_attention
+
+    T_prev, Tc, Hq, Hkv, hd = 24, 16, 4, 2, 64
+    S = 64
+    q = rand(10, (Tc, Hq, hd))
+    k = rand(11, (S, Hkv, hd))
+    v = rand(12, (S, Hkv, hd))
+    scale = hd ** -0.5
+    out = flash_attention(q, k, v, jnp.int32(T_prev + Tc), jnp.int32(T_prev),
+                          scale, tq=16, tk=32, interpret=True)
+    # dense reference with explicit masks
+    qg = np.asarray(q).reshape(Tc, Hkv, 2, hd)
+    kf = np.asarray(k)
+    vf = np.asarray(v)
+    for t in range(Tc):
+        pos = T_prev + t
+        for h in range(Hkv):
+            for g in range(2):
+                logits = (qg[t, h, g] @ kf[: pos + 1, h].T) * scale
+                p = np.exp(logits - logits.max())
+                p /= p.sum()
+                ref = p @ vf[: pos + 1, h]
+                np.testing.assert_allclose(
+                    np.asarray(out)[t, h * 2 + g], ref, rtol=2e-5, atol=2e-5
+                )
