@@ -337,11 +337,19 @@ class JaxExecutor:
             log.info("compiling prefill chunk Tc=%d P=%d", Tc, P)
         return fn
 
-    def _prefill_chunked(self, item, st) -> PrefillRequestResult:
-        """Long-prompt prefill as fixed-size chunks (requires
-        runtime.prefill_chunk_fn). One compiled program per (chunk, table)
-        bucket regardless of prompt length."""
-        ps = self.rt.page_size
+    def supports_chunked_prefill(self, item) -> bool:
+        return (
+            self.rt.prefill_chunk_fn is not None
+            and len(item.prompt_tokens) > self.prefill_chunk
+            and not (item.echo and item.logprobs > 0)
+        )
+
+    def prefill_stepper(self, item):
+        """Generator running one prefill chunk per ``next()``; its return
+        value is the PrefillRequestResult. The scheduler interleaves decode
+        blocks between chunks (the unified-step property: decode stalls are
+        bounded by one chunk, not the whole prompt)."""
+        st = self.acct.state(item.request_id)
         T = len(item.prompt_tokens)
         chunk = self.prefill_chunk
         st.ensure_capacity(self.acct.pool, T)
@@ -362,6 +370,8 @@ class JaxExecutor:
                 self.params, self.state, jnp.asarray(toks), jnp.int32(start),
                 jnp.int32(len(part)), table_dev, slot,
             )
+            if start + chunk < T:
+                yield start + chunk  # progress; caller may run decode now
         st.advance(T)
         logits_b = last_logits[None, :]
         host_toks, dev_toks = self._sample(logits_b, [item])
@@ -371,6 +381,14 @@ class JaxExecutor:
             first_token=int(host_toks[0]),
             first_token_logprob=lp,
         )
+
+    def _prefill_chunked(self, item, st) -> PrefillRequestResult:
+        gen = self.prefill_stepper(item)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as s:
+                return s.value
 
     def _prefill_one(self, item) -> PrefillRequestResult:
         ps = self.rt.page_size

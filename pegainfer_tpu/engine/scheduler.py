@@ -249,14 +249,66 @@ class Scheduler:
                 result = self.executor.execute_decode(DecodePlan(requests=items))
                 self._apply_decode(result.requests)
         else:  # unified
+            self._unified_interleaved(pending)
+
+    def _decode_block_once(self) -> None:
+        """One decode block for the active set (used between prefill
+        chunks; no speculation — the batch may change right after)."""
+        if not self.active:
+            return
+        items = self._decode_items()
+        if not (
+            hasattr(self.executor, "execute_decode_async")
+            and self.executor.supports_async_decode(items)
+        ):
+            result = self.executor.execute_decode(DecodePlan(requests=items))
+            self._apply_decode(result.requests)
+            return
+        n = self._decode_block_size()
+        pend = self.executor.execute_decode_async(
+            items, n_tokens=n, rand_matrix=self._rand_matrix(items, n)
+        )
+        self._apply_decode_tokens(self.executor.resolve_pending_multi(pend))
+
+    def _unified_interleaved(self, pending: List[PendingRequest]) -> None:
+        """Mixed step: prefills run chunk-by-chunk with decode blocks
+        interleaved, so active streams' TPOT stalls are bounded by one chunk
+        (the reference's unified_forward property, unified_forward.rs:1-78,
+        realized by time-slicing instead of GEMM fusion)."""
+        ex = self.executor
+        chunkable = hasattr(ex, "prefill_stepper") and hasattr(
+            ex, "supports_chunked_prefill"
+        )
+        done_results = []
+        done_reqs = []
+        plain = []
+        plain_reqs = []
+        for req in pending:
+            item = self._prefill_items([req])[0]
+            if chunkable and ex.supports_chunked_prefill(item) and self.active:
+                gen = ex.prefill_stepper(item)
+                while True:
+                    try:
+                        next(gen)
+                    except StopIteration as s:
+                        done_results.append(s.value)
+                        done_reqs.append(req)
+                        break
+                    self._decode_block_once()
+            else:
+                plain.append(item)
+                plain_reqs.append(req)
+        if plain:
             result = self.executor.execute_unified(
-                UnifiedPlan(
-                    prefill_requests=self._prefill_items(pending),
-                    decode_requests=self._decode_items(),
-                )
+                UnifiedPlan(prefill_requests=plain,
+                            decode_requests=self._decode_items())
             )
-            self._apply_prefill(pending, result.prefill_requests)
+            self._apply_prefill(plain_reqs, result.prefill_requests)
             self._apply_decode(result.decode_requests)
+        if done_reqs:
+            self._apply_prefill(done_reqs, done_results)
+        if not plain:
+            self._decode_block_once()
 
     def _min_remaining(self) -> int:
         return min(st.max_tokens - st.generated_count for st in self.active)

@@ -60,3 +60,38 @@ def test_chunked_matches_whole(plen):
     finally:
         whole.shutdown()
         chunked.shutdown()
+
+
+def test_interleaved_unified_streams_stay_correct():
+    """A long prompt arriving while another request decodes must interleave
+    (chunk/decode time-slicing) and both outputs must equal solo runs."""
+    rng = np.random.default_rng(42)
+    short = rng.integers(2, 128, 6).tolist()
+    long_p = rng.integers(2, 128, 80).tolist()
+
+    solo = make_engine(prefill_chunk=16)
+    try:
+        want_short = gen(solo, short, 24)
+        want_long = gen(solo, long_p, 8)
+    finally:
+        solo.shutdown()
+
+    handle = make_engine(prefill_chunk=16)
+    try:
+        from pegainfer_tpu.engine.contract import GenerateRequest, SamplingParams
+        import threading, time as _t
+
+        r1 = GenerateRequest(prompt_tokens=short, max_tokens=24,
+                             params=SamplingParams(ignore_eos=True))
+        handle.submit(r1)
+        _t.sleep(0.3)  # let r1 reach steady decode
+        r2 = GenerateRequest(prompt_tokens=long_p, max_tokens=8,
+                             params=SamplingParams(ignore_eos=True))
+        handle.submit(r2)
+
+        out1 = [ev.id for ev in r1.channel if isinstance(ev, Token)]
+        out2 = [ev.id for ev in r2.channel if isinstance(ev, Token)]
+        assert out1 == want_short
+        assert out2 == want_long
+    finally:
+        handle.shutdown()
