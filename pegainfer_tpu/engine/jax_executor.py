@@ -169,6 +169,9 @@ class JaxExecutor:
         if slot is not None:
             self._free_slots.append(slot)
 
+    def free_slots(self) -> int:
+        return len(self._free_slots)
+
     def _slot(self, request_id: int) -> int:
         slot = self._slots.get(request_id)
         if slot is None:

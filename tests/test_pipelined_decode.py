@@ -103,3 +103,69 @@ def test_sampled_stream_reproducible(engine):
     assert len(toks) == 10
     assert finish == FinishReason.LENGTH
     assert all(0 <= t < 128 for t in toks)
+
+
+def test_kv_pressure_many_requests_all_complete(engine):
+    """More concurrent requests than the page pool can hold at once: the
+    full-lifetime admission rule must defer (never deadlock, never reject
+    feasible work) and every request must finish (the reference's
+    kv-pressure-hang class, docs/models/qwen3/kv-pressure-hang.md)."""
+    import threading
+
+    results = {}
+
+    def run(i):
+        req = GenerateRequest(prompt_tokens=[2 + i, 30 + i, 60 + i],
+                              max_tokens=20,
+                              params=SamplingParams(ignore_eos=True))
+        engine.submit(req)
+        toks, finish = collect(req)
+        results[i] = (len(toks), finish)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 12
+    for i, (n, finish) in results.items():
+        assert n == 20, (i, n)
+        assert finish == FinishReason.LENGTH
+
+
+def test_slot_exhaustion_defers_not_crashes():
+    """More concurrent requests than state slots: overflow must wait for a
+    free slot, not crash the prefill plan."""
+    import threading
+
+    cfg = q3.Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=True, eos_token_id=1, stop_token_ids=(1,),
+        max_position_embeddings=512,
+    )
+    params = q3.init_random_params(cfg, seed=7, dtype=jnp.float32)
+    runtime = q3.make_runtime(cfg, params, num_pages=128, page_size=4,
+                              kv_dtype=jnp.float32)
+    runtime.max_slots = 3  # tiny slot pool
+    handle = start_scheduler(JaxExecutor(runtime, EngineLoadOptions(max_batch_size=8)))
+    try:
+        results = {}
+
+        def run(i):
+            req = GenerateRequest(prompt_tokens=[2 + i, 9 + i], max_tokens=6,
+                                  params=SamplingParams(ignore_eos=True))
+            handle.submit(req)
+            toks, finish = collect(req)
+            results[i] = (len(toks), finish)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(9)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 9
+        assert all(n == 6 and f == FinishReason.LENGTH for n, f in results.values())
+    finally:
+        handle.shutdown()
