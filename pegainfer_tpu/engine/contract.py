@@ -65,6 +65,10 @@ class EngineLoadOptions:
     # Prompts longer than this prefill in fixed-size chunks (bounded compile
     # sizes + tighter padding); models without a chunk path ignore it.
     prefill_chunk: int = 2048
+    # Weight quantization mode: None (checkpoint dtype) or "int8"
+    # (weight-only per-channel — approximate serving, halves decode HBM
+    # traffic; models without support ignore it).
+    quantize: Optional[str] = None
 
 
 @dataclass

@@ -33,6 +33,38 @@ from pegainfer_tpu.ops.norm import rms_norm
 from pegainfer_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
 
 
+def _proj(container, name, x):
+    """Apply a projection that may be bf16 ([in, out]) or int8 weight-only
+    ({"q8": int8 [in, out], "s": f32 [out]} — ops/quant.py int8_linear)."""
+    w = container[name]
+    if isinstance(w, dict):
+        from pegainfer_tpu.ops.quant import int8_linear
+
+        return int8_linear(x, w["q8"], w["s"])
+    return x @ w
+
+
+def quantize_params_int8(params):
+    """Weight-only int8 (per output channel) for the streaming-bound
+    matrices; norms/embed stay bf16. Halves decode HBM traffic — opt-in
+    approximate serving mode (greedy outputs may differ from bf16)."""
+    def qs(w):  # stacked [L, in, out]
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return {"q8": q, "s": jnp.squeeze(scale, -2)}
+
+    big = ("wq", "wk", "wv", "wo", "w_gate_up", "w_down")
+    layers = {k: (qs(v) if k in big else v) for k, v in params["layers"].items()}
+    return {
+        "embed": params["embed"],
+        "layers": layers,
+        "final_ln": params["final_ln"],
+        "lm_head": qs(params["lm_head"]),
+    }
+
+
 @dataclass(frozen=True)
 class Qwen3Config:
     hidden_size: int
@@ -323,9 +355,9 @@ def _qkv(cfg: Qwen3Config, lw, x, cos, sin):
     """x: [T, D] → q [T, Hq, hd], k, v [T, Hkv, hd] with qk-norm + RoPE."""
     T = x.shape[0]
     hd = cfg.head_dim
-    q = (x @ lw["wq"]).reshape(T, cfg.num_attention_heads, hd)
-    k = (x @ lw["wk"]).reshape(T, cfg.num_key_value_heads, hd)
-    v = (x @ lw["wv"]).reshape(T, cfg.num_key_value_heads, hd)
+    q = _proj(lw, "wq", x).reshape(T, cfg.num_attention_heads, hd)
+    k = _proj(lw, "wk", x).reshape(T, cfg.num_key_value_heads, hd)
+    v = _proj(lw, "wv", x).reshape(T, cfg.num_key_value_heads, hd)
     q = rms_norm(q, lw["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, lw["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
@@ -334,9 +366,10 @@ def _qkv(cfg: Qwen3Config, lw, x, cos, sin):
 
 
 def _mlp(cfg: Qwen3Config, lw, x):
-    gu = x @ lw["w_gate_up"]
+    gu = _proj(lw, "w_gate_up", x)
     gate, up = jnp.split(gu, 2, axis=-1)
-    return (jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up) @ lw["w_down"]
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return _proj(lw, "w_down", act)
 
 
 def _scale(cfg: Qwen3Config) -> float:
@@ -379,7 +412,7 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
             o = flash_prefill(q, k, v, seq_len, scale)
         else:
             o = att.prefill_attention(q, k, v, seq_len, scale)
-        x = x + o.reshape(T, -1) @ lw["wo"]
+        x = x + _proj(lw, "wo", o.reshape(T, -1))
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
         return (x, kv_pages), None
@@ -390,11 +423,11 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
     )
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     if return_all_logits:
-        all_logits = (x @ params["lm_head"]).astype(jnp.float32)
+        all_logits = _proj(params, "lm_head", x).astype(jnp.float32)
         last = all_logits[seq_len - 1]
         return kv_pages, last, all_logits
     last_h = x[seq_len - 1]
-    last_logits = (last_h @ params["lm_head"]).astype(jnp.float32)
+    last_logits = _proj(params, "lm_head", last_h[None, :])[0].astype(jnp.float32)
     return kv_pages, last_logits, None
 
 
@@ -445,7 +478,7 @@ def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
             o = flash_attention(q, k_seq, v_seq, start_pos + valid, start_pos, scale)
         else:
             o = att.chunk_paged_attention(q, kp, vp, page_table, start_pos, scale)
-        x = x + o.reshape(Tc, -1) @ lw["wo"]
+        x = x + _proj(lw, "wo", o.reshape(Tc, -1))
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
         return (x, kv_pages), None
@@ -455,7 +488,7 @@ def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
         layer, (x, kv_pages), (jnp.arange(L, dtype=jnp.int32), params["layers"])
     )
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
-    last = (x[valid - 1] @ params["lm_head"]).astype(jnp.float32)
+    last = _proj(params, "lm_head", x[valid - 1][None, :])[0].astype(jnp.float32)
     return kv_pages, last
 
 
@@ -501,7 +534,7 @@ def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, s
             o = paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
         else:
             o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
-        x = x + o.reshape(B, -1) @ lw["wo"]
+        x = x + _proj(lw, "wo", o.reshape(B, -1))
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
         return (x, kv_pages), None
@@ -511,5 +544,5 @@ def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, s
         layer, (x, kv_pages), (jnp.arange(L, dtype=jnp.int32), params["layers"])
     )
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _proj(params, "lm_head", x).astype(jnp.float32)
     return kv_pages, logits

@@ -68,6 +68,9 @@ def start_engine(
     sd = load_state_dict(model_path)
     params = q3.params_from_state_dict(cfg, sd)
     del sd
+    if opts.quantize == "int8":
+        log.info("quantizing weights to int8 (weight-only, per channel)")
+        params = q3.quantize_params_int8(params)
     params_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
     page_size = DEFAULT_PAGE_SIZE

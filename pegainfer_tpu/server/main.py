@@ -38,6 +38,7 @@ def build_engine_and_tokenizer(args):
         seed=args.seed,
         max_num_pages=args.max_num_pages,
         max_batch_size=args.max_batch_size,
+        quantize=args.quantize,
     )
     if args.sim:
         from pegainfer_tpu.server.tokenizer import SimTokenizer
@@ -76,6 +77,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-num-pages", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=64)
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="weight-only int8 serving (approximate, ~2x decode speed)")
     p.add_argument("--no-precompile", action="store_true",
                    help="skip decode-bucket precompilation (reference: --cuda-graph off)")
     p.add_argument("--sim", action="store_true", help="simulated engine (no TPU)")

@@ -1,0 +1,66 @@
+"""Int8 weight-only serving mode: close logits, working engine path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pegainfer_tpu.engine.contract import (
+    EngineLoadOptions, Finished, GenerateRequest, SamplingParams, Token,
+)
+from pegainfer_tpu.engine.jax_executor import JaxExecutor
+from pegainfer_tpu.engine.scheduler import start_scheduler
+from pegainfer_tpu.models import qwen3 as q3
+
+
+@pytest.fixture(scope="module")
+def cfg_params():
+    cfg = q3.Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=True, eos_token_id=1, stop_token_ids=(1,),
+        max_position_embeddings=512,
+    )
+    params = q3.init_random_params(cfg, seed=5, dtype=jnp.float32)
+    return cfg, params
+
+
+def test_int8_logits_close(cfg_params):
+    cfg, params = cfg_params
+    q8 = q3.quantize_params_int8(params)
+    from pegainfer_tpu.engine.kv import PagePool, KvState
+
+    kv = q3.make_kv_pages(cfg, 32, 4, dtype=jnp.float32)
+    kv8 = q3.make_kv_pages(cfg, 32, 4, dtype=jnp.float32)
+    toks = jnp.asarray(np.arange(8) + 3, jnp.int32)
+    table = jnp.asarray([1, 2], jnp.int32)
+    _, l1, _ = q3.prefill(cfg, params, kv, toks, jnp.int32(8), table)
+    _, l2, _ = q3.prefill(cfg, q8, kv8, toks, jnp.int32(8), table)
+    a, b = np.asarray(l1), np.asarray(l2)
+    # cosine similarity of the logit vectors stays high under int8
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+
+def test_int8_engine_generates(cfg_params):
+    cfg, params = cfg_params
+    q8 = q3.quantize_params_int8(params)
+    runtime = q3.make_runtime(cfg, q8, num_pages=64, page_size=4,
+                              kv_dtype=jnp.float32)
+    handle = start_scheduler(JaxExecutor(runtime, EngineLoadOptions()))
+    try:
+        req = GenerateRequest(prompt_tokens=[3, 9, 27], max_tokens=10,
+                              params=SamplingParams(ignore_eos=True))
+        handle.submit(req)
+        toks = [ev.id for ev in req.channel if isinstance(ev, Token)]
+        assert len(toks) == 10
+
+        req2 = GenerateRequest(prompt_tokens=[3, 9, 27], max_tokens=10,
+                               params=SamplingParams(ignore_eos=True))
+        handle.submit(req2)
+        toks2 = [ev.id for ev in req2.channel if isinstance(ev, Token)]
+        assert toks2 == toks  # deterministic
+    finally:
+        handle.shutdown()
