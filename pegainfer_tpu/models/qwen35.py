@@ -374,7 +374,8 @@ def _full_qkv(cfg: Qwen35Config, fw, h, cos, sin):
 
 
 def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
-            return_all_logits: bool = False, gdn_chunk_size: int = 64):
+            return_all_logits: bool = False, gdn_chunk_size: int = 64,
+            use_pallas: bool = False):
     """Prefill one prompt; write KV pages + slot recurrent/conv state.
 
     tokens: [T] int32 padded (T % gdn_chunk_size == 0); slot: scalar int32.
@@ -420,7 +421,12 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
         layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
         kp, vp = att.write_kv_prefill(layer_kv[0], layer_kv[1], k, v, page_table)
         kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
-        o = att.prefill_attention(q, k, v, seq_len, scale)
+        if use_pallas and T % 128 == 0:
+            from pegainfer_tpu.ops.pallas import flash_prefill
+
+            o = flash_prefill(q, k, v, seq_len, scale)
+        else:
+            o = att.prefill_attention(q, k, v, seq_len, scale)
         o = o.reshape(T, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
         x = x + o @ fw["wo"]
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
@@ -446,7 +452,7 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
 
 
 def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
-           seq_lens, slots):
+           seq_lens, slots, use_pallas: bool = False):
     """One decode step for a padded batch. Padding rows: seq_lens == 0 and
     slots == dead slot (their state writes land in the dead row).
     Returns (state, logits [B, V] f32)."""
@@ -487,7 +493,12 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
         layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
         kp, vp = att.write_kv_decode(layer_kv[0], layer_kv[1], k, v, page_ids, pslots)
         kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
-        o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+        if use_pallas:
+            from pegainfer_tpu.ops.pallas import paged_attention_decode
+
+            o = paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+        else:
+            o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
         o = o.reshape(B, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
         x = x + o @ fw["wo"]
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
@@ -510,17 +521,21 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
 
 
 def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
-                 max_slots: int = 64, kv_dtype=jnp.bfloat16):
+                 max_slots: int = 64, kv_dtype=jnp.bfloat16,
+                 use_pallas=None):
     from pegainfer_tpu.engine.jax_executor import ModelRuntime
+    from pegainfer_tpu.models.qwen3 import use_pallas_default
 
+    up = use_pallas_default() if use_pallas is None else use_pallas
     state = make_state(cfg, num_pages, page_size, max_slots, kv_dtype)
     return ModelRuntime(
-        prefill_fn=lambda w, s, t, sl, pt, slot: prefill(cfg, w, s, t, sl, pt, slot),
+        prefill_fn=lambda w, s, t, sl, pt, slot: prefill(cfg, w, s, t, sl, pt, slot,
+                                                         use_pallas=up),
         prefill_all_logits_fn=lambda w, s, t, sl, pt, slot: prefill(
-            cfg, w, s, t, sl, pt, slot, return_all_logits=True
+            cfg, w, s, t, sl, pt, slot, return_all_logits=True, use_pallas=up
         ),
         decode_fn=lambda w, s, t, p, pt, sl, slots: decode(
-            cfg, w, s, t, p, pt, sl, slots
+            cfg, w, s, t, p, pt, sl, slots, use_pallas=up
         ),
         params=params,
         state=state,
