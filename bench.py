@@ -100,6 +100,9 @@ def main():
     note(f"backend={jax.default_backend()} devices={jax.devices()}")
     cfg = smoke_config() if smoke else qwen3_4b_config()
     params = q3.init_bench_params(cfg)
+    quant = os.environ.get("PEGAINFER_BENCH_QUANT")
+    if quant == "int8":
+        params = q3.quantize_params_int8(params)
     num_pages = 64 if smoke else 512
     page_size = 16
     runtime = q3.make_runtime(cfg, params, num_pages=num_pages, page_size=page_size)
@@ -149,8 +152,9 @@ def main():
         times = [d / blocks for d in block_deltas]
     else:
         times = [tpot_p50]
+    metric = "qwen3_4b_decode_tpot_p50_ms" if not quant else f"qwen3_4b_{quant}_decode_tpot_p50_ms"
     result = {
-        "metric": "qwen3_4b_decode_tpot_p50_ms",
+        "metric": metric,
         "value": round(tpot_p50, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_TPOT_MS / tpot_p50, 3),

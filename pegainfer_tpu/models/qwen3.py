@@ -44,24 +44,38 @@ def _proj(container, name, x):
     return x @ w
 
 
+def _qs_int8(w):
+    """Stacked [.., in, out] → per-output-channel int8 + f32 scales."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q8": q, "s": jnp.squeeze(scale, -2)}
+
+
+_qs_int8_donating = jax.jit(_qs_int8, donate_argnums=0)
+
+
 def quantize_params_int8(params):
     """Weight-only int8 (per output channel) for the streaming-bound
     matrices; norms/embed stay bf16. Halves decode HBM traffic — opt-in
-    approximate serving mode (greedy outputs may differ from bf16)."""
-    def qs(w):  # stacked [L, in, out]
-        wf = w.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-        return {"q8": q, "s": jnp.squeeze(scale, -2)}
+    approximate serving mode (greedy outputs may differ from bf16).
 
+    CONSUMES ``params``: each bf16 matrix buffer is donated to its quantize
+    step so peak device memory stays ~1 matrix above the bf16 footprint.
+    """
     big = ("wq", "wk", "wv", "wo", "w_gate_up", "w_down")
-    layers = {k: (qs(v) if k in big else v) for k, v in params["layers"].items()}
+    layers = {}
+    src = params["layers"]
+    for k in list(src.keys()):
+        w = src[k]
+        layers[k] = _qs_int8_donating(w) if k in big else w
+    head = _qs_int8_donating(params["lm_head"])
     return {
         "embed": params["embed"],
         "layers": layers,
         "final_ln": params["final_ln"],
-        "lm_head": qs(params["lm_head"]),
+        "lm_head": head,
     }
 
 
