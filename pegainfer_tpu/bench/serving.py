@@ -210,7 +210,32 @@ def main(argv=None):
     cmp_.add_argument("baseline")
     cmp_.add_argument("new")
 
+    mat = sub.add_parser("matrix", help="sweep a (prompt x output) grid")
+    mat.add_argument("--model-path")
+    mat.add_argument("--sim", action="store_true")
+    mat.add_argument("--random-qwen3-4b", action="store_true")
+    mat.add_argument("--prompts", default="128,1024,4096")
+    mat.add_argument("--outputs", default="64,256")
+    mat.add_argument("--iters", type=int, default=5)
+    mat.add_argument("--out", default=None)
+    mat.add_argument("--max-num-pages", type=int, default=None)
+
     args = p.parse_args(argv)
+    if args.cmd == "matrix":
+        engine, vocab, model = _build_engine(args)
+        cases = [
+            CaseConfig(f"p{pl}_o{ol}", int(pl), int(ol), iters=args.iters,
+                       warmup=1)
+            for pl in args.prompts.split(",")
+            for ol in args.outputs.split(",")
+        ]
+        data = snapshot(engine, vocab, model, cases)
+        engine.shutdown()
+        print(json.dumps(data["cases"], indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(data, f, indent=2)
+        return 0
     if args.cmd == "snapshot":
         engine, vocab, model = _build_engine(args)
         cases = DEFAULT_CASES
