@@ -214,3 +214,33 @@ def test_rejected_too_long_maps_to_400():
         await close(client, engine)
 
     run(body())
+
+
+def test_completion_multi_prompt_batch():
+    async def body():
+        client, engine = await make_client()
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": ["one two", "three four five"], "max_tokens": 4},
+        )
+        data = await r.json()
+        assert [c["index"] for c in data["choices"]] == [0, 1]
+        assert all(len(c["text"].split()) == 4 for c in data["choices"])
+        assert data["usage"]["prompt_tokens"] == 5
+        await close(client, engine)
+
+    run(body())
+
+
+def test_metrics_endpoint_counts():
+    async def body():
+        client, engine = await make_client()
+        await client.post("/v1/completions",
+                          json={"prompt": "a b", "max_tokens": 3})
+        r = await client.get("/metrics")
+        m = await r.json()
+        assert m["requests_total"] >= 1
+        assert m["completion_tokens_total"] >= 3
+        await close(client, engine)
+
+    run(body())

@@ -169,3 +169,34 @@ def test_slot_exhaustion_defers_not_crashes():
         assert all(n == 6 and f == FinishReason.LENGTH for n, f in results.values())
     finally:
         handle.shutdown()
+
+
+def test_mixed_greedy_and_sampled_batch(engine):
+    """Greedy and sampled requests decoding in the same batch: the fused
+    sampler handles per-row temperature (0 = exact argmax)."""
+    import threading
+
+    results = {}
+
+    def run(i, params):
+        req = GenerateRequest(prompt_tokens=[5 + i, 40], max_tokens=8,
+                              params=params)
+        engine.submit(req)
+        results[i] = collect(req)
+
+    threads = [
+        threading.Thread(target=run, args=(0, SamplingParams(ignore_eos=True))),
+        threading.Thread(target=run, args=(1, SamplingParams(
+            temperature=0.9, top_k=30, ignore_eos=True))),
+        threading.Thread(target=run, args=(2, SamplingParams(ignore_eos=True))),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(len(results[i][0]) == 8 for i in range(3))
+    # greedy rows must equal a solo greedy run
+    solo = GenerateRequest(prompt_tokens=[5, 40], max_tokens=8,
+                           params=SamplingParams(ignore_eos=True))
+    engine.submit(solo)
+    assert collect(solo)[0] == results[0][0]
