@@ -448,6 +448,89 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
     return state, last, None
 
 
+# ── Chunked prefill continuation ─────────────────────────────────────────
+
+
+def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
+                  page_table, slot, gdn_chunk_size: int = 64,
+                  use_pallas: bool = False):
+    """One chunk of a prompt, continuing from the slot's GDN/conv state and
+    the paged KV written by earlier chunks. tokens: [Tc] (Tc % page_size ==
+    0, start_pos % page_size == 0). Returns (state, last_logits [V] f32)."""
+    Tc = tokens.shape[0]
+    page_size = state["kv"].shape[4]
+    chunk_sz = min(gdn_chunk_size, Tc)
+    x = params["embed"][tokens]
+    positions = start_pos + jnp.arange(Tc, dtype=jnp.int32)
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    local = jnp.arange(Tc, dtype=jnp.int32)
+    valid_mask = (local < valid)[:, None]
+    first_page = start_pos // page_size
+    P = page_table.shape[0]
+
+    def group(carry, inputs):
+        x, kv, rec, conv = carry
+        gi, lin_g, full_g = inputs
+
+        for j in range(cfg.period - 1):
+            lw = jax.tree.map(lambda a: a[j], lin_g)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)
+            # first chunk must not see a recycled slot's stale state
+            fresh = (start_pos > 0)
+            prev_conv = jnp.where(fresh, conv[gi, j, slot], 0.0)
+            y, conv_state = gdn.causal_conv1d_cont(
+                mixed, lw["conv_w"], prev_conv, valid
+            )
+            conv = conv.at[gi, j, slot].set(conv_state)
+            q, k, v = _gdn_split_heads(cfg, y)
+            g = jnp.where(valid_mask, g, 0.0)
+            beta = jnp.where(valid_mask, beta, 0.0)
+            S0 = jnp.where(fresh, rec[gi, j, slot], 0.0)
+            out, S = gdn.gdn_chunk(q, k, v, g, beta, S0, chunk=chunk_sz)
+            rec = rec.at[gi, j, slot].set(S)
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x = x + out.reshape(Tc, -1) @ lw["out_proj"]
+            h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
+            x = x + _mlp(lw, h)
+
+        fw = full_g
+        h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+        q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+        layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
+        chunk_table = lax.dynamic_slice_in_dim(page_table, first_page,
+                                               Tc // page_size)
+        kp, vp = att.write_kv_prefill(layer_kv[0], layer_kv[1], k, v, chunk_table)
+        kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
+        if use_pallas:
+            from pegainfer_tpu.ops.pallas import flash_attention
+
+            S_len = P * page_size
+            k_seq = kp[:, page_table].reshape(kp.shape[0], S_len, -1).transpose(1, 0, 2)
+            v_seq = vp[:, page_table].reshape(vp.shape[0], S_len, -1).transpose(1, 0, 2)
+            o = flash_attention(q, k_seq, v_seq, start_pos + valid, start_pos, scale)
+        else:
+            o = att.chunk_paged_attention(q, kp, vp, page_table, start_pos, scale)
+        o = o.reshape(Tc, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
+        x = x + o @ fw["wo"]
+        h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(fw, h)
+        return (x, kv, rec, conv), None
+
+    G = cfg.num_groups
+    (x, kv, rec, conv), _ = lax.scan(
+        group,
+        (x, state["kv"], state["rec"], state["conv"]),
+        (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"]),
+    )
+    state = {"kv": kv, "rec": rec, "conv": conv}
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    last = (x[valid - 1] @ params["lm_head"]).astype(jnp.float32)
+    return state, last
+
+
 # ── Batched decode ───────────────────────────────────────────────────────
 
 
@@ -536,6 +619,9 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         ),
         decode_fn=lambda w, s, t, p, pt, sl, slots: decode(
             cfg, w, s, t, p, pt, sl, slots, use_pallas=up
+        ),
+        prefill_chunk_fn=lambda w, s, t, sp, va, pt, slot: prefill_chunk(
+            cfg, w, s, t, sp, va, pt, slot, use_pallas=up
         ),
         params=params,
         state=state,

@@ -161,6 +161,24 @@ def causal_conv1d(x, w, seq_len):
     return y.astype(x.dtype), state
 
 
+def causal_conv1d_cont(x, w, prev_state, valid):
+    """Prefill-continuation conv: x [Tc, C] is a chunk whose previous K
+    inputs are in prev_state [K, C] (oldest first). Returns (y [Tc, C]
+    silu'd, new_state [K, C] = the last K inputs before position ``valid``
+    within the chunk)."""
+    Tc, Cdim = x.shape
+    K = w.shape[-1]
+    xp = jnp.concatenate([prev_state.astype(jnp.float32),
+                          x.astype(jnp.float32)], axis=0)  # [K+Tc, C]
+    y = jnp.zeros((Tc, Cdim), jnp.float32)
+    for j in range(K):
+        y = y + w[:, j].astype(jnp.float32)[None, :] * lax.dynamic_slice_in_dim(
+            xp, j + 1, Tc, 0
+        )
+    state = lax.dynamic_slice_in_dim(xp, valid, K, 0)
+    return jax.nn.silu(y).astype(x.dtype), state
+
+
 def causal_conv1d_step(x, w, state):
     """Decode conv: one new input per row.
 

@@ -95,3 +95,52 @@ def test_interleaved_unified_streams_stay_correct():
         assert out2 == want_long
     finally:
         handle.shutdown()
+
+
+def test_qwen35_chunked_matches_whole():
+    """Hybrid-model chunked prefill (GDN/conv state continuation) must be
+    token-exact vs whole-prompt prefill."""
+    import torch
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    from pegainfer_tpu.models import qwen35 as q35
+
+    hf = Qwen3NextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=1e6,
+        partial_rotary_factor=0.25, tie_word_embeddings=True,
+        max_position_embeddings=512,
+        layer_types=["linear_attention", "full_attention"],
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, num_experts=0, attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    model = Qwen3NextForCausalLM(hf).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = q35.Qwen35Config.from_hf(hf)
+    params = q35.params_from_state_dict(cfg, sd, dtype=jnp.float32)
+
+    from pegainfer_tpu.engine.jax_executor import JaxExecutor
+    from pegainfer_tpu.engine.scheduler import start_scheduler
+
+    def make(chunk):
+        runtime = q35.make_runtime(cfg, params, num_pages=128, page_size=4,
+                                   max_slots=4, kv_dtype=jnp.float32,
+                                   use_pallas=False)
+        return start_scheduler(JaxExecutor(
+            runtime, EngineLoadOptions(prefill_chunk=chunk)))
+
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(2, 255, 45).tolist()
+    whole = make(4096)
+    chunked = make(16)
+    try:
+        a = gen(whole, prompt, 8)
+        b = gen(chunked, prompt, 8)
+        assert len(a) == 8
+        assert a == b
+    finally:
+        whole.shutdown()
+        chunked.shutdown()
