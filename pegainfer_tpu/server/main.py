@@ -81,6 +81,9 @@ def main(argv=None):
                    help="weight-only int8 serving (approximate, ~2x decode speed)")
     p.add_argument("--no-precompile", action="store_true",
                    help="skip decode-bucket precompilation (reference: --cuda-graph off)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the serving process "
+                        "(reference: --deepseek-prefill-profile / nsys playbook)")
     p.add_argument("--sim", action="store_true", help="simulated engine (no TPU)")
     p.add_argument("--sim-ttft", type=float, default=0.02)
     p.add_argument("--sim-tpot", type=float, default=0.005)
@@ -106,7 +109,13 @@ def main(argv=None):
     logging.getLogger("pegainfer.server").info(
         "serving %s on http://%s:%d", model_name, args.host, args.port
     )
-    web.run_app(app, host=args.host, port=args.port, print=None)
+    if args.profile_dir:
+        from pegainfer_tpu.utils.tracing import profile_trace
+
+        with profile_trace(args.profile_dir):
+            web.run_app(app, host=args.host, port=args.port, print=None)
+    else:
+        web.run_app(app, host=args.host, port=args.port, print=None)
 
 
 if __name__ == "__main__":
