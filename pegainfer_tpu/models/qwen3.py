@@ -342,6 +342,8 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
     from pegainfer_tpu.engine.jax_executor import ModelRuntime
 
     up = use_pallas_default() if use_pallas is None else use_pallas
+    # Mosaic wants the DMA'd [page, head_dim] blocks lane-aligned
+    up = up and cfg.head_dim % 128 == 0
     kv = make_kv_pages(cfg, num_pages, page_size, dtype=kv_dtype)
     return ModelRuntime(
         # slot args unused: Qwen3 has no per-request recurrent state

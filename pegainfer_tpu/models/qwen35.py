@@ -610,6 +610,8 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
     from pegainfer_tpu.models.qwen3 import use_pallas_default
 
     up = use_pallas_default() if use_pallas is None else use_pallas
+    # Mosaic wants the DMA'd [page, head_dim] blocks lane-aligned
+    up = up and cfg.head_dim % 128 == 0
     state = make_state(cfg, num_pages, page_size, max_slots, kv_dtype)
     return ModelRuntime(
         prefill_fn=lambda w, s, t, sl, pt, slot: prefill(cfg, w, s, t, sl, pt, slot,
