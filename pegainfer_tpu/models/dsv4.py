@@ -413,9 +413,25 @@ def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None,
     caches: List[Dict[str, Any]] = []
 
     for li, lw in enumerate(params["layers"]):
-        ratio = cfg.compress_ratios[li]
-        inv_freq = cfg.rope_inv_freq(li)
+        streams, cache = _prefill_layer(
+            cfg, lw, streams, tokens, positions,
+            cfg.compress_ratios[li], li < cfg.n_hash_layers,
+            cfg.rope_inv_freq(li),
+        )
+        caches.append(cache)
 
+    logits = _head_logits(cfg, params, streams)
+    if state is None:
+        return logits, caches
+    return logits, _seed_state(cfg, state, caches, seq_len, slot)
+
+
+def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
+                   ratio: int, is_hash: bool, inv_freq):
+    """One prefill layer; returns (streams, cache dict). Shared by the
+    unrolled path and prefill_grouped."""
+    T = tokens.shape[0]
+    if True:
         # attention branch
         mixes = hc.hc_mixes(streams, lw["hc_attn_fn"], cfg.rms_norm_eps)
         pre, post, comb = hc.hc_split_sinkhorn(
@@ -476,21 +492,9 @@ def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None,
         )
         f_in = hc.hc_pre(streams, pre)
         f_norm = _rms(f_in, lw["ffn_norm"], cfg.rms_norm_eps)
-        ffn_out = _moe(cfg, lw, li, f_norm, tokens)
+        ffn_out = _moe(cfg, lw, 0 if is_hash else cfg.n_hash_layers, f_norm, tokens)
         streams = hc.hc_post(ffn_out, streams, post, comb)
-        caches.append(cache)
-
-    # head: hc combine → final norm → logits
-    mixes = hc.hc_mixes(streams, params["hc_head_fn"], cfg.rms_norm_eps)
-    pre = hc.hc_head_pre(mixes, params["hc_head_scale"], params["hc_head_base"],
-                         cfg.hc_mult, cfg.hc_eps)
-    xf = hc.hc_pre(streams, pre)
-    xf = _rms(xf, params["norm"], cfg.rms_norm_eps)
-    logits = (xf @ params["head"].T).astype(jnp.float32)
-
-    if state is None:
-        return logits, caches
-    return logits, _seed_state(cfg, state, caches, seq_len, slot)
+    return streams, cache
 
 
 def _ring_seed(dst, slot, src, seq_len, R: int):
@@ -506,19 +510,21 @@ def _ring_seed(dst, slot, src, seq_len, R: int):
     return dst.at[slot, r].set(ring)
 
 
-def _seed_state(cfg: DSv4Config, state, caches, seq_len, slot):
+def _seed_state(cfg: DSv4Config, state, caches, seq_len, slot,
+                layer_override=None):
     """Write a prefilled request's caches into its decode slot.
 
     seq_len may be traced (padded prefill): ring seeds slice the last valid
     rows dynamically; compressed rows past seq_len//ratio are garbage but
     never referenced (decode bounds lookups by position) and the partial
-    group re-emits over them.
+    group re-emits over them. ``layer_override``: treat the single cache
+    entry as that global layer index (grouped seeding).
     """
     W = cfg.sliding_window
     seq_len = jnp.asarray(seq_len, jnp.int32)
     new_layers = []
     for li, cache in enumerate(caches):
-        ratio = cfg.compress_ratios[li]
+        ratio = cfg.compress_ratios[li if layer_override is None else layer_override]
         ls = dict(state["layers"][li])
         ls["kv"] = _ring_seed(ls["kv"], slot, cache["kv"], seq_len, W)
         if ratio > 0:
@@ -543,20 +549,15 @@ def _seed_state(cfg: DSv4Config, state, caches, seq_len, slot):
 # ── Decode ───────────────────────────────────────────────────────────────
 
 
-def decode(cfg: DSv4Config, params, state, tokens, positions, slots):
-    """One decode step for a batch. tokens/positions/slots: [B] int32
-    (padding rows: slot = dead row, position 0). Returns (state, logits)."""
+def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
+                  ratio: int, is_hash: bool, inv_freq):
+    """One decode layer (attention + MoE branches). ``ls`` is this layer's
+    slot-cache dict, returned updated. Shared by the unrolled path and the
+    segment-scanned path (decode_grouped)."""
     B = tokens.shape[0]
     W = cfg.sliding_window
-    x = params["embed"][tokens]
-    streams = hc.hc_expand(x, cfg.hc_mult)
-    new_layers = []
-
-    for li, lw in enumerate(params["layers"]):
-        ratio = cfg.compress_ratios[li]
-        inv_freq = cfg.rope_inv_freq(li)
-        ls = dict(state["layers"][li])
-
+    ls = dict(ls)
+    if True:
         mixes = hc.hc_mixes(streams, lw["hc_attn_fn"], cfg.rms_norm_eps)
         pre, post, comb = hc.hc_split_sinkhorn(
             mixes, lw["hc_attn_scale"], lw["hc_attn_base"], cfg.hc_mult,
@@ -648,13 +649,152 @@ def decode(cfg: DSv4Config, params, state, tokens, positions, slots):
             cfg.hc_sinkhorn_iters, cfg.hc_eps,
         )
         f_norm = _rms(hc.hc_pre(streams, pre), lw["ffn_norm"], cfg.rms_norm_eps)
-        ffn_out = _moe(cfg, lw, li, f_norm, tokens)
+        ffn_out = _moe(cfg, lw, 0 if is_hash else cfg.n_hash_layers, f_norm, tokens)
         streams = hc.hc_post(ffn_out, streams, post, comb)
-        new_layers.append(ls)
+    return streams, ls
 
+
+def _head_logits(cfg: DSv4Config, params, streams):
     mixes = hc.hc_mixes(streams, params["hc_head_fn"], cfg.rms_norm_eps)
     pre = hc.hc_head_pre(mixes, params["hc_head_scale"], params["hc_head_base"],
                          cfg.hc_mult, cfg.hc_eps)
     xf = _rms(hc.hc_pre(streams, pre), params["norm"], cfg.rms_norm_eps)
-    logits = (xf @ params["head"].T).astype(jnp.float32)
-    return {"layers": new_layers}, logits
+    return (xf @ params["head"].T).astype(jnp.float32)
+
+
+def decode(cfg: DSv4Config, params, state, tokens, positions, slots):
+    """One decode step for a batch. tokens/positions/slots: [B] int32
+    (padding rows: slot = dead row, position 0). Returns (state, logits)."""
+    x = params["embed"][tokens]
+    streams = hc.hc_expand(x, cfg.hc_mult)
+    new_layers = []
+    for li, lw in enumerate(params["layers"]):
+        streams, ls = _decode_layer(
+            cfg, lw, state["layers"][li], streams, tokens, positions, slots,
+            cfg.compress_ratios[li], li < cfg.n_hash_layers,
+            cfg.rope_inv_freq(li),
+        )
+        new_layers.append(ls)
+    return {"layers": new_layers}, _head_logits(cfg, params, streams)
+
+
+# ── Segment grouping: scan over runs of same-signature layers ────────────
+# A 43-layer unrolled trace compiles slowly; consecutive layers sharing
+# (compress-ratio, gate-kind) stack their weights and slot caches on a
+# leading axis and run under one lax.scan (the qwen3/qwen35 stacking trick,
+# applied per run since DSv4 layers are heterogeneous).
+
+
+def segments(cfg: DSv4Config):
+    """[(start, end_exclusive, ratio, is_hash)] for maximal same-sig runs."""
+    out = []
+    start = 0
+    def sig(i):
+        return (cfg.compress_ratios[i], i < cfg.n_hash_layers)
+    for i in range(1, cfg.n_layers + 1):
+        if i == cfg.n_layers or sig(i) != sig(start):
+            out.append((start, i, *sig(start)))
+            start = i
+    return out
+
+
+def _stack_trees(trees):
+    """Stack a list of identical-structure dict trees on a new leading axis."""
+    def rec(items):
+        if isinstance(items[0], dict):
+            return {k: rec([t[k] for t in items]) for k in items[0]}
+        return jnp.stack(items)
+    return rec(trees)
+
+
+def group_params(cfg: DSv4Config, params):
+    """Per-layer param list → {"segments": [stacked trees]}. Top-level
+    tensors pass through."""
+    segs = []
+    for (a, b, ratio, is_hash) in segments(cfg):
+        segs.append(_stack_trees(params["layers"][a:b]))
+    return {**{k: v for k, v in params.items() if k != "layers"},
+            "segments": segs}
+
+
+def group_state(cfg: DSv4Config, state):
+    return {"segments": [
+        _stack_trees(state["layers"][a:b]) for (a, b, _, _) in segments(cfg)
+    ]}
+
+
+def ungroup_state(cfg: DSv4Config, gstate):
+    layers = []
+    for seg_state, (a, b, _, _) in zip(gstate["segments"], segments(cfg)):
+        for j in range(b - a):
+            layers.append(jax.tree.map(lambda x: x[j], seg_state))
+    return {"layers": layers}
+
+
+def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
+                    seq_len=None):
+    """prefill() over segment-scanned layers; with gstate+slot, seeds the
+    slot's grouped decode caches."""
+    T = tokens.shape[0]
+    if seq_len is None:
+        seq_len = T
+    positions = jnp.arange(T, dtype=jnp.int32)
+    x = gparams["embed"][tokens]
+    streams = hc.hc_expand(x, cfg.hc_mult)
+    seg_caches = []
+    for seg_idx, (a, b, ratio, is_hash) in enumerate(segments(cfg)):
+        inv_freq = cfg.rope_inv_freq(a)
+
+        def body(carry, lw):
+            carry, cache = _prefill_layer(
+                cfg, lw, carry, tokens, positions, ratio, is_hash, inv_freq
+            )
+            return carry, cache
+
+        streams, caches = jax.lax.scan(body, streams, gparams["segments"][seg_idx])
+        seg_caches.append(caches)
+
+    logits = _head_logits(cfg, gparams, streams)
+    if gstate is None:
+        return logits, seg_caches
+    new_segs = []
+    for seg_state, caches, (a, b, ratio, _) in zip(
+        gstate["segments"], seg_caches, segments(cfg)
+    ):
+        for j in range(b - a):  # per-layer seed within the segment
+            cache_j = jax.tree.map(lambda v: v[j], caches)
+            layer_state = jax.tree.map(lambda v: v[j], seg_state)
+            seeded = _seed_state(
+                cfg, {"layers": [layer_state]},
+                [{**{"kv": None, "ckv": None, "ick": None}, **cache_j}],
+                seq_len, slot, layer_override=a + j,
+            )["layers"][0]
+            seg_state = jax.tree.map(
+                lambda full, one: full.at[j].set(one), seg_state, seeded
+            )
+        new_segs.append(seg_state)
+    return logits, {"segments": new_segs}
+
+
+def decode_grouped(cfg: DSv4Config, gparams, gstate, tokens, positions, slots):
+    """decode() over segment-scanned layers — identical math, one traced
+    layer body per segment instead of per layer."""
+    x = gparams["embed"][tokens]
+    streams = hc.hc_expand(x, cfg.hc_mult)
+    new_segs = []
+    for seg_idx, (a, b, ratio, is_hash) in enumerate(segments(cfg)):
+        inv_freq = cfg.rope_inv_freq(a)
+
+        def body(carry, xs):
+            lw, ls = xs
+            carry, ls_new = _decode_layer(
+                cfg, lw, ls, carry, tokens, positions, slots, ratio, is_hash,
+                inv_freq,
+            )
+            return carry, ls_new
+
+        streams, seg_state_new = jax.lax.scan(
+            body, streams, (gparams["segments"][seg_idx], gstate["segments"][seg_idx])
+        )
+        new_segs.append(seg_state_new)
+    return {"segments": new_segs}, _head_logits(cfg, gparams, streams)

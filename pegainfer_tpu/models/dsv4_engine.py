@@ -44,30 +44,37 @@ def max_blocks_for(cfg: dsv4.DSv4Config, max_model_len: int) -> int:
 def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
                  max_slots: int = 2, state_dtype=jnp.bfloat16) -> ModelRuntime:
     """DSv4 runtime over the generic executor contract. Page args are
-    ignored (no paged KV); slot args select the per-request caches."""
-    state = dsv4.make_state(
+    ignored (no paged KV); slot args select the per-request caches.
+
+    Layers run segment-scanned (dsv4.decode_grouped/prefill_grouped): one
+    traced layer body per same-signature run instead of 43 unrolled layers.
+    """
+    gparams = dsv4.group_params(cfg, params)
+    gstate = dsv4.group_state(cfg, dsv4.make_state(
         cfg, max_slots, max_blocks_for(cfg, max_model_len), dtype=state_dtype
-    )
+    ))
 
     def prefill_fn(params_, state_, tokens, seq_len, page_table, slot):
-        logits, state_ = dsv4.prefill(cfg, params_, tokens, state=state_,
-                                      slot=slot, seq_len=seq_len)
+        logits, state_ = dsv4.prefill_grouped(cfg, params_, tokens,
+                                              gstate=state_, slot=slot,
+                                              seq_len=seq_len)
         return state_, logits[seq_len - 1], None
 
     def prefill_all_fn(params_, state_, tokens, seq_len, page_table, slot):
-        logits, state_ = dsv4.prefill(cfg, params_, tokens, state=state_,
-                                      slot=slot, seq_len=seq_len)
+        logits, state_ = dsv4.prefill_grouped(cfg, params_, tokens,
+                                              gstate=state_, slot=slot,
+                                              seq_len=seq_len)
         return state_, logits[seq_len - 1], logits
 
     def decode_fn(params_, state_, tokens, positions, tables, seq_lens, slots):
-        return dsv4.decode(cfg, params_, state_, tokens, positions, slots)
+        return dsv4.decode_grouped(cfg, params_, state_, tokens, positions, slots)
 
     return ModelRuntime(
         prefill_fn=prefill_fn,
         prefill_all_logits_fn=prefill_all_fn,
         decode_fn=decode_fn,
-        params=params,
-        state=state,
+        params=gparams,
+        state=gstate,
         page_size=1,
         num_pages=max_model_len * max_slots + 2,
         stop_token_ids=frozenset({cfg.eos_token_id}),
