@@ -97,6 +97,16 @@ class ModelRuntime:
     # Long prompts then run as fixed-size chunks (bounded compile sizes,
     # tighter padding) — the reference's unified-step ingredient.
     prefill_chunk_fn: Optional[Callable] = None
+    # Optional WRITE-AHEAD decode (the perf-critical form; see
+    # models/qwen3.py::decode_wa): the previous step's KV rows ride a small
+    # ``pend`` pytree and are scattered at the START of the next step, so
+    # the multi-GB pool is never written mid-step and XLA keeps it aliased
+    # in place across the whole fused block.
+    # decode_wa_fn(params, state, pend, tokens[B], positions[B], tables,
+    #     seq_lens[B], slots[B]) -> (state, pend, logits[B,V])
+    decode_wa_fn: Optional[Callable] = None
+    make_pend_fn: Optional[Callable] = None  # (B) -> empty pend pytree
+    flush_pend_fn: Optional[Callable] = None  # (state, pend, live[B]) -> state
 
 
 @dataclass
@@ -144,6 +154,11 @@ class JaxExecutor:
 
         self._jit_prefill: Dict[Tuple[int, bool], Callable] = {}
         self._jit_decode: Dict[Tuple[int, int], Callable] = {}
+        # write-ahead decode: the last dispatched block's trailing pend
+        # (device pytree) + the batch composition it belongs to
+        self._pend = None
+        self._pend_rids: Optional[tuple] = None
+        self._pend_B = 0
         self._jit_sample_greedy = jax.jit(smp.sample_greedy)
         self._jit_sample = jax.jit(smp.sample)
         self._jit_token_logprob = jax.jit(smp.token_logprob)
@@ -237,6 +252,46 @@ class JaxExecutor:
         fn = self._jit_decode.get(key)
         if fn is None:
             decode_fn = self.rt.decode_fn
+            wa = self.rt.decode_wa_fn
+
+            if wa is not None:
+                # Write-ahead form: pend rides between steps; the N steps are
+                # UNROLLED (no outer while) so every pool write is a straight-
+                # line in-place scatter ahead of all reads — XLA never copies
+                # the pool (see ModelRuntime.decode_wa_fn).
+                if greedy:
+                    def fused(params, state, pend, tokens, positions, tables,
+                              seq_lens, slots):
+                        tok, pos, sl = tokens, positions, seq_lens
+                        toks = []
+                        for _ in range(n_steps):
+                            state, pend, logits = wa(
+                                params, state, pend, tok, pos, tables, sl, slots
+                            )
+                            tok = smp.sample_greedy(logits)
+                            toks.append(tok)
+                            pos, sl = pos + 1, sl + 1
+                        return state, pend, jnp.stack(toks)  # [N, B]
+                else:
+                    def fused(params, state, pend, tokens, positions, tables,
+                              seq_lens, slots, temp, top_k, top_p, rand):
+                        tok, pos, sl = tokens, positions, seq_lens
+                        toks = []
+                        for i in range(n_steps):
+                            state, pend, logits = wa(
+                                params, state, pend, tok, pos, tables, sl, slots
+                            )
+                            tok = smp.sample(logits, temp, top_k, top_p, rand[i])
+                            toks.append(tok)
+                            pos, sl = pos + 1, sl + 1
+                        return state, pend, jnp.stack(toks)
+                fn = jax.jit(fused, donate_argnums=(1, 2))
+                self._jit_decode[key] = fn
+                log.info(
+                    "compiling fused wa-decode B=%d P=%d greedy=%s N=%d",
+                    B, P, greedy, n_steps,
+                )
+                return fn
 
             if greedy:
                 def fused(params, state, tokens, positions, tables, seq_lens, slots):
@@ -515,6 +570,42 @@ class JaxExecutor:
             tables[i, : len(st.pages)] = st.pages
         return B, P, tokens, positions, tables, seq_lens, slots, states
 
+    # ── write-ahead pend chaining ────────────────────────────────────
+
+    def _chain_pend(self, B: int, rids: tuple):
+        """The pend pytree to feed the next wa-decode block.
+
+        Same batch composition → chain the in-flight pend (its scatter
+        happens at the start of the next block, all on device). Composition
+        changed → flush the old pend into the pool first (rows of released
+        requests are masked to the null page: their pages may already belong
+        to a newly admitted request), then start empty.
+        """
+        if self._pend is not None and self._pend_rids == rids:
+            pend, self._pend = self._pend, None
+            return pend
+        self.flush_pend()
+        self._pend_rids = rids
+        self._pend_B = B
+        return self.rt.make_pend_fn(B)
+
+    def flush_pend(self) -> None:
+        """Land any in-flight pend rows into the pool (masking dead rows)."""
+        if self._pend is None:
+            return
+        pend, self._pend = self._pend, None
+        B = self._pend_B
+        live = np.zeros(B, bool)
+        for i, rid in enumerate(self._pend_rids or ()):
+            live[i] = rid in self._slots
+        key = ("flush_pend", B)
+        fn = self._jit_decode.get(key)
+        if fn is None:
+            fn = jax.jit(self.rt.flush_pend_fn, donate_argnums=(0, 1))
+            self._jit_decode[key] = fn
+        self.state = fn(self.state, pend, jnp.asarray(live))
+        self._pend_rids = None
+
     # ── async decode pipeline ────────────────────────────────────────
 
     def supports_async_decode(self, items) -> bool:
@@ -546,13 +637,24 @@ class JaxExecutor:
             tok_arg = jnp.asarray(tokens)
 
         greedy = all(it.params.is_greedy for it in items)
-        args = (
-            self.params, self.state, tok_arg, jnp.asarray(positions),
-            jnp.asarray(tables), jnp.asarray(seq_lens), jnp.asarray(slots),
-        )
+        use_wa = self.rt.decode_wa_fn is not None
+        if use_wa:
+            pend = self._chain_pend(B, tuple(it.request_id for it in items))
+            args = (
+                self.params, self.state, pend, tok_arg, jnp.asarray(positions),
+                jnp.asarray(tables), jnp.asarray(seq_lens), jnp.asarray(slots),
+            )
+        else:
+            args = (
+                self.params, self.state, tok_arg, jnp.asarray(positions),
+                jnp.asarray(tables), jnp.asarray(seq_lens), jnp.asarray(slots),
+            )
         if greedy:
             fn = self._decode_sampled(B, P, True, N)
-            self.state, toks = fn(*args)
+            if use_wa:
+                self.state, self._pend, toks = fn(*args)
+            else:
+                self.state, toks = fn(*args)
         else:
             temp = np.zeros(B, np.float32)
             top_k = np.full(B, -1, np.int32)
@@ -566,10 +668,14 @@ class JaxExecutor:
             if rand_matrix is not None:
                 rand[:, :n] = rand_matrix
             fn = self._decode_sampled(B, P, False, N)
-            self.state, toks = fn(
+            sargs = (
                 *args, jnp.asarray(temp), jnp.asarray(top_k),
                 jnp.asarray(top_p), jnp.asarray(rand),
             )
+            if use_wa:
+                self.state, self._pend, toks = fn(*sargs)
+            else:
+                self.state, toks = fn(*sargs)
         for st in states:
             st.advance(N)
         try:
@@ -617,6 +723,7 @@ class JaxExecutor:
 
     def _execute_decode_with_logits(self, items) -> DecodeResult:
         """Unfused path: keeps logits for the logprobs surface."""
+        self.flush_pend()  # this path runs the self-contained decode_fn
         n = len(items)
         B, P, tokens, positions, tables, seq_lens, slots, states = (
             self._decode_inputs(items)

@@ -5,8 +5,10 @@ Capability parity with the reference Qwen3-4B/8B engine crate
 src/batch_decode.rs:82-295, prefill src/prefill.rs), re-designed for XLA:
 
 - layer weights are STACKED on a leading [L, ...] axis and the block runs
-  under ``lax.scan`` — one trace/compile for all 36 layers, KV block array
-  carried through the scan and updated in place (donated by the executor);
+  under ``lax.scan`` — one trace/compile for all 36 layers. The KV pool is
+  NOT carried through the scan (a carried pool forces pool-sized copies per
+  step): decode attention reads past pages + the in-flight current k/v, and
+  one fused scatter after the scan writes all layers' new rows (donated);
 - no CUDA-Graph machinery: one jitted step per (batch-bucket, page-bucket);
 - QKV are separate GEMMs over the same activations (XLA schedules them
   back-to-back; column-slicing a fused GEMM is numerically identical, but
@@ -354,6 +356,11 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
         ),
         decode_fn=lambda w, kv, t, p, pt, sl, slots: decode(cfg, w, kv, t, p, pt, sl,
                                                             use_pallas=up),
+        decode_wa_fn=lambda w, kv, pend, t, p, pt, sl, slots: decode_wa(
+            cfg, w, kv, pend, t, p, pt, sl, use_pallas=up
+        ),
+        make_pend_fn=lambda B: make_pend(cfg, B, kv_dtype),
+        flush_pend_fn=flush_pend,
         prefill_chunk_fn=lambda w, kv, t, sp, va, pt, slot: prefill_chunk(
             cfg, w, kv, t, sp, va, pt, use_pallas=up
         ),
@@ -511,18 +518,65 @@ def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
 # ── Batched decode: one token per active request ─────────────────────────
 
 
-def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, seq_lens,
-           use_pallas: bool = False):
-    """One decode step for a padded batch.
+def make_pend(cfg: Qwen3Config, B: int, kv_dtype=jnp.bfloat16):
+    """An empty pending-KV record (write-ahead decode, see ``decode_wa``).
 
-    tokens, positions, seq_lens: [B] int32 — seq_lens counts tokens INCLUDING
-    the one produced by this step's KV write (i.e. positions + 1 for live
-    rows). page_tables: [B, P] int32; padding rows must use the null page and
-    seq_len 0.
-    Returns (kv_pages, logits [B, V] f32).
+    page_ids 0 = null page: flushing an empty pend writes garbage to the
+    null page, which holds garbage by contract.
+    """
+    L, Hkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    return {
+        "rows": jnp.zeros((B, L, 2, Hkv, hd), kv_dtype),
+        "page_ids": jnp.zeros((B,), jnp.int32),
+        "slots": jnp.zeros((B,), jnp.int32),
+    }
+
+
+def flush_pend(kv_pages, pend, live):
+    """Write a pending-KV record into the pool. ``live``: [B] bool — rows
+    of finished/released requests are redirected to the null page (their
+    pages may already belong to another request).
+
+    Implemented as a chain of per-row ``dynamic_update_slice`` ops, NOT a
+    fancy-index scatter: XLA:TPU keeps dus on a donated buffer in place,
+    while the equivalent scatter materializes a full pool copy per call
+    (measured; docs/PERF.md).
+    """
+    pid = jnp.where(live, pend["page_ids"], 0)
+    rows = pend["rows"].astype(kv_pages.dtype)
+    B, L, _, Hkv, hd = rows.shape
+    for b in range(B):
+        upd = rows[b].reshape(L, 2, Hkv, 1, 1, hd)
+        kv_pages = lax.dynamic_update_slice(
+            kv_pages, upd, (0, 0, 0, pid[b], pend["slots"][b], 0)
+        )
+    return kv_pages
+
+
+def decode_wa(cfg: Qwen3Config, params, kv_pages, pend, tokens, positions,
+              page_tables, seq_lens, use_pallas: bool = False):
+    """One WRITE-AHEAD decode step for a padded batch.
+
+    The KV pool is read-only except for ONE in-place scatter at the start,
+    which lands the PREVIOUS step's k/v (``pend``). This step's k/v are
+    returned as the new ``pend`` (flowing into the next step, or flushed via
+    ``flush_pend``). Rationale: any pool write after/among the layer-scan
+    reads forces XLA to copy the multi-GB pool every step; write-before-read
+    keeps the donated buffer aliased in place (docs/PERF.md). Attention reads
+    past pages + the in-flight current k/v (cur_k/cur_v); on the Pallas path
+    the kernel DMAs straight from the full pool (layer_id) so no per-layer
+    slice is ever materialized.
+
+    tokens, positions, seq_lens: [B] int32 — seq_lens counts tokens
+    INCLUDING the one processed this step. page_tables: [B, P] int32;
+    padding rows use the null page and seq_len 0 (their pend rows then
+    target the null page automatically).
+    Returns (kv_pages, pend', logits [B, V] f32).
     """
     B = tokens.shape[0]
     page_size = kv_pages.shape[4]
+    kv_pages = flush_pend(kv_pages, pend, jnp.ones((B,), bool))
+
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(
         positions, jnp.asarray(rope_inv_freq(cfg.head_dim, cfg.rope_theta), jnp.float32),
@@ -534,31 +588,58 @@ def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, s
     )[:, 0]
     slots = positions % page_size
 
-    def layer(carry, inputs):
-        x, kv_pages = carry
+    def layer(x, inputs):
         li, lw = inputs
         h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lw, h, cos, sin)
-        layer_kv = lax.dynamic_index_in_dim(kv_pages, li, axis=0, keepdims=False)
-        kp, vp = att.write_kv_decode(layer_kv[0], layer_kv[1], k, v, page_ids, slots)
-        kv_pages = lax.dynamic_update_index_in_dim(
-            kv_pages, jnp.stack([kp, vp]), li, axis=0
-        )
         if use_pallas:
             from pegainfer_tpu.ops.pallas import paged_attention_decode
 
-            o = paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+            o = paged_attention_decode(q, kv_pages, kv_pages, page_tables,
+                                       seq_lens, scale, cur_k=k, cur_v=v,
+                                       layer_id=li)
         else:
-            o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+            kp = lax.dynamic_index_in_dim(kv_pages, li, axis=0, keepdims=False)
+            o = att.paged_attention_decode(q, kp[0], kp[1], page_tables,
+                                           seq_lens, scale, cur_k=k, cur_v=v)
         x = x + _proj(lw, "wo", o.reshape(B, -1))
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
-        return (x, kv_pages), None
+        return x, (k, v)
 
     L = cfg.num_hidden_layers
-    (x, kv_pages), _ = lax.scan(
-        layer, (x, kv_pages), (jnp.arange(L, dtype=jnp.int32), params["layers"])
+    x, (k_all, v_all) = lax.scan(
+        layer, x, (jnp.arange(L, dtype=jnp.int32), params["layers"])
     )
+    # [L, B, Hkv, hd] ×2 → [B, L, 2, Hkv, hd]
+    rows = jnp.stack([k_all, v_all], axis=2).transpose(1, 0, 2, 3, 4)
+    pend = {
+        "rows": rows.astype(kv_pages.dtype),
+        "page_ids": page_ids,
+        "slots": slots,
+    }
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     logits = _proj(params, "lm_head", x).astype(jnp.float32)
+    return kv_pages, pend, logits
+
+
+def decode(cfg: Qwen3Config, params, kv_pages, tokens, positions, page_tables, seq_lens,
+           use_pallas: bool = False):
+    """One decode step for a padded batch (self-contained form: the current
+    token's KV is in the pool on return). The engine hot path uses
+    ``decode_wa`` instead, chaining the final write into the next step.
+
+    tokens, positions, seq_lens: [B] int32 — seq_lens counts tokens INCLUDING
+    the one produced by this step's KV write (i.e. positions + 1 for live
+    rows). page_tables: [B, P] int32; padding rows must use the null page and
+    seq_len 0.
+    Returns (kv_pages, logits [B, V] f32).
+    """
+    B = tokens.shape[0]
+    pend = make_pend(cfg, B, kv_pages.dtype)
+    kv_pages, pend, logits = decode_wa(
+        cfg, params, kv_pages, pend, tokens, positions, page_tables, seq_lens,
+        use_pallas=use_pallas,
+    )
+    kv_pages = flush_pend(kv_pages, pend, jnp.ones((B,), bool))
     return kv_pages, logits

@@ -534,13 +534,60 @@ def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
 # ── Batched decode ───────────────────────────────────────────────────────
 
 
-def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
-           seq_lens, slots, use_pallas: bool = False):
-    """One decode step for a padded batch. Padding rows: seq_lens == 0 and
-    slots == dead slot (their state writes land in the dead row).
-    Returns (state, logits [B, V] f32)."""
+def make_pend(cfg: Qwen35Config, B: int, max_slots: int, kv_dtype=jnp.bfloat16):
+    """Empty pending-state record for write-ahead decode (``decode_wa``).
+    kv rows target the null page; rec/conv rows target the dead slot."""
+    G, pl_ = cfg.num_groups, cfg.period - 1
+    return {
+        "rows": jnp.zeros((B, G, 2, cfg.num_key_value_heads, cfg.head_dim),
+                          kv_dtype),
+        "page_ids": jnp.zeros((B,), jnp.int32),
+        "pslots": jnp.zeros((B,), jnp.int32),
+        "rec": jnp.zeros((G, pl_, B, cfg.linear_num_value_heads,
+                          cfg.linear_key_head_dim, cfg.linear_value_head_dim),
+                         jnp.float32),
+        "conv": jnp.zeros((G, pl_, B, cfg.linear_conv_kernel_dim, cfg.conv_dim),
+                          jnp.float32),
+        "state_slots": jnp.full((B,), max_slots, jnp.int32),
+    }
+
+
+def flush_pend(state, pend, live):
+    """Write a pending record into (kv, rec, conv). Dead rows are redirected
+    to the null page / dead slot. Per-row ``dynamic_update_slice`` chains —
+    in place on donated buffers, unlike fancy-index scatters which copy the
+    whole array per call on TPU (see qwen3.flush_pend)."""
+    pid = jnp.where(live, pend["page_ids"], 0)
+    dead = state["rec"].shape[2] - 1
+    sslot = jnp.where(live, pend["state_slots"], dead)
+    kv, rec, conv = state["kv"], state["rec"], state["conv"]
+    rows = pend["rows"].astype(kv.dtype)
+    B, G, _, Hkv, hd = rows.shape
+    _, pl_, _, Hv, dk, dv = pend["rec"].shape
+    K, cd = pend["conv"].shape[-2:]
+    for b in range(B):
+        kv = lax.dynamic_update_slice(
+            kv, rows[b].reshape(G, 2, Hkv, 1, 1, hd),
+            (0, 0, 0, pid[b], pend["pslots"][b], 0))
+        rec = lax.dynamic_update_slice(
+            rec, pend["rec"][:, :, b].reshape(G, pl_, 1, Hv, dk, dv),
+            (0, 0, sslot[b], 0, 0, 0))
+        conv = lax.dynamic_update_slice(
+            conv, pend["conv"][:, :, b].reshape(G, pl_, 1, K, cd),
+            (0, 0, sslot[b], 0, 0))
+    return {"kv": kv, "rec": rec, "conv": conv}
+
+
+def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
+              page_tables, seq_lens, slots, use_pallas: bool = False):
+    """One WRITE-AHEAD decode step (see qwen3.decode_wa for the rationale —
+    state arrays are written exactly once, in place, at the start; the layer
+    scan only reads; this step's new rows return as ``pend``). Padding rows:
+    seq_lens == 0 and slots == dead slot.
+    Returns (state, pend', logits [B, V] f32)."""
     B = tokens.shape[0]
     page_size = state["kv"].shape[4]
+    state = flush_pend(state, pend, jnp.ones((B,), bool))
     x = params["embed"][tokens]
     inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
     cos, sin = rope_cos_sin(positions, inv, x.dtype)
@@ -550,21 +597,23 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
     )[:, 0]
     pslots = positions % page_size
 
-    def group(carry, inputs):
-        x, kv, rec, conv = carry
+    kv0, rec0, conv0 = state["kv"], state["rec"], state["conv"]
+
+    def group(x, inputs):
         gi, lin_g, full_g = inputs
+        rec_new, conv_new = [], []
 
         for j in range(cfg.period - 1):
             lw = jax.tree.map(lambda a: a[j], lin_g)
             h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
             mixed, z, g, beta = _gdn_project(cfg, lw, h)
-            conv_rows = conv[gi, j, slots]  # [B, K, conv_dim]
+            conv_rows = conv0[gi, j, slots]  # [B, K, conv_dim]
             y, conv_rows = gdn.causal_conv1d_step(mixed, lw["conv_w"], conv_rows)
-            conv = conv.at[gi, j, slots].set(conv_rows)
+            conv_new.append(conv_rows)
             q, k, v = _gdn_split_heads(cfg, y)
-            rec_rows = rec[gi, j, slots]  # [B, Hv, dk, dv]
+            rec_rows = rec0[gi, j, slots]  # [B, Hv, dk, dv]
             out, rec_rows = gdn.gdn_step(q, k, v, g, beta, rec_rows)
-            rec = rec.at[gi, j, slots].set(rec_rows)
+            rec_new.append(rec_rows)
             out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
             x = x + out.reshape(B, -1) @ lw["out_proj"]
             h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
@@ -573,30 +622,57 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
         fw = full_g
         h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
         q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
-        layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
-        kp, vp = att.write_kv_decode(layer_kv[0], layer_kv[1], k, v, page_ids, pslots)
-        kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
         if use_pallas:
             from pegainfer_tpu.ops.pallas import paged_attention_decode
 
-            o = paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+            # full-pool form: the kernel DMAs kv0[gi, 0|1, h, page] directly
+            o = paged_attention_decode(q, kv0, kv0, page_tables, seq_lens,
+                                       scale, cur_k=k, cur_v=v, layer_id=gi)
         else:
-            o = att.paged_attention_decode(q, kp, vp, page_tables, seq_lens, scale)
+            layer_kv = lax.dynamic_index_in_dim(kv0, gi, axis=0, keepdims=False)
+            o = att.paged_attention_decode(q, layer_kv[0], layer_kv[1],
+                                           page_tables, seq_lens, scale,
+                                           cur_k=k, cur_v=v)
         o = o.reshape(B, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
         x = x + o @ fw["wo"]
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(fw, h)
-        return (x, kv, rec, conv), None
+        return x, (k, v, jnp.stack(rec_new), jnp.stack(conv_new))
 
     G = cfg.num_groups
-    (x, kv, rec, conv), _ = lax.scan(
-        group,
-        (x, state["kv"], state["rec"], state["conv"]),
-        (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"]),
+    x, (k_all, v_all, rec_all, conv_all) = lax.scan(
+        group, x, (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"])
     )
-    state = {"kv": kv, "rec": rec, "conv": conv}
+    # this step's new rows ride out as the pend record (value layouts:
+    # batch dims jump to the FRONT when the advanced indices are separated
+    # by a slice — kv case — and stay in place when adjacent — rec/conv)
+    pend = {
+        # [G, B, Hkv, hd] ×2 → [B, G, 2, Hkv, hd]
+        "rows": jnp.stack([k_all, v_all], axis=2).transpose(1, 0, 2, 3, 4)
+                .astype(kv0.dtype),
+        "page_ids": page_ids,
+        "pslots": pslots,
+        "rec": rec_all,    # [G, pl_, B, Hv, dk, dv]
+        "conv": conv_all,  # [G, pl_, B, K, conv_dim]
+        "state_slots": slots,
+    }
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return state, pend, logits
+
+
+def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
+           seq_lens, slots, use_pallas: bool = False):
+    """One decode step for a padded batch (self-contained form: all state
+    rows are in place on return; the engine hot path uses ``decode_wa``).
+    Padding rows: seq_lens == 0 and slots == dead slot.
+    Returns (state, logits [B, V] f32)."""
+    B = tokens.shape[0]
+    pend = make_pend(cfg, B, state["rec"].shape[2] - 1, state["kv"].dtype)
+    state, pend, logits = decode_wa(cfg, params, state, pend, tokens,
+                                    positions, page_tables, seq_lens, slots,
+                                    use_pallas=use_pallas)
+    state = flush_pend(state, pend, jnp.ones((B,), bool))
     return state, logits
 
 
@@ -622,6 +698,11 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         decode_fn=lambda w, s, t, p, pt, sl, slots: decode(
             cfg, w, s, t, p, pt, sl, slots, use_pallas=up
         ),
+        decode_wa_fn=lambda w, s, pend, t, p, pt, sl, slots: decode_wa(
+            cfg, w, s, pend, t, p, pt, sl, slots, use_pallas=up
+        ),
+        make_pend_fn=lambda B: make_pend(cfg, B, max_slots, kv_dtype),
+        flush_pend_fn=flush_pend,
         prefill_chunk_fn=lambda w, s, t, sp, va, pt, slot: prefill_chunk(
             cfg, w, s, t, sp, va, pt, slot, use_pallas=up
         ),

@@ -63,12 +63,19 @@ def write_kv_prefill(k_pages, v_pages, k_new, v_new, page_table):
 # ── Decode attention ─────────────────────────────────────────────────────
 
 
-def paged_attention_decode(q, k_pages, v_pages, page_tables, seq_lens, scale):
+def paged_attention_decode(q, k_pages, v_pages, page_tables, seq_lens, scale,
+                           cur_k=None, cur_v=None):
     """GQA decode attention over paged KV (XLA gather reference).
 
     q: [B, Hq, hd]; page_tables: [B, P] int32; seq_lens: [B] int32 — the
     number of valid tokens INCLUDING the one written this step.
     Returns [B, Hq, hd] in q.dtype.
+
+    With ``cur_k/cur_v`` ([B, Hkv, hd]): the CURRENT token's k/v come from
+    these in-flight tensors instead of the pages (the pages then only need
+    the first seq_len-1 tokens) — this lets the caller defer the page
+    scatter to one fused write outside the layer scan, which avoids
+    pool-sized carry copies (docs/PERF.md).
     """
     B, Hq, hd = q.shape
     P = page_tables.shape[1]
@@ -81,15 +88,34 @@ def paged_attention_decode(q, k_pages, v_pages, page_tables, seq_lens, scale):
     k = k_pages[:, page_tables].reshape(Hkv, B, S, hd)
     v = v_pages[:, page_tables].reshape(Hkv, B, S, hd)
 
+    past = seq_lens if cur_k is None else jnp.maximum(seq_lens - 1, 0)
     qg = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
     kf = k.astype(jnp.float32)
     scores = jnp.einsum("bhgd,hbsd->bhgs", qg, kf) * scale  # [B, Hkv, G, S]
 
     pos = lax.broadcasted_iota(jnp.int32, (B, 1, 1, S), 3)
-    mask = pos < seq_lens[:, None, None, None]
+    mask = pos < past[:, None, None, None]
     scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
 
+    if cur_k is not None:
+        s_cur = jnp.einsum(
+            "bhgd,bhd->bhg", qg, cur_k.astype(jnp.float32)
+        )[..., None] * scale  # [B, Hkv, G, 1]
+        live = (seq_lens > 0)[:, None, None, None]
+        s_cur = jnp.where(live, s_cur, NEG_INF)
+        scores = jnp.concatenate([scores, s_cur], axis=-1)
+        vf = jnp.concatenate(
+            [
+                v.astype(jnp.float32).transpose(1, 0, 2, 3),  # [B, Hkv, S, hd]
+                cur_v.astype(jnp.float32)[:, :, None, :],
+            ],
+            axis=2,
+        )  # [B, Hkv, S+1, hd]
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhgs,bhsd->bhgd", probs, vf)
+        return out.reshape(B, Hq, hd).astype(q.dtype)
+
+    probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgs,hbsd->bhgd", probs, v.astype(jnp.float32))
     return out.reshape(B, Hq, hd).astype(q.dtype)
 

@@ -105,6 +105,60 @@ def test_paged_decode_bf16_kv():
     )
 
 
+@pytest.mark.parametrize("B,Hq,Hkv,hd,ps,P,seq_lens,cp", [
+    (1, 4, 2, 64, 8, 8, [40], 2),
+    (4, 8, 4, 64, 8, 16, [1, 63, 128, 17], 4),
+    (3, 4, 2, 64, 8, 8, [33, 0, 5], 2),  # dead row (seq_len 0)
+    (2, 4, 2, 64, 8, 8, [8, 9], 4),  # seq_len-1 exactly page-aligned
+])
+def test_paged_decode_cur_kv(B, Hq, Hkv, hd, ps, P, seq_lens, cp):
+    """cur_k/cur_v form: pages hold tokens [0, sl-1); current token's k/v
+    arrive in-flight. Must equal full-page attention with the current token
+    written at position sl-1."""
+    q, kp, vp, tables, sl = _paged_setup(7, B, Hq, Hkv, hd, 64, ps, P, seq_lens)
+    cur_k = rand(8, (B, Hkv, hd))
+    cur_v = rand(9, (B, Hkv, hd))
+    scale = hd ** -0.5
+    # reference: scatter the current token INTO the pages, run the plain form
+    page_ids = jnp.take_along_axis(
+        tables, (jnp.maximum(sl - 1, 0) // ps)[:, None], axis=1)[:, 0]
+    slots = jnp.maximum(sl - 1, 0) % ps
+    kp_full, vp_full = att.write_kv_decode(kp, vp, cur_k, cur_v, page_ids, slots)
+    ref = np.asarray(att.paged_attention_decode(q, kp_full, vp_full, tables, sl, scale))
+    # XLA cur-kv form
+    out_x = np.asarray(att.paged_attention_decode(
+        q, kp, vp, tables, sl, scale, cur_k=cur_k, cur_v=cur_v))
+    # Pallas cur-kv form (interpret)
+    out_p = np.asarray(paged_attention_decode(
+        q, kp, vp, tables, sl, scale, chunk_pages=cp, interpret=True,
+        cur_k=cur_k, cur_v=cur_v))
+    for b, s in enumerate(seq_lens):
+        if s > 0:
+            np.testing.assert_allclose(out_x[b], ref[b], rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(out_p[b], ref[b], rtol=2e-5, atol=2e-5)
+        else:
+            np.testing.assert_array_equal(out_p[b], 0.0)
+
+
+def test_paged_decode_pool_layout():
+    """Full-pool form: kernel DMAs from pool[layer_id, 0|1] directly."""
+    B, Hq, Hkv, hd, ps, P = 2, 8, 2, 64, 8, 8
+    L = 3
+    q, kp, vp, tables, sl = _paged_setup(11, B, Hq, Hkv, hd, 32, ps, P, [40, 21])
+    cur_k = rand(12, (B, Hkv, hd))
+    cur_v = rand(13, (B, Hkv, hd))
+    scale = hd ** -0.5
+    # pool with layer 1 holding (kp, vp); other layers noise
+    pool = rand(14, (L, 2, Hkv, 32, ps, hd))
+    pool = pool.at[1, 0].set(kp).at[1, 1].set(vp)
+    ref = np.asarray(att.paged_attention_decode(
+        q, kp, vp, tables, sl, scale, cur_k=cur_k, cur_v=cur_v))
+    out = np.asarray(paged_attention_decode(
+        q, pool, pool, tables, sl, scale, chunk_pages=4, interpret=True,
+        cur_k=cur_k, cur_v=cur_v, layer_id=jnp.int32(1)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_flash_attention_chunk_continuation():
     """flash_attention with q_offset == chunk_paged_attention semantics."""
     from pegainfer_tpu.ops.pallas.flash_prefill import flash_attention

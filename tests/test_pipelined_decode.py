@@ -171,6 +171,33 @@ def test_slot_exhaustion_defers_not_crashes():
         handle.shutdown()
 
 
+def test_finish_admit_reuse_pages_no_corruption(engine):
+    """Write-ahead pend hazard: request A finishes (pages freed), request B
+    is admitted and may reuse A's pages, THEN A's stale pend is flushed —
+    the flush must mask dead rows to the null page, or B's fresh KV gets
+    corrupted. B's output must equal a solo run of the same prompt."""
+    a = GenerateRequest(prompt_tokens=[11, 12, 13], max_tokens=4,
+                        params=SamplingParams(ignore_eos=True))
+    keeper = GenerateRequest(prompt_tokens=[21], max_tokens=24,
+                             params=SamplingParams(ignore_eos=True))
+    engine.submit(a)
+    engine.submit(keeper)  # keeps the pipeline running while A ends
+    a_toks, a_fin = collect(a)
+    assert len(a_toks) == 4 and a_fin == FinishReason.LENGTH
+    # admitted after A finished: can land on A's freed pages while A's pend
+    # (from the speculative block) is still unflushed
+    b = GenerateRequest(prompt_tokens=[31, 32], max_tokens=16,
+                        params=SamplingParams(ignore_eos=True))
+    engine.submit(b)
+    b_toks, _ = collect(b)
+    collect(keeper)
+    solo = GenerateRequest(prompt_tokens=[31, 32], max_tokens=16,
+                           params=SamplingParams(ignore_eos=True))
+    engine.submit(solo)
+    solo_toks, _ = collect(solo)
+    assert b_toks == solo_toks
+
+
 def test_mixed_greedy_and_sampled_batch(engine):
     """Greedy and sampled requests decoding in the same batch: the fused
     sampler handles per-row temperature (0 = exact argmax)."""
