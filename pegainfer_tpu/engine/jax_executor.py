@@ -107,6 +107,12 @@ class ModelRuntime:
     decode_wa_fn: Optional[Callable] = None
     make_pend_fn: Optional[Callable] = None  # (B) -> empty pend pytree
     flush_pend_fn: Optional[Callable] = None  # (state, pend, live[B]) -> state
+    # Optional write-ahead CHUNKED prefill (same principle, chunk scale):
+    # prefill_chunk_wa_fn(params, state, cpend, tokens[Tc], start_pos,
+    #     valid, page_table[P], slot) -> (state, cpend, last_logits[V])
+    prefill_chunk_wa_fn: Optional[Callable] = None
+    make_chunk_pend_fn: Optional[Callable] = None  # (n_pages) -> cpend
+    flush_chunk_pend_fn: Optional[Callable] = None  # (state, cpend) -> state
 
 
 @dataclass
@@ -418,18 +424,43 @@ class JaxExecutor:
         table_dev = jnp.asarray(table)
         slot = jnp.int32(self._slot(item.request_id))
 
-        fn = self._prefill_chunk_jit(chunk, P)
+        use_wa = self.rt.prefill_chunk_wa_fn is not None
+        if use_wa:
+            nPc = chunk // self.rt.page_size
+            cpend = self.rt.make_chunk_pend_fn(nPc)
+            key = ("chunk_wa", chunk, P)
+            fn = self._jit_prefill.get(key)
+            if fn is None:
+                fn = jax.jit(self.rt.prefill_chunk_wa_fn, donate_argnums=(1, 2))
+                self._jit_prefill[key] = fn
+                log.info("compiling wa prefill chunk Tc=%d P=%d", chunk, P)
+        else:
+            fn = self._prefill_chunk_jit(chunk, P)
         last_logits = None
         for start in range(0, T, chunk):
             part = item.prompt_tokens[start:start + chunk]
             toks = np.zeros(chunk, dtype=np.int32)
             toks[: len(part)] = part
-            self.state, last_logits = fn(
-                self.params, self.state, jnp.asarray(toks), jnp.int32(start),
-                jnp.int32(len(part)), table_dev, slot,
-            )
+            if use_wa:
+                self.state, cpend, last_logits = fn(
+                    self.params, self.state, cpend, jnp.asarray(toks),
+                    jnp.int32(start), jnp.int32(len(part)), table_dev, slot,
+                )
+            else:
+                self.state, last_logits = fn(
+                    self.params, self.state, jnp.asarray(toks), jnp.int32(start),
+                    jnp.int32(len(part)), table_dev, slot,
+                )
             if start + chunk < T:
                 yield start + chunk  # progress; caller may run decode now
+        if use_wa:
+            # land the last chunk's pages (write-only program — in place)
+            fkey = ("chunk_flush", chunk)
+            ffn = self._jit_prefill.get(fkey)
+            if ffn is None:
+                ffn = jax.jit(self.rt.flush_chunk_pend_fn, donate_argnums=(0, 1))
+                self._jit_prefill[fkey] = ffn
+            self.state = ffn(self.state, cpend)
         st.advance(T)
         logits_b = last_logits[None, :]
         host_toks, dev_toks = self._sample(logits_b, [item])

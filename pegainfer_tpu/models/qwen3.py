@@ -364,6 +364,10 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
         prefill_chunk_fn=lambda w, kv, t, sp, va, pt, slot: prefill_chunk(
             cfg, w, kv, t, sp, va, pt, use_pallas=up
         ),
+        prefill_chunk_wa_fn=lambda w, kv, cpend, t, sp, va, pt, slot:
+            prefill_chunk_wa(cfg, w, kv, cpend, t, sp, va, pt, use_pallas=up),
+        make_chunk_pend_fn=lambda nP: make_chunk_pend(cfg, nP, page_size, kv_dtype),
+        flush_chunk_pend_fn=flush_chunk_pend,
         params=params,
         state=kv,
         page_size=page_size,
@@ -402,6 +406,30 @@ def _scale(cfg: Qwen3Config) -> float:
 # ── Prefill: one request, padded length T ────────────────────────────────
 
 
+def _write_pages(kv_pages, k_all, v_all, page_table):
+    """Land all layers' prefill k/v ([L, T, Hkv, hd] each) into the pool:
+    one dynamic_update_slice per page (in place on a donated buffer —
+    fancy-index scatters copy the pool per call on TPU, docs/PERF.md).
+    Null-page table entries absorb padding writes (last-wins, garbage by
+    contract)."""
+    L, T, Hkv, hd = k_all.shape
+    ps = kv_pages.shape[4]
+    nP = page_table.shape[0]
+    # [2, L, T, Hkv, hd] → [nP, L, 2, Hkv, ps, hd]
+    rows = (
+        jnp.stack([k_all, v_all])
+        .reshape(2, L, nP, ps, Hkv, hd)
+        .transpose(2, 1, 0, 4, 3, 5)
+        .astype(kv_pages.dtype)
+    )
+    for p in range(nP):
+        upd = rows[p].reshape(L, 2, Hkv, 1, ps, hd)
+        kv_pages = lax.dynamic_update_slice(
+            kv_pages, upd, (0, 0, 0, page_table[p], 0, 0)
+        )
+    return kv_pages
+
+
 def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
             return_all_logits: bool = False, use_pallas: bool = False):
     """Prefill one prompt and write its KV.
@@ -419,16 +447,13 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
     )
     scale = _scale(cfg)
 
-    def layer(carry, inputs):
-        x, kv_pages = carry
-        li, lw = inputs
+    # The pool is write-only during prefill (self-attention reads the
+    # in-flight k/v) — keep it OUT of the scan and land all layers' pages
+    # with one dus chain after (in place on the donated buffer; per-layer
+    # slice+scatter+write-back cost pool-sized traffic, docs/PERF.md).
+    def layer(x, lw):
         h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lw, h, cos, sin)
-        k_pages = lax.dynamic_index_in_dim(kv_pages, li, axis=0, keepdims=False)
-        kp, vp = att.write_kv_prefill(k_pages[0], k_pages[1], k, v, page_table)
-        kv_pages = lax.dynamic_update_index_in_dim(
-            kv_pages, jnp.stack([kp, vp]), li, axis=0
-        )
         if use_pallas and T % 128 == 0:
             from pegainfer_tpu.ops.pallas import flash_prefill
 
@@ -438,12 +463,10 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
         x = x + _proj(lw, "wo", o.reshape(T, -1))
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
-        return (x, kv_pages), None
+        return x, (k, v)
 
-    L = cfg.num_hidden_layers
-    (x, kv_pages), _ = lax.scan(
-        layer, (x, kv_pages), (jnp.arange(L, dtype=jnp.int32), params["layers"])
-    )
+    x, (k_all, v_all) = lax.scan(layer, x, params["layers"])
+    kv_pages = _write_pages(kv_pages, k_all, v_all, page_table)
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     if return_all_logits:
         all_logits = _proj(params, "lm_head", x).astype(jnp.float32)
@@ -457,21 +480,49 @@ def prefill(cfg: Qwen3Config, params, kv_pages, tokens, seq_len, page_table,
 # ── Chunked prefill continuation ─────────────────────────────────────────
 
 
-def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
-                  valid, page_table, use_pallas: bool = False):
-    """Prefill continuation: one chunk of a prompt whose earlier tokens are
-    already in the paged KV (the TPU unified-step ingredient: long prompts
-    run as fixed-size chunks so the decode path can interleave and compile
-    sizes stay bounded — reference analog: unified_forward.rs).
+def make_chunk_pend(cfg: Qwen3Config, n_pages: int, page_size: int,
+                    kv_dtype=jnp.bfloat16):
+    """Empty pending record for write-ahead chunked prefill: the previous
+    chunk's pages, landed at the start of the next chunk (or by
+    ``flush_chunk_pend`` after the last). pages 0 = null page."""
+    L, Hkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    return {
+        "rows": jnp.zeros((n_pages, L, 2, Hkv, page_size, hd), kv_dtype),
+        "pages": jnp.zeros((n_pages,), jnp.int32),
+    }
+
+
+def flush_chunk_pend(kv_pages, cpend):
+    """Land a chunk-pend into the pool (per-page dus chain — in place)."""
+    rows, pages = cpend["rows"], cpend["pages"]
+    nP, L, _, Hkv, ps, hd = rows.shape
+    rows = rows.astype(kv_pages.dtype)
+    for p in range(nP):
+        kv_pages = lax.dynamic_update_slice(
+            kv_pages, rows[p].reshape(L, 2, Hkv, 1, ps, hd),
+            (0, 0, 0, pages[p], 0, 0),
+        )
+    return kv_pages
+
+
+def prefill_chunk_wa(cfg: Qwen3Config, params, kv_pages, cpend, tokens,
+                     start_pos, valid, page_table, use_pallas: bool = False):
+    """WRITE-AHEAD prefill continuation: the pool is written exactly once,
+    at the start (landing the PREVIOUS chunk via ``cpend``), and only read
+    after — attention gathers the past from pages and splices the chunk's
+    own in-flight k/v over the chunk region. This chunk's pages return as
+    the new cpend (the stepper flushes the last one). Avoids the per-layer
+    pool slice/write-back that costs pool-sized HBM traffic (docs/PERF.md).
 
     tokens: [Tc] (chunk, padded; Tc % page_size == 0 and start_pos %
     page_size == 0); start_pos: scalar; valid: scalar valid count in this
     chunk; page_table: [P] the request's FULL page table (pages for the
-    chunk already allocated). Returns (kv_pages, last_logits [V] f32) where
-    last_logits is for chunk position valid-1.
+    chunk already allocated). Returns (kv_pages, cpend', last_logits [V])
+    where last_logits is for chunk position valid-1.
     """
     Tc = tokens.shape[0]
     page_size = kv_pages.shape[4]
+    kv_pages = flush_chunk_pend(kv_pages, cpend)
     x = params["embed"][tokens]
     positions = start_pos + jnp.arange(Tc, dtype=jnp.int32)
     cos, sin = rope_cos_sin(
@@ -479,39 +530,63 @@ def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
         x.dtype,
     )
     scale = _scale(cfg)
-    # chunk pages inside the full table
     first_page = start_pos // page_size
     chunk_table = lax.dynamic_slice_in_dim(page_table, first_page, Tc // page_size)
-    def layer(carry, inputs):
-        x, kv_pages = carry
+    P = page_table.shape[0]
+    S = P * page_size
+
+    def layer(x, inputs):
         li, lw = inputs
         h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lw, h, cos, sin)
-        layer_kv = lax.dynamic_index_in_dim(kv_pages, li, axis=0, keepdims=False)
-        kp, vp = att.write_kv_prefill(layer_kv[0], layer_kv[1], k, v, chunk_table)
-        kv_pages = lax.dynamic_update_index_in_dim(
-            kv_pages, jnp.stack([kp, vp]), li, axis=0
-        )
+        # one gather straight off the full pool (no per-layer slice), then
+        # splice this chunk's in-flight rows over its (stale) region
+        k_seq = kv_pages[li, 0, :, page_table].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
+        v_seq = kv_pages[li, 1, :, page_table].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
+        k_seq = lax.dynamic_update_slice(k_seq, k.astype(k_seq.dtype), (start_pos, 0, 0))
+        v_seq = lax.dynamic_update_slice(v_seq, v.astype(v_seq.dtype), (start_pos, 0, 0))
         if use_pallas:
             from pegainfer_tpu.ops.pallas import flash_attention
 
-            S = page_table.shape[0] * page_size
-            k_seq = kp[:, page_table].reshape(kp.shape[0], S, -1).transpose(1, 0, 2)
-            v_seq = vp[:, page_table].reshape(vp.shape[0], S, -1).transpose(1, 0, 2)
             o = flash_attention(q, k_seq, v_seq, start_pos + valid, start_pos, scale)
         else:
-            o = att.chunk_paged_attention(q, kp, vp, page_table, start_pos, scale)
+            o = att.chunk_attention_seq(q, k_seq, v_seq, start_pos, scale)
         x = x + _proj(lw, "wo", o.reshape(Tc, -1))
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
-        return (x, kv_pages), None
+        return x, (k, v)
 
     L = cfg.num_hidden_layers
-    (x, kv_pages), _ = lax.scan(
-        layer, (x, kv_pages), (jnp.arange(L, dtype=jnp.int32), params["layers"])
+    x, (k_all, v_all) = lax.scan(
+        layer, x, (jnp.arange(L, dtype=jnp.int32), params["layers"])
     )
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    nPc = Tc // page_size
+    rows = (
+        jnp.stack([k_all, v_all])
+        .reshape(2, L, nPc, page_size, Hkv, hd)
+        .transpose(2, 1, 0, 4, 3, 5)
+        .astype(kv_pages.dtype)
+    )
+    cpend = {"rows": rows, "pages": chunk_table}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     last = _proj(params, "lm_head", x[valid - 1][None, :])[0].astype(jnp.float32)
+    return kv_pages, cpend, last
+
+
+def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,
+                  valid, page_table, use_pallas: bool = False):
+    """Prefill continuation, self-contained form (chunk pages in the pool on
+    return; the engine stepper uses ``prefill_chunk_wa`` + a final flush).
+    Same contract as before: reference analog unified_forward.rs."""
+    page_size = kv_pages.shape[4]
+    cpend = make_chunk_pend(cfg, tokens.shape[0] // page_size, page_size,
+                            kv_pages.dtype)
+    kv_pages, cpend, last = prefill_chunk_wa(
+        cfg, params, kv_pages, cpend, tokens, start_pos, valid, page_table,
+        use_pallas=use_pallas,
+    )
+    kv_pages = flush_chunk_pend(kv_pages, cpend)
     return kv_pages, last
 
 

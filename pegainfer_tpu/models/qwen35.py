@@ -389,9 +389,12 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
     scale = cfg.head_dim ** -0.5
     valid = (positions < seq_len)[:, None]
 
-    def group(carry, inputs):
-        x, kv, rec, conv = carry
+    # State is write-only during prefill (attention reads in-flight k/v,
+    # GDN starts from zero state) — keep it out of the scan; one dus chain
+    # per array after (in place on donated buffers, docs/PERF.md).
+    def group(x, inputs):
         gi, lin_g, full_g = inputs
+        S_new, conv_new = [], []
 
         # (p-1) linear layers
         for j in range(cfg.period - 1):
@@ -407,8 +410,8 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
                  cfg.linear_value_head_dim), jnp.float32,
             )
             out, S = gdn.gdn_chunk(q, k, v, g, beta, S0, chunk=gdn_chunk_size)
-            rec = rec.at[gi, j, slot].set(S)
-            conv = conv.at[gi, j, slot].set(conv_state)
+            S_new.append(S)
+            conv_new.append(conv_state)
             out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
             x = x + out.reshape(T, -1) @ lw["out_proj"]
             h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
@@ -418,9 +421,6 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
         fw = full_g
         h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
         q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
-        layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
-        kp, vp = att.write_kv_prefill(layer_kv[0], layer_kv[1], k, v, page_table)
-        kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
         if use_pallas and T % 128 == 0:
             from pegainfer_tpu.ops.pallas import flash_prefill
 
@@ -431,14 +431,20 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
         x = x + o @ fw["wo"]
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(fw, h)
-        return (x, kv, rec, conv), None
+        return x, (k, v, jnp.stack(S_new), jnp.stack(conv_new))
 
     G = cfg.num_groups
-    (x, kv, rec, conv), _ = lax.scan(
-        group,
-        (x, state["kv"], state["rec"], state["conv"]),
-        (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"]),
+    x, (k_all, v_all, S_all, conv_all) = lax.scan(
+        group, x, (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"])
     )
+    from pegainfer_tpu.models.qwen3 import _write_pages
+
+    kv = _write_pages(state["kv"], k_all, v_all, page_table)
+    # one-slot rectangular updates: [G, pl_, 1, ...] at (0, 0, slot, ...)
+    rec = lax.dynamic_update_slice(
+        state["rec"], S_all[:, :, None], (0, 0, slot, 0, 0, 0))
+    conv = lax.dynamic_update_slice(
+        state["conv"], conv_all[:, :, None], (0, 0, slot, 0, 0))
     state = {"kv": kv, "rec": rec, "conv": conv}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     if return_all_logits:
@@ -451,15 +457,54 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
 # ── Chunked prefill continuation ─────────────────────────────────────────
 
 
-def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
-                  page_table, slot, gdn_chunk_size: int = 64,
-                  use_pallas: bool = False):
-    """One chunk of a prompt, continuing from the slot's GDN/conv state and
-    the paged KV written by earlier chunks. tokens: [Tc] (Tc % page_size ==
-    0, start_pos % page_size == 0). Returns (state, last_logits [V] f32)."""
+def make_chunk_pend(cfg: Qwen35Config, n_pages: int, page_size: int,
+                    max_slots: int, kv_dtype=jnp.bfloat16):
+    """Empty pending record for write-ahead chunked prefill: the previous
+    chunk's kv pages + the slot's GDN/conv state after that chunk."""
+    G, pl_ = cfg.num_groups, cfg.period - 1
+    return {
+        "rows": jnp.zeros(
+            (n_pages, G, 2, cfg.num_key_value_heads, page_size, cfg.head_dim),
+            kv_dtype),
+        "pages": jnp.zeros((n_pages,), jnp.int32),
+        "rec": jnp.zeros((G, pl_, cfg.linear_num_value_heads,
+                          cfg.linear_key_head_dim, cfg.linear_value_head_dim),
+                         jnp.float32),
+        "conv": jnp.zeros((G, pl_, cfg.linear_conv_kernel_dim, cfg.conv_dim),
+                          jnp.float32),
+        "slot": jnp.int32(max_slots),  # dead slot
+    }
+
+
+def flush_chunk_pend(state, cpend):
+    """Land a chunk-pend into (kv, rec, conv) — dus chains, in place."""
+    rows, pages = cpend["rows"], cpend["pages"]
+    nP, G, _, Hkv, ps, hd = rows.shape
+    kv = state["kv"]
+    rows = rows.astype(kv.dtype)
+    for p in range(nP):
+        kv = lax.dynamic_update_slice(
+            kv, rows[p].reshape(G, 2, Hkv, 1, ps, hd), (0, 0, 0, pages[p], 0, 0))
+    rec = lax.dynamic_update_slice(
+        state["rec"], cpend["rec"][:, :, None], (0, 0, cpend["slot"], 0, 0, 0))
+    conv = lax.dynamic_update_slice(
+        state["conv"], cpend["conv"][:, :, None], (0, 0, cpend["slot"], 0, 0))
+    return {"kv": kv, "rec": rec, "conv": conv}
+
+
+def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
+                     start_pos, valid, page_table, slot,
+                     gdn_chunk_size: int = 64, use_pallas: bool = False):
+    """WRITE-AHEAD prefill continuation (see qwen3.prefill_chunk_wa): state
+    written once at the start (landing the previous chunk's cpend), then
+    only read; attention splices the chunk's in-flight k/v over the gathered
+    past; this chunk's pages + GDN/conv state return as the new cpend.
+    tokens: [Tc] (Tc % page_size == 0, start_pos % page_size == 0).
+    Returns (state, cpend', last_logits [V] f32)."""
     Tc = tokens.shape[0]
     page_size = state["kv"].shape[4]
     chunk_sz = min(gdn_chunk_size, Tc)
+    state = flush_chunk_pend(state, cpend)
     x = params["embed"][tokens]
     positions = start_pos + jnp.arange(Tc, dtype=jnp.int32)
     inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
@@ -469,10 +514,12 @@ def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
     valid_mask = (local < valid)[:, None]
     first_page = start_pos // page_size
     P = page_table.shape[0]
+    S_len = P * page_size
+    kv0, rec0, conv0 = state["kv"], state["rec"], state["conv"]
 
-    def group(carry, inputs):
-        x, kv, rec, conv = carry
+    def group(x, inputs):
         gi, lin_g, full_g = inputs
+        S_new, conv_new = [], []
 
         for j in range(cfg.period - 1):
             lw = jax.tree.map(lambda a: a[j], lin_g)
@@ -480,17 +527,17 @@ def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
             mixed, z, g, beta = _gdn_project(cfg, lw, h)
             # first chunk must not see a recycled slot's stale state
             fresh = (start_pos > 0)
-            prev_conv = jnp.where(fresh, conv[gi, j, slot], 0.0)
+            prev_conv = jnp.where(fresh, conv0[gi, j, slot], 0.0)
             y, conv_state = gdn.causal_conv1d_cont(
                 mixed, lw["conv_w"], prev_conv, valid
             )
-            conv = conv.at[gi, j, slot].set(conv_state)
+            conv_new.append(conv_state)
             q, k, v = _gdn_split_heads(cfg, y)
             g = jnp.where(valid_mask, g, 0.0)
             beta = jnp.where(valid_mask, beta, 0.0)
-            S0 = jnp.where(fresh, rec[gi, j, slot], 0.0)
+            S0 = jnp.where(fresh, rec0[gi, j, slot], 0.0)
             out, S = gdn.gdn_chunk(q, k, v, g, beta, S0, chunk=chunk_sz)
-            rec = rec.at[gi, j, slot].set(S)
+            S_new.append(S)
             out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
             x = x + out.reshape(Tc, -1) @ lw["out_proj"]
             h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
@@ -499,35 +546,58 @@ def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
         fw = full_g
         h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
         q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
-        layer_kv = lax.dynamic_index_in_dim(kv, gi, axis=0, keepdims=False)
-        chunk_table = lax.dynamic_slice_in_dim(page_table, first_page,
-                                               Tc // page_size)
-        kp, vp = att.write_kv_prefill(layer_kv[0], layer_kv[1], k, v, chunk_table)
-        kv = lax.dynamic_update_index_in_dim(kv, jnp.stack([kp, vp]), gi, axis=0)
+        hd = q.shape[2]
+        k_seq = kv0[gi, 0, :, page_table].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+        v_seq = kv0[gi, 1, :, page_table].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+        k_seq = lax.dynamic_update_slice(k_seq, k.astype(k_seq.dtype), (start_pos, 0, 0))
+        v_seq = lax.dynamic_update_slice(v_seq, v.astype(v_seq.dtype), (start_pos, 0, 0))
         if use_pallas:
             from pegainfer_tpu.ops.pallas import flash_attention
 
-            S_len = P * page_size
-            k_seq = kp[:, page_table].reshape(kp.shape[0], S_len, -1).transpose(1, 0, 2)
-            v_seq = vp[:, page_table].reshape(vp.shape[0], S_len, -1).transpose(1, 0, 2)
             o = flash_attention(q, k_seq, v_seq, start_pos + valid, start_pos, scale)
         else:
-            o = att.chunk_paged_attention(q, kp, vp, page_table, start_pos, scale)
+            o = att.chunk_attention_seq(q, k_seq, v_seq, start_pos, scale)
         o = o.reshape(Tc, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
         x = x + o @ fw["wo"]
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(fw, h)
-        return (x, kv, rec, conv), None
+        return x, (k, v, jnp.stack(S_new), jnp.stack(conv_new))
 
     G = cfg.num_groups
-    (x, kv, rec, conv), _ = lax.scan(
-        group,
-        (x, state["kv"], state["rec"], state["conv"]),
-        (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"]),
+    x, (k_all, v_all, S_all, conv_all) = lax.scan(
+        group, x, (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"])
     )
-    state = {"kv": kv, "rec": rec, "conv": conv}
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    nPc = Tc // page_size
+    rows = (
+        jnp.stack([k_all, v_all])
+        .reshape(2, G, nPc, page_size, Hkv, hd)
+        .transpose(2, 1, 0, 4, 3, 5)
+        .astype(kv0.dtype)
+    )
+    chunk_table = lax.dynamic_slice_in_dim(page_table, first_page, nPc)
+    cpend = {"rows": rows, "pages": chunk_table, "rec": S_all,
+             "conv": conv_all, "slot": slot}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     last = (x[valid - 1] @ params["lm_head"]).astype(jnp.float32)
+    return state, cpend, last
+
+
+def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
+                  page_table, slot, gdn_chunk_size: int = 64,
+                  use_pallas: bool = False):
+    """One chunk of a prompt (self-contained form: state complete on return;
+    the engine stepper uses ``prefill_chunk_wa`` + a final flush).
+    tokens: [Tc] (Tc % page_size == 0, start_pos % page_size == 0).
+    Returns (state, last_logits [V] f32)."""
+    page_size = state["kv"].shape[4]
+    cpend = make_chunk_pend(cfg, tokens.shape[0] // page_size, page_size,
+                            state["rec"].shape[2] - 1, state["kv"].dtype)
+    state, cpend, last = prefill_chunk_wa(
+        cfg, params, state, cpend, tokens, start_pos, valid, page_table, slot,
+        gdn_chunk_size=gdn_chunk_size, use_pallas=use_pallas,
+    )
+    state = flush_chunk_pend(state, cpend)
     return state, last
 
 
@@ -703,6 +773,12 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         ),
         make_pend_fn=lambda B: make_pend(cfg, B, max_slots, kv_dtype),
         flush_pend_fn=flush_pend,
+        prefill_chunk_wa_fn=lambda w, s, cpend, t, sp, va, pt, slot:
+            prefill_chunk_wa(cfg, w, s, cpend, t, sp, va, pt, slot,
+                             use_pallas=up),
+        make_chunk_pend_fn=lambda nP: make_chunk_pend(cfg, nP, page_size,
+                                                      max_slots, kv_dtype),
+        flush_chunk_pend_fn=flush_chunk_pend,
         prefill_chunk_fn=lambda w, s, t, sp, va, pt, slot: prefill_chunk(
             cfg, w, s, t, sp, va, pt, slot, use_pallas=up
         ),

@@ -120,6 +120,45 @@ def paged_attention_decode(q, k_pages, v_pages, page_tables, seq_lens, scale,
     return out.reshape(B, Hq, hd).astype(q.dtype)
 
 
+def chunk_attention_seq(q, k_seq, v_seq, start_pos, scale, q_chunk: int = 128):
+    """Prefill-continuation attention over EXPLICIT key/value sequences.
+
+    q: [Tc, Hq, hd] (chunk rows at absolute positions start_pos + i);
+    k_seq/v_seq: [S, Hkv, hd] laid out by absolute position (0..S); entries
+    at positions >= start_pos + Tc may be garbage (causally masked). Used by
+    the write-ahead chunk prefill, where the chunk's own k/v are spliced
+    into the gathered past instead of read back from the pool.
+    Returns [Tc, Hq, hd] in q.dtype.
+    """
+    Tc, Hq, hd = q.shape
+    S, Hkv, _ = k_seq.shape
+    G = Hq // Hkv
+    kf = k_seq.astype(jnp.float32)
+    vf = v_seq.astype(jnp.float32)
+    key_pos = lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+
+    if Tc % q_chunk != 0:
+        q_chunk = Tc
+    nc = Tc // q_chunk
+
+    def one_chunk(ci):
+        qs = lax.dynamic_slice_in_dim(q, ci * q_chunk, q_chunk, axis=0)
+        qg = qs.reshape(q_chunk, Hkv, G, hd).astype(jnp.float32)
+        scores = jnp.einsum("thgd,shd->thgs", qg, kf) * scale
+        q_pos = (
+            start_pos + ci * q_chunk
+            + lax.broadcasted_iota(jnp.int32, (q_chunk, 1, 1, 1), 0)
+        )
+        mask = key_pos <= q_pos
+        scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("thgs,shd->thgd", probs, vf)
+        return out.reshape(q_chunk, Hq, hd)
+
+    out = lax.map(one_chunk, jnp.arange(nc))
+    return out.reshape(Tc, Hq, hd).astype(q.dtype)
+
+
 def chunk_paged_attention(q, k_pages, v_pages, page_table, start_pos, scale,
                           q_chunk: int = 128):
     """Prefill-continuation attention: a chunk of queries over ONE request's
