@@ -98,14 +98,40 @@ def main():
 
     enable_cache()
     note(f"backend={jax.default_backend()} devices={jax.devices()}")
-    cfg = smoke_config() if smoke else qwen3_4b_config()
-    params = q3.init_bench_params(cfg)
+    model = os.environ.get("PEGAINFER_BENCH_MODEL", "qwen3")
     quant = os.environ.get("PEGAINFER_BENCH_QUANT")
-    if quant == "int8":
-        params = q3.quantize_params_int8(params)
     num_pages = 64 if smoke else 512
     page_size = 16
-    runtime = q3.make_runtime(cfg, params, num_pages=num_pages, page_size=page_size)
+    if model == "qwen35":
+        from pegainfer_tpu.models import qwen35 as q35
+
+        if smoke:
+            cfg = q35.Qwen35Config(
+                hidden_size=128, intermediate_size=256, num_hidden_layers=4,
+                num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+                vocab_size=1024, rms_norm_eps=1e-6, rope_theta=1e6,
+                partial_rotary_factor=0.25,
+                layer_types=("linear_attention",) * 3 + ("full_attention",),
+                linear_num_key_heads=2, linear_num_value_heads=4,
+                linear_key_head_dim=16, linear_value_head_dim=16,
+                linear_conv_kernel_dim=4, tie_word_embeddings=True,
+                eos_token_id=0, stop_token_ids=(0,),
+                max_position_embeddings=4096,
+            )
+        else:
+            cfg = q35.bench_config()
+        params = q35.init_bench_params(cfg)
+        runtime = q35.make_runtime(cfg, params, num_pages=num_pages,
+                                   page_size=page_size)
+        metric_base = "qwen35_4b"
+    else:
+        cfg = smoke_config() if smoke else qwen3_4b_config()
+        params = q3.init_bench_params(cfg)
+        if quant == "int8":
+            params = q3.quantize_params_int8(params)
+        runtime = q3.make_runtime(cfg, params, num_pages=num_pages,
+                                  page_size=page_size)
+        metric_base = "qwen3_4b"
     ex = JaxExecutor(runtime, EngineLoadOptions())
     handle = start_scheduler(ex)
     note("params + runtime built; scheduler up")
@@ -152,7 +178,8 @@ def main():
         times = [d / blocks for d in block_deltas]
     else:
         times = [tpot_p50]
-    metric = "qwen3_4b_decode_tpot_p50_ms" if not quant else f"qwen3_4b_{quant}_decode_tpot_p50_ms"
+    metric = (f"{metric_base}_decode_tpot_p50_ms" if not quant
+              else f"{metric_base}_{quant}_decode_tpot_p50_ms")
     result = {
         "metric": metric,
         "value": round(tpot_p50, 3),

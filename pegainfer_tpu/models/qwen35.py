@@ -275,6 +275,71 @@ def params_from_state_dict(cfg: Qwen35Config, sd: Dict[str, Any], dtype=jnp.bflo
     return params
 
 
+def bench_config() -> "Qwen35Config":
+    """Qwen3.5-4B-class shapes (period-4 hybrid: 3 linear + 1 full per
+    group × 8 groups = 32 layers; hd256 GQA8 full attention — reference
+    crate: pegainfer-qwen35-4b/src/config.rs:43-71)."""
+    return Qwen35Config(
+        hidden_size=2048, intermediate_size=6144, num_hidden_layers=32,
+        num_attention_heads=16, num_key_value_heads=2, head_dim=256,
+        vocab_size=151936, rms_norm_eps=1e-6, rope_theta=1e7,
+        partial_rotary_factor=0.25,
+        layer_types=("linear_attention",) * 3 + ("full_attention",),
+        linear_num_key_heads=16, linear_num_value_heads=32,
+        linear_key_head_dim=128, linear_value_head_dim=128,
+        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+    )
+
+
+def init_bench_params(cfg: Qwen35Config, dtype=jnp.bfloat16, fill: float = 0.01):
+    """Constant-filled params at real shapes, allocated device-side (see
+    qwen3.init_bench_params — benchmark timing is data-independent)."""
+    G, pl_ = cfg.num_groups, cfg.period - 1
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Hq, hd = cfg.num_attention_heads, cfg.head_dim
+    Hkv = cfg.num_key_value_heads
+    Hv = cfg.linear_num_value_heads
+    kd, vd, K = cfg.key_dim, cfg.value_dim, cfg.linear_conv_kernel_dim
+
+    def w(*shape):
+        return jnp.full(shape, fill, dtype=dtype)
+
+    def ones(*shape, dt=dtype):
+        return jnp.ones(shape, dtype=dt)
+
+    lin = {
+        "input_ln": ones(G, pl_, D),
+        "wq": w(G, pl_, D, kd), "wk": w(G, pl_, D, kd),
+        "wv": w(G, pl_, D, vd), "wz": w(G, pl_, D, vd),
+        "wb": w(G, pl_, D, Hv), "wa": w(G, pl_, D, Hv),
+        "conv_w": jnp.full((G, pl_, cfg.conv_dim, K), fill, jnp.float32),
+        "dt_bias": jnp.zeros((G, pl_, Hv), jnp.float32),
+        "A_log": jnp.zeros((G, pl_, Hv), jnp.float32),
+        "norm_w": ones(G, pl_, cfg.linear_value_head_dim),
+        "out_proj": w(G, pl_, vd, D),
+        "post_ln": ones(G, pl_, D),
+        "mlp_gate_up": w(G, pl_, D, 2 * I),
+        "mlp_down": w(G, pl_, I, D),
+    }
+    full = {
+        "input_ln": ones(G, D),
+        "wq": w(G, D, Hq * hd), "wgate": w(G, D, Hq * hd),
+        "wk": w(G, D, Hkv * hd), "wv": w(G, D, Hkv * hd),
+        "q_norm": ones(G, hd), "k_norm": ones(G, hd),
+        "wo": w(G, Hq * hd, D),
+        "post_ln": ones(G, D),
+        "mlp_gate_up": w(G, D, 2 * I),
+        "mlp_down": w(G, I, D),
+    }
+    return {
+        "embed": w(V, D),
+        "lin": lin,
+        "full": full,
+        "final_ln": ones(D),
+        "lm_head": w(D, V),
+    }
+
+
 # ── State ────────────────────────────────────────────────────────────────
 
 

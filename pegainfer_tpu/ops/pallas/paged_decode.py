@@ -16,6 +16,7 @@ one (request, head) page DMA is a contiguous [page_size, hd] block.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+# pages per double-buffered DMA chunk (tuning knob; larger chunks amortize
+# per-chunk control overhead at long context — scripts/decode_context_sweep.py)
+DEFAULT_CHUNK_PAGES = int(os.environ.get("PEGAINFER_CHUNK_PAGES", "8"))
 
 
 def _kernel(
@@ -168,7 +173,7 @@ def paged_attention_decode(
     page_tables: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32 (0 = dead/padding row)
     scale: float,
-    chunk_pages: int = 8,
+    chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: bool = False,
     cur_k=None,  # [B, Hkv, hd] — current token's k/v from the in-flight
     cur_v=None,  # tensors (pages then hold only the first seq_len-1 tokens)
