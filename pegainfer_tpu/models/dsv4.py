@@ -32,6 +32,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from pegainfer_tpu.ops import dsa, hc, quant
 
@@ -374,15 +375,50 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
     u = (x @ lw["shared_w3"].T).astype(jnp.float32)
     shared = swiglu(g, u).astype(x.dtype) @ lw["shared_w2"].T
 
-    # routed experts — dense one-hot combine (v1; grouped sharded GEMMs are
-    # the staged optimization, reference moe-ag-rs.md)
-    onehot = jax.nn.one_hot(route_idx, E, dtype=jnp.float32)  # [T, K, E]
-    tok_w = jnp.einsum("tk,tke->te", weights, onehot)  # [T, E]
-    ge = jnp.einsum("td,eid->tei", x.astype(jnp.float32), lw["experts_w1"].astype(jnp.float32))
-    ue = jnp.einsum("td,eid->tei", x.astype(jnp.float32), lw["experts_w3"].astype(jnp.float32))
-    act = swiglu(ge, ue)  # [T, E, I]
-    per_e = jnp.einsum("tei,edi->ted", act, lw["experts_w2"].astype(jnp.float32))
-    routed = jnp.einsum("te,ted->td", tok_w, per_e)
+    if T >= 8:
+        # prefill scale: sort token-slots by expert and run grouped GEMMs
+        # (lax.ragged_dot_general — XLA's MoE group-GEMM primitive; the
+        # reference's analog is its grouped expert GEMM kernels,
+        # deepseek_quant.cu moe_fp4_grouped_w13). O(T·K·I·D) instead of the
+        # dense O(T·E·I·D) one-hot combine.
+        M = T * K
+        flat_e = route_idx.reshape(M)
+        flat_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), K)
+        flat_w = weights.reshape(M)
+        order = jnp.argsort(flat_e)
+        src_t = flat_t[order]
+        xs = x.astype(jnp.float32)[src_t]  # [M, D] in expert order
+        group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+        dn = lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((1,), (2,)), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[0],
+        )
+        ge = lax.ragged_dot_general(
+            xs, lw["experts_w1"].astype(jnp.float32), group_sizes, dn)
+        ue = lax.ragged_dot_general(
+            xs, lw["experts_w3"].astype(jnp.float32), group_sizes, dn)
+        act = swiglu(ge, ue)  # [M, I]
+        dn2 = lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((1,), (2,)), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[0],
+        )
+        per = lax.ragged_dot_general(
+            act, lw["experts_w2"].astype(jnp.float32), group_sizes, dn2)
+        per = per * flat_w[order][:, None]
+        routed = jnp.zeros((T, x.shape[1]), jnp.float32).at[src_t].add(per)
+    else:
+        # decode scale: dense one-hot combine (tiny T, trivially fused)
+        onehot = jax.nn.one_hot(route_idx, E, dtype=jnp.float32)  # [T, K, E]
+        tok_w = jnp.einsum("tk,tke->te", weights, onehot)  # [T, E]
+        ge = jnp.einsum("td,eid->tei", x.astype(jnp.float32),
+                        lw["experts_w1"].astype(jnp.float32))
+        ue = jnp.einsum("td,eid->tei", x.astype(jnp.float32),
+                        lw["experts_w3"].astype(jnp.float32))
+        act = swiglu(ge, ue)  # [T, E, I]
+        per_e = jnp.einsum("tei,edi->ted", act, lw["experts_w2"].astype(jnp.float32))
+        routed = jnp.einsum("te,ted->td", tok_w, per_e)
 
     return (routed + shared.astype(jnp.float32)).astype(x.dtype)
 
