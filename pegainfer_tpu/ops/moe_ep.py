@@ -7,8 +7,11 @@ activations are replicated (all-gathered by GSPMD), each shard runs only its
 local experts for the tokens routed to them, and a psum over the expert
 axis combines — collectives ride ICI, inserted explicitly via shard_map.
 
-A `ragged_all_to_all` dispatch variant (tokens shipped instead of
-replicated) is the staged optimization for multi-host prefill scale.
+`moe_ep_a2a` is the token-shipping variant (the reference's pplx-ep
+RDMA all-to-all analog, pegainfer-comm/src/ep_backend.rs dispatch/combine):
+tokens travel to their experts' shards via `lax.ragged_all_to_all` and the
+results travel back — O(T·K·D) wire bytes instead of replicating
+activations, which is what matters at multi-host prefill scale.
 """
 
 from __future__ import annotations
@@ -63,4 +66,144 @@ def moe_ep(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
         local, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(),
+    )(x, w1, w2, w3, route_idx, route_weights)
+
+
+def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
+               swiglu_limit: float, axis: str = "tp",
+               transport: str = "ragged"):
+    """Token-shipping expert-parallel MoE (4-step dispatch/combine).
+
+    x: [T, D] sharded over ``axis`` on T (T % n_shards == 0); w1/w3:
+    [E, I, D], w2: [E, D, I] sharded on E; route_idx/route_weights: [T, K]
+    sharded on T. Returns [T, D] f32 sharded on T — same math as
+    ``moe_ep`` / the dense one-hot combine.
+
+    Per shard: (1) sort local (token, k) slots by destination shard and
+    all-to-all the activation rows out (dispatch); (2) re-sort received
+    rows by local expert and run grouped GEMMs (lax.ragged_dot_general);
+    (3) reverse all-to-all the results back (combine); (4) unsort and
+    weighted scatter-add at the origin.
+
+    ``transport``: "ragged" uses ``lax.ragged_all_to_all`` — only the
+    actually-routed rows travel (the wire-efficiency point of this path;
+    TPU-only: XLA:CPU has no ragged-all-to-all thunk, so it cannot be
+    exercised on the virtual CPU mesh). "dense" ships fixed worst-case
+    blocks via ``lax.all_to_all`` — same routing/offset/grouping logic,
+    runs everywhere; it is the CPU-test oracle for this function.
+    """
+    E = w1.shape[0]
+    n = mesh.shape[axis]
+    E_loc = E // n
+    K = route_idx.shape[1]
+
+    def local(xs, w1s, w2s, w3s, idx, wts):
+        T_loc, D = xs.shape
+        M = T_loc * K
+        cap = M * n  # worst case: every shard routes all slots here
+
+        flat_e = idx.reshape(M)
+        dest = flat_e // E_loc  # destination shard per slot
+        order = jnp.argsort(dest)  # slots grouped by destination
+        send_rows = jnp.concatenate(
+            [
+                xs.astype(jnp.float32)[jnp.repeat(
+                    jnp.arange(T_loc, dtype=jnp.int32), K)],
+                (flat_e % E_loc).astype(jnp.float32)[:, None],  # local expert
+            ],
+            axis=1,
+        )[order]  # [M, D+1] in destination order
+        send_sizes = jnp.bincount(dest, length=n).astype(jnp.int32)
+        input_offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(send_sizes)[:-1].astype(jnp.int32)]
+        )
+        # size exchange: how much each peer sends me
+        recv_sizes = jax.lax.all_to_all(
+            send_sizes.reshape(n, 1), axis, 0, 0, tiled=False
+        ).reshape(n)
+
+        if transport == "ragged":
+            # where my data lands in each peer's receive buffer
+            recv_offsets = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32),
+                 jnp.cumsum(recv_sizes)[:-1].astype(jnp.int32)]
+            )
+            output_offsets = jax.lax.all_to_all(
+                recv_offsets.reshape(n, 1), axis, 0, 0, tiled=False
+            ).reshape(n)
+            # (1) dispatch: rows from peer j land at recv_offsets[j]
+            rx = jax.lax.ragged_all_to_all(
+                send_rows,
+                jnp.zeros((cap, D + 1), jnp.float32),
+                input_offsets, send_sizes, output_offsets, recv_sizes,
+                axis_name=axis,
+            )
+            rx_valid = jnp.arange(cap) < jnp.sum(recv_sizes)
+        else:
+            # (1) dispatch, dense blocks: slot for dest d, k-th row = d*M + k
+            buf = jnp.zeros((cap, D + 1), jnp.float32)
+            pos = dest[order] * M + (
+                jnp.arange(M, dtype=jnp.int32) - input_offsets[dest[order]]
+            )
+            buf = buf.at[pos].set(send_rows)
+            rx = jax.lax.all_to_all(
+                buf.reshape(n, M, D + 1), axis, 0, 0, tiled=False
+            ).reshape(cap, D + 1)
+            # block j holds recv_sizes[j] valid rows
+            rx_valid = (jnp.arange(cap, dtype=jnp.int32) % M) < jnp.repeat(
+                recv_sizes, M)
+
+        rx_e = jnp.where(rx_valid, rx[:, D].astype(jnp.int32), E_loc)
+
+        # (2) local grouped expert GEMMs. Padding rows carry key E_loc: they
+        # sort last, bincount(length=E_loc) drops them, and rows past
+        # sum(group_sizes) are outside the ragged region — garbage results
+        # that are never consumed.
+        e_order = jnp.argsort(rx_e)
+        rows = rx[e_order, :D]
+        group_sizes = jnp.bincount(rx_e, length=E_loc).astype(jnp.int32)
+        dn = jax.lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((1,), (2,)), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[0],
+        )
+        g = jax.lax.ragged_dot_general(
+            rows, w1s.astype(jnp.float32), group_sizes, dn)
+        u = jax.lax.ragged_dot_general(
+            rows, w3s.astype(jnp.float32), group_sizes, dn)
+        act = _swiglu(g, u, swiglu_limit)
+        y = jax.lax.ragged_dot_general(
+            act, w2s.astype(jnp.float32), group_sizes, dn)  # [cap, D]
+        y = jnp.zeros_like(y).at[e_order].set(y)  # back to received order
+
+        # (3) combine: reverse shipment — I return to shard i the rows I
+        # received from it; they land where i originally sent them from.
+        if transport == "ragged":
+            rev_output_offsets = jax.lax.all_to_all(
+                input_offsets.reshape(n, 1), axis, 0, 0, tiled=False
+            ).reshape(n)
+            back = jax.lax.ragged_all_to_all(
+                y,
+                jnp.zeros((M, D), jnp.float32),
+                recv_offsets, recv_sizes, rev_output_offsets, send_sizes,
+                axis_name=axis,
+            )  # [M, D] aligned with send_rows (destination order)
+        else:
+            back_blocks = jax.lax.all_to_all(
+                y.reshape(n, M, D), axis, 0, 0, tiled=False
+            ).reshape(cap, D)
+            back = back_blocks[pos]  # undo the dispatch scatter layout
+
+        # (4) unsort + weighted combine at the origin
+        flat_t = jnp.repeat(jnp.arange(T_loc, dtype=jnp.int32), K)
+        w_flat = wts.astype(jnp.float32).reshape(M)
+        out = jnp.zeros((T_loc, D), jnp.float32).at[flat_t[order]].add(
+            back * w_flat[order][:, None]
+        )
+        return out
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
     )(x, w1, w2, w3, route_idx, route_weights)
