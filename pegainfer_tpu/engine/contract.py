@@ -69,6 +69,11 @@ class EngineLoadOptions:
     # (weight-only per-channel — approximate serving, halves decode HBM
     # traffic; models without support ignore it).
     quantize: Optional[str] = None
+    # Shared-prompt-prefix page cache (docs/prefix-cache-design.md): repeat
+    # prompts skip prefilling their cached page-aligned prefix. Active for
+    # models that declare support (stateless-prefix attention, e.g. Qwen3);
+    # forces the Python KV accounting backend.
+    enable_prefix_cache: bool = True
 
 
 @dataclass

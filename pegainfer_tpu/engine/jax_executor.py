@@ -113,6 +113,12 @@ class ModelRuntime:
     prefill_chunk_wa_fn: Optional[Callable] = None
     make_chunk_pend_fn: Optional[Callable] = None  # (n_pages) -> cpend
     flush_chunk_pend_fn: Optional[Callable] = None  # (state, cpend) -> state
+    # True when a prompt prefix's pages fully determine its attention state
+    # (no per-slot recurrent/compressor state), so prefix pages can be
+    # shared across requests (docs/prefix-cache-design.md). Hybrid models
+    # (Qwen3.5 GDN state, DSv4 compressor rings) need state snapshots at
+    # the prefix boundary — staged.
+    supports_prefix_cache: bool = False
 
 
 @dataclass
@@ -139,7 +145,22 @@ class JaxExecutor:
         self.rt = runtime
         self.params = runtime.params
         self.state = runtime.state
-        self.acct = kvmod.make_accounting(runtime.num_pages, runtime.page_size)
+        use_prefix_cache = (
+            opts.enable_prefix_cache
+            and runtime.supports_prefix_cache
+            and runtime.prefill_chunk_fn is not None
+        )
+        if use_prefix_cache:
+            # prefix sharing needs the refcounted Python pool
+            self.acct = kvmod.KvAccounting(
+                kvmod.PagePool(runtime.num_pages), runtime.page_size
+            )
+            self.prefix_cache = kvmod.PrefixCache(
+                self.acct.pool, runtime.page_size
+            )
+        else:
+            self.acct = kvmod.make_accounting(runtime.num_pages, runtime.page_size)
+            self.prefix_cache = None
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
         self.decode_block = max(1, opts.decode_block)
         self.prefill_chunk = max(self.rt.page_size, opts.prefill_chunk)
@@ -154,7 +175,9 @@ class JaxExecutor:
         # power of two — table entries beyond the pool are null pages, and
         # pow2 widths keep jit variants few and kernel tiles aligned
         cap = 8
-        while cap < self._max_pages:
+        # + one chunk of slack: chunked prefill tables must cover the last
+        # chunk's full span even when a cached-prefix offset misaligns it
+        while cap < self._max_pages + self.prefill_chunk // runtime.page_size:
             cap *= 2
         self._table_cap = cap
 
@@ -176,7 +199,12 @@ class JaxExecutor:
         return self.rt.page_size
 
     def available_pages(self) -> int:
-        return self.acct.pool.available
+        avail = self.acct.pool.available
+        if self.prefix_cache is not None:
+            # cache-only pages are reclaimed on alloc (eviction hook) — they
+            # are available for admission purposes
+            avail += self.prefix_cache.evictable()
+        return avail
 
     def max_request_pages(self) -> int:
         return self._max_pages
@@ -401,6 +429,24 @@ class JaxExecutor:
             log.info("compiling prefill chunk Tc=%d P=%d", Tc, P)
         return fn
 
+    def _maybe_seed_prefix(self, item, st) -> None:
+        """Seed ``st`` with cached prefix pages for this prompt (no-op when
+        the cache is off, the request already has pages, or the consumer
+        needs echo logprobs for the cached region)."""
+        if (
+            self.prefix_cache is None
+            or st.pages
+            or st.length > 0
+            or getattr(st, "prefix_checked", False)
+            or (item.echo and item.logprobs > 0)
+        ):
+            return
+        st.prefix_checked = True
+        n_tok, pages = self.prefix_cache.match(item.prompt_tokens)
+        if n_tok:
+            st.pages = list(pages)
+            st.prefix_len = n_tok
+
     def supports_chunked_prefill(self, item) -> bool:
         return (
             self.rt.prefill_chunk_fn is not None
@@ -415,53 +461,81 @@ class JaxExecutor:
         bounded by one chunk, not the whole prompt)."""
         st = self.acct.state(item.request_id)
         T = len(item.prompt_tokens)
+        ps = self.rt.page_size
         chunk = self.prefill_chunk
+        self._maybe_seed_prefix(item, st)
+        start0 = getattr(st, "prefix_len", 0)
         st.ensure_capacity(self.acct.pool, T)
         pages = st.pages
-        P = bucket_pow2(len(pages), 8, self._table_cap)
-        table = np.full(P, PagePool.NULL_PAGE, dtype=np.int32)
-        table[: len(pages)] = pages
-        table_dev = jnp.asarray(table)
         slot = jnp.int32(self._slot(item.request_id))
 
+        # Chunk sizes: full chunks, plus a small bucket for the tail so a
+        # short remainder (e.g. a near-full prefix-cache hit) doesn't pay a
+        # whole padded chunk of GEMMs (measured 1267 -> ~60 ms warm TTFT).
+        small = 256 if (256 % ps == 0 and 256 < chunk) else chunk
+
+        def pick(rem: int) -> int:
+            return small if rem <= small else chunk
+
+        # Tables must cover each chunk's FULL page span (the model
+        # dynamic-slices chunk_len/ps entries from first_page; an
+        # out-of-range slice start would CLAMP in XLA and silently write
+        # the wrong pages) — compute per-chunk since tail chunks differ.
         use_wa = self.rt.prefill_chunk_wa_fn is not None
-        if use_wa:
-            nPc = chunk // self.rt.page_size
-            cpend = self.rt.make_chunk_pend_fn(nPc)
-            key = ("chunk_wa", chunk, P)
-            fn = self._jit_prefill.get(key)
-            if fn is None:
-                fn = jax.jit(self.rt.prefill_chunk_wa_fn, donate_argnums=(1, 2))
-                self._jit_prefill[key] = fn
-                log.info("compiling wa prefill chunk Tc=%d P=%d", chunk, P)
-        else:
-            fn = self._prefill_chunk_jit(chunk, P)
+        cpend = None
+        table_cache = {}
         last_logits = None
-        for start in range(0, T, chunk):
-            part = item.prompt_tokens[start:start + chunk]
-            toks = np.zeros(chunk, dtype=np.int32)
+        start = start0
+        while start < T:
+            Tc = pick(T - start)
+            need_entries = -(-(start + Tc) // ps)
+            P = bucket_pow2(max(len(pages), need_entries), 8, self._table_cap)
+            table_dev = table_cache.get(P)
+            if table_dev is None:
+                table = np.full(P, PagePool.NULL_PAGE, dtype=np.int32)
+                table[: len(pages)] = pages
+                table_dev = table_cache[P] = jnp.asarray(table)
+            part = item.prompt_tokens[start:start + Tc]
+            toks = np.zeros(Tc, dtype=np.int32)
             toks[: len(part)] = part
             if use_wa:
+                if cpend is None:
+                    cpend = self.rt.make_chunk_pend_fn(Tc // ps)
+                nP_in = cpend["rows"].shape[0]
+                key = ("chunk_wa", Tc, P, nP_in)
+                fn = self._jit_prefill.get(key)
+                if fn is None:
+                    fn = jax.jit(self.rt.prefill_chunk_wa_fn,
+                                 donate_argnums=(1, 2))
+                    self._jit_prefill[key] = fn
+                    log.info("compiling wa prefill chunk Tc=%d P=%d nP=%d",
+                             Tc, P, nP_in)
                 self.state, cpend, last_logits = fn(
                     self.params, self.state, cpend, jnp.asarray(toks),
                     jnp.int32(start), jnp.int32(len(part)), table_dev, slot,
                 )
             else:
+                fn = self._prefill_chunk_jit(Tc, P)
                 self.state, last_logits = fn(
                     self.params, self.state, jnp.asarray(toks), jnp.int32(start),
                     jnp.int32(len(part)), table_dev, slot,
                 )
-            if start + chunk < T:
-                yield start + chunk  # progress; caller may run decode now
+            start += Tc
+            if start < T:
+                yield start  # progress; caller may run decode now
         if use_wa:
             # land the last chunk's pages (write-only program — in place)
-            fkey = ("chunk_flush", chunk)
+            fkey = ("chunk_flush", cpend["rows"].shape[0])
             ffn = self._jit_prefill.get(fkey)
             if ffn is None:
                 ffn = jax.jit(self.rt.flush_chunk_pend_fn, donate_argnums=(0, 1))
                 self._jit_prefill[fkey] = ffn
             self.state = ffn(self.state, cpend)
         st.advance(T)
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(
+                item.prompt_tokens, st.pages[: T // self.rt.page_size]
+            )
         logits_b = last_logits[None, :]
         host_toks, dev_toks = self._sample(logits_b, [item])
         lp = self._maybe_logprobs(logits_b, dev_toks, [item])[0]
@@ -483,9 +557,10 @@ class JaxExecutor:
         ps = self.rt.page_size
         T = len(item.prompt_tokens)
         st = self.acct.state(item.request_id)
+        self._maybe_seed_prefix(item, st)  # cache hits route via the stepper
         if (
             self.rt.prefill_chunk_fn is not None
-            and T > self.prefill_chunk
+            and (T > self.prefill_chunk or getattr(st, "prefix_len", 0) > 0)
             and not (item.echo and item.logprobs > 0)
         ):
             return self._prefill_chunked(item, st)
@@ -518,6 +593,8 @@ class JaxExecutor:
                     jnp.asarray([item.random_val], jnp.float32),
                 )
             st.advance(T)
+            if self.prefix_cache is not None:
+                self.prefix_cache.insert(item.prompt_tokens, st.pages[: T // ps])
             return PrefillRequestResult(
                 request_id=item.request_id, first_token=int(np.asarray(tok_dev))
             )
@@ -527,6 +604,8 @@ class JaxExecutor:
         if not want_all:
             all_logits = None
         st.advance(T)
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(item.prompt_tokens, st.pages[: T // ps])
 
         logits_b = last_logits[None, :]
         host_toks, dev_toks = self._sample(logits_b, [item])

@@ -24,11 +24,17 @@ def pages_needed(token_count: int, page_size: int) -> int:
 
 
 class PagePool:
-    """Free-list allocator over a fixed set of KV page ids.
+    """Refcounted free-list allocator over a fixed set of KV page ids.
 
     Page id 0 is reserved as the *null page*: padded batch rows in the jitted
     decode step write their (masked-out) K/V there, so it must never be handed
     to a request.
+
+    Pages are refcounted so the prefix cache can share immutable prompt
+    pages across requests (``incref``/``free`` = decref; a page returns to
+    the free list when its count reaches 0). ``alloc`` hands out pages at
+    refcount 1. An optional eviction hook is invoked on shortage (the
+    prefix cache releases LRU entries) before alloc gives up.
     """
 
     NULL_PAGE = 0
@@ -39,7 +45,9 @@ class PagePool:
         self.num_pages = num_pages
         first = 1 if reserve_null_page else 0
         self._free: List[int] = list(range(num_pages - 1, first - 1, -1))
+        self._refs: Dict[int, int] = {}
         self._allocated = 0
+        self._evict_hook = None  # callable(n_pages_needed) -> None
 
     @property
     def available(self) -> int:
@@ -49,19 +57,36 @@ class PagePool:
     def allocated(self) -> int:
         return self._allocated
 
+    def set_eviction_hook(self, hook) -> None:
+        self._evict_hook = hook
+
     def alloc(self, n: int) -> List[int]:
+        if n > len(self._free) and self._evict_hook is not None:
+            self._evict_hook(n - len(self._free))
         if n > len(self._free):
             raise RuntimeError(f"page pool exhausted: want {n}, have {len(self._free)}")
         pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._refs[p] = 1
         self._allocated += n
         return pages
 
+    def incref(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            self._refs[p] += 1
+
     def free(self, pages: Sequence[int]) -> None:
+        """Drop one reference per page; reclaim pages that hit zero."""
         for p in pages:
             if p == self.NULL_PAGE:
                 raise ValueError("freeing the null page")
-            self._free.append(p)
-        self._allocated -= len(pages)
+            left = self._refs[p] - 1
+            if left == 0:
+                del self._refs[p]
+                self._free.append(p)
+                self._allocated -= 1
+            else:
+                self._refs[p] = left
 
 
 @dataclass
@@ -69,12 +94,16 @@ class KvState:
     """Per-request KV occupancy: ordered page list + token length.
 
     Mirrors the reference KvState grow/advance/reset lifecycle
-    (pegainfer-core/src/kv_pool.rs:151-278).
+    (pegainfer-core/src/kv_pool.rs:151-278). ``prefix_len`` > 0 means the
+    first pages were seeded from the prefix cache (already written on
+    device, shared read-only) and prefill starts at that offset.
     """
 
     page_size: int
     pages: List[int] = field(default_factory=list)
     length: int = 0  # tokens currently stored
+    prefix_len: int = 0  # cached-prefix tokens (page-aligned)
+    prefix_checked: bool = False  # cache lookup already performed
 
     @property
     def capacity(self) -> int:
@@ -126,6 +155,104 @@ class KvAccounting:
     def release_all(self) -> None:
         for rid in list(self._states):
             self.release(rid)
+
+
+# ── Prefix cache ─────────────────────────────────────────────────────────
+
+
+class PrefixCache:
+    """Shared-prompt-prefix page cache over the refcounted PagePool.
+
+    Design: docs/prefix-cache-design.md (the reference carries the same
+    design as a doc only, prefix-paged-kv-pd-handoff.md). The paged layout
+    makes prefixes shareable for free: a cached prefix is a chain of
+    immutable page ids addressed through per-request page tables — reuse is
+    a host-side table edit, zero device copies.
+
+    Keys are a rolling hash per page boundary (hash chains the previous
+    key with the page's token ids), so key_i identifies tokens[0:(i+1)*ps]
+    exactly. LRU eviction runs via the pool's shortage hook.
+    """
+
+    def __init__(self, pool: PagePool, page_size: int) -> None:
+        self.pool = pool
+        self.page_size = page_size
+        self._pages: Dict[int, int] = {}  # chain key -> page id
+        self._lru: Dict[int, int] = {}  # chain key -> tick (dict = insertion order)
+        self._tick = 0
+        self.hits = 0
+        self.misses = 0
+        pool.set_eviction_hook(self._evict)
+
+    def _keys(self, tokens: Sequence[int]):
+        ps = self.page_size
+        h = 0
+        for i in range(len(tokens) // ps):
+            h = hash((h, tuple(tokens[i * ps:(i + 1) * ps])))
+            yield h
+
+    def match(self, tokens: Sequence[int]) -> tuple:
+        """Longest cached prefix of ``tokens``, capped to len-1 tokens (the
+        last prompt token always re-runs so prefill emits its logits).
+        Returns (n_tokens, page_ids) with one pool reference taken per page
+        on the caller's behalf."""
+        ps = self.page_size
+        usable = (len(tokens) - 1) // ps  # full pages, excluding last token
+        pages: List[int] = []
+        self._tick += 1
+        for i, key in enumerate(self._keys(tokens)):
+            if i >= usable:
+                break
+            pid = self._pages.get(key)
+            if pid is None:
+                break
+            pages.append(pid)
+            self._lru[key] = self._tick
+        if pages:
+            self.pool.incref(pages)
+            self.hits += 1
+        else:
+            self.misses += 1
+        return len(pages) * ps, pages
+
+    def insert(self, tokens: Sequence[int], pages: Sequence[int]) -> None:
+        """Register a prefilled prompt's full pages (immutable: generated
+        tokens land on later pages). Takes one reference per newly cached
+        page; already-cached chains are left as-is."""
+        self._tick += 1
+        for i, key in enumerate(self._keys(tokens)):
+            if i >= len(pages):
+                break
+            if key in self._pages:
+                self._lru[key] = self._tick
+                continue
+            self._pages[key] = pages[i]
+            self._lru[key] = self._tick
+            self.pool.incref([pages[i]])
+
+    def evictable(self) -> int:
+        """Pages only the cache holds (refcount 1) — reclaimable on demand.
+        Admission must count these as available or a cache-filled pool
+        deadlocks deferred requests (the eviction hook only fires on
+        alloc, which admission never reaches)."""
+        refs = self.pool._refs
+        return sum(1 for pid in self._pages.values() if refs.get(pid) == 1)
+
+    def _evict(self, n_pages: int) -> None:
+        """Drop LRU entries until ``n_pages`` pages actually return to the
+        free list (a dropped ref only frees a page no live request shares)
+        or the cache is empty. Entries orphaned by an evicted ancestor age
+        out the same way (match always walks from page 0)."""
+        want = self.pool.available + max(n_pages, 0)
+        for key, _ in sorted(self._lru.items(), key=lambda kv: kv[1]):
+            if self.pool.available >= want:
+                break
+            pid = self._pages.pop(key)
+            del self._lru[key]
+            self.pool.free([pid])
+
+    def clear(self) -> None:
+        self._evict(len(self._pages))
 
 
 # ── Native backend ───────────────────────────────────────────────────────

@@ -375,6 +375,9 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
         stop_token_ids=frozenset(cfg.stop_token_ids),
         max_model_len=cfg.max_position_embeddings,
         vocab_size=cfg.vocab_size,
+        # attention state is fully determined by the pages — prefix pages
+        # are shareable across requests (docs/prefix-cache-design.md)
+        supports_prefix_cache=True,
     )
 
 

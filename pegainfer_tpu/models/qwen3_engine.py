@@ -21,7 +21,10 @@ from pegainfer_tpu.utils.weights import load_state_dict
 
 log = logging.getLogger("pegainfer.qwen3")
 
-DEFAULT_PAGE_SIZE = 16
+# 32-token pages halve the decode kernel's per-page DMA-issue count —
+# measured 36 -> 26 ms/step at 16k ctx (scripts/decode_context_sweep.py);
+# granularity waste is ~half a page (~16 tokens) per request.
+DEFAULT_PAGE_SIZE = 32
 FALLBACK_NUM_PAGES = 512
 
 

@@ -125,8 +125,14 @@ def test_kv_fully_released_after_traffic(engine):
     handle, _, ex = engine
     import time
 
+    # pages retained by the prefix cache are by design, not a leak — drop
+    # them so the assertion checks request-held pages only
+    if ex.prefix_cache is not None:
+        ex.prefix_cache.clear()
     deadline = time.time() + 10
     while ex.acct.pool.allocated and time.time() < deadline:
+        if ex.prefix_cache is not None:
+            ex.prefix_cache.clear()
         time.sleep(0.05)
     assert ex.acct.pool.allocated == 0
 
