@@ -27,6 +27,7 @@ def note(msg: str) -> None:
     print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 BASELINE_TPOT_MS = 11.31  # bench_snapshots/rtx-5070-ti/qwen3-4b.json decode_heavy p50
+BASELINE_TPOT_MS_QWEN35 = 12.39  # rtx-5070-ti/qwen3.5-4b.json decode_heavy p50
 
 
 def qwen3_4b_config():
@@ -124,6 +125,7 @@ def main():
         runtime = q35.make_runtime(cfg, params, num_pages=num_pages,
                                    page_size=page_size)
         metric_base = "qwen35_4b"
+        baseline = BASELINE_TPOT_MS_QWEN35
     else:
         cfg = smoke_config() if smoke else qwen3_4b_config()
         params = q3.init_bench_params(cfg)
@@ -132,6 +134,7 @@ def main():
         runtime = q3.make_runtime(cfg, params, num_pages=num_pages,
                                   page_size=page_size)
         metric_base = "qwen3_4b"
+        baseline = BASELINE_TPOT_MS
     ex = JaxExecutor(runtime, EngineLoadOptions())
     handle = start_scheduler(ex)
     note("params + runtime built; scheduler up")
@@ -165,6 +168,11 @@ def main():
     ttft_ms, stamps = run_request(n_decode + 2)
     note("measured request done")
     handle.shutdown()
+    if len(stamps) < 4:
+        print(json.dumps({"metric": "bench_error", "value": -1.0,
+                          "unit": "ms", "vs_baseline": 0.0,
+                          "extra": {"tokens_seen": len(stamps)}}))
+        sys.exit(1)
 
     # Tokens arrive in decode_block bursts: steady TPOT = wall time per
     # token over the post-first-block region; percentiles from block-level
@@ -184,7 +192,7 @@ def main():
         "metric": metric,
         "value": round(tpot_p50, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_TPOT_MS / tpot_p50, 3),
+        "vs_baseline": round(baseline / tpot_p50, 3),
         "extra": {
             "ttft_ms": round(ttft_ms, 1),
             "decode_tok_s": round(1e3 / tpot_p50, 1),

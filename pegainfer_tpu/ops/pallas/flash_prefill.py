@@ -121,6 +121,10 @@ def flash_attention(
     S = k.shape[0]
     Hkv = k.shape[1]
     G = Hq // Hkv
+    # scoped-VMEM budget: shrink the q tile for wide-head / high-GQA models
+    # (hd 256 × G 8 at tq 256 overflows the 16 MB scoped limit)
+    while G * tq * hd * 2 > 512 * 1024 and tq > 64:
+        tq //= 2
     tq = min(tq, T)
     tk = min(tk, S)
     if T % tq or S % tk:
