@@ -122,6 +122,8 @@ def main():
         else:
             cfg = q35.bench_config()
         params = q35.init_bench_params(cfg)
+        if quant == "int8":
+            params = q35.quantize_params_int8(params)
         runtime = q35.make_runtime(cfg, params, num_pages=num_pages,
                                    page_size=page_size)
         metric_base = "qwen35_4b"

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from pegainfer_tpu.models.qwen3 import _proj
 from pegainfer_tpu.ops import attention as att
 from pegainfer_tpu.ops import gdn
 from pegainfer_tpu.ops.norm import rms_norm_zero_centered as rms_norm
@@ -340,6 +341,27 @@ def init_bench_params(cfg: Qwen35Config, dtype=jnp.bfloat16, fill: float = 0.01)
     }
 
 
+def quantize_params_int8(params):
+    """Weight-only int8 (per output channel) for the streaming-bound
+    matrices; norms/embed/conv/gates stay in their checkpoint dtype — see
+    qwen3.quantize_params_int8. CONSUMES ``params`` (buffers donated)."""
+    from pegainfer_tpu.models.qwen3 import _qs_int8_donating
+
+    big_lin = ("wq", "wk", "wv", "wz", "out_proj", "mlp_gate_up", "mlp_down")
+    big_full = ("wq", "wgate", "wk", "wv", "wo", "mlp_gate_up", "mlp_down")
+    lin = {k: (_qs_int8_donating(v) if k in big_lin else v)
+           for k, v in params["lin"].items()}
+    full = {k: (_qs_int8_donating(v) if k in big_full else v)
+            for k, v in params["full"].items()}
+    return {
+        "embed": params["embed"],
+        "lin": lin,
+        "full": full,
+        "final_ln": params["final_ln"],
+        "lm_head": _qs_int8_donating(params["lm_head"]),
+    }
+
+
 # ── State ────────────────────────────────────────────────────────────────
 
 
@@ -374,17 +396,17 @@ def kv_bytes_per_page(cfg: Qwen35Config, page_size: int, dtype=jnp.bfloat16) -> 
 
 
 def _mlp(lw, x):
-    gu = x @ lw["mlp_gate_up"]
+    gu = _proj(lw, "mlp_gate_up", x)
     gate, up = jnp.split(gu, 2, axis=-1)
-    return (jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up) @ lw["mlp_down"]
+    return _proj(lw, "mlp_down", jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up)
 
 
 def _gdn_project(cfg: Qwen35Config, lw, h):
     """h: [N, D] → conv input [N, conv_dim] plus z, g, beta (pre-conv)."""
-    q = h @ lw["wq"]  # [N, Hk*dk]
-    k = h @ lw["wk"]
-    v = h @ lw["wv"]  # [N, Hv*dv]
-    z = (h @ lw["wz"]).reshape(-1, cfg.linear_num_value_heads, cfg.linear_value_head_dim)
+    q = _proj(lw, "wq", h)  # [N, Hk*dk]
+    k = _proj(lw, "wk", h)
+    v = _proj(lw, "wv", h)  # [N, Hv*dv]
+    z = _proj(lw, "wz", h).reshape(-1, cfg.linear_num_value_heads, cfg.linear_value_head_dim)
     b = h @ lw["wb"]  # [N, Hv]
     a = h @ lw["wa"]
     beta = jax.nn.sigmoid(b.astype(jnp.float32))
@@ -421,10 +443,10 @@ def _full_qkv(cfg: Qwen35Config, fw, h, cos, sin):
     """Full-attention projections with qk-norm + partial RoPE + gate."""
     N = h.shape[0]
     hd = cfg.head_dim
-    q = (h @ fw["wq"]).reshape(N, cfg.num_attention_heads, hd)
-    gate = h @ fw["wgate"]  # [N, Hq*hd]
-    k = (h @ fw["wk"]).reshape(N, cfg.num_key_value_heads, hd)
-    v = (h @ fw["wv"]).reshape(N, cfg.num_key_value_heads, hd)
+    q = _proj(fw, "wq", h).reshape(N, cfg.num_attention_heads, hd)
+    gate = _proj(fw, "wgate", h)  # [N, Hq*hd]
+    k = _proj(fw, "wk", h).reshape(N, cfg.num_key_value_heads, hd)
+    v = _proj(fw, "wv", h).reshape(N, cfg.num_key_value_heads, hd)
     q = rms_norm(q, fw["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, fw["k_norm"], cfg.rms_norm_eps)
     rd = cfg.rotary_dim
@@ -443,7 +465,8 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
             use_pallas: bool = False):
     """Prefill one prompt; write KV pages + slot recurrent/conv state.
 
-    tokens: [T] int32 padded (T % gdn_chunk_size == 0); slot: scalar int32.
+    tokens: [T] int32 padded (T a multiple of the effective GDN chunk —
+    clamped to T for short prompts); slot: scalar int32.
     Returns (state, last_logits [V] f32, all_logits|None).
     """
     T = tokens.shape[0]
@@ -474,11 +497,12 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
                 (cfg.linear_num_value_heads, cfg.linear_key_head_dim,
                  cfg.linear_value_head_dim), jnp.float32,
             )
-            out, S = gdn.gdn_chunk(q, k, v, g, beta, S0, chunk=gdn_chunk_size)
+            out, S = gdn.gdn_chunk(q, k, v, g, beta, S0,
+                                   chunk=min(gdn_chunk_size, T))
             S_new.append(S)
             conv_new.append(conv_state)
             out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
-            x = x + out.reshape(T, -1) @ lw["out_proj"]
+            x = x + _proj(lw, "out_proj", out.reshape(T, -1))
             h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
             x = x + _mlp(lw, h)
 
@@ -493,7 +517,7 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
         else:
             o = att.prefill_attention(q, k, v, seq_len, scale)
         o = o.reshape(T, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
-        x = x + o @ fw["wo"]
+        x = x + _proj(fw, "wo", o)
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(fw, h)
         return x, (k, v, jnp.stack(S_new), jnp.stack(conv_new))
@@ -513,9 +537,9 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
     state = {"kv": kv, "rec": rec, "conv": conv}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     if return_all_logits:
-        all_logits = (x @ params["lm_head"]).astype(jnp.float32)
+        all_logits = _proj(params, "lm_head", x).astype(jnp.float32)
         return state, all_logits[seq_len - 1], all_logits
-    last = (x[seq_len - 1] @ params["lm_head"]).astype(jnp.float32)
+    last = _proj(params, "lm_head", x[seq_len - 1][None, :])[0].astype(jnp.float32)
     return state, last, None
 
 
@@ -604,7 +628,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
             out, S = gdn.gdn_chunk(q, k, v, g, beta, S0, chunk=chunk_sz)
             S_new.append(S)
             out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
-            x = x + out.reshape(Tc, -1) @ lw["out_proj"]
+            x = x + _proj(lw, "out_proj", out.reshape(Tc, -1))
             h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
             x = x + _mlp(lw, h)
 
@@ -623,7 +647,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
         else:
             o = att.chunk_attention_seq(q, k_seq, v_seq, start_pos, scale)
         o = o.reshape(Tc, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
-        x = x + o @ fw["wo"]
+        x = x + _proj(fw, "wo", o)
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(fw, h)
         return x, (k, v, jnp.stack(S_new), jnp.stack(conv_new))
@@ -644,7 +668,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
     cpend = {"rows": rows, "pages": chunk_table, "rec": S_all,
              "conv": conv_all, "slot": slot}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
-    last = (x[valid - 1] @ params["lm_head"]).astype(jnp.float32)
+    last = _proj(params, "lm_head", x[valid - 1][None, :])[0].astype(jnp.float32)
     return state, cpend, last
 
 
@@ -750,7 +774,7 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
             out, rec_rows = gdn.gdn_step(q, k, v, g, beta, rec_rows)
             rec_new.append(rec_rows)
             out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
-            x = x + out.reshape(B, -1) @ lw["out_proj"]
+            x = x + _proj(lw, "out_proj", out.reshape(B, -1))
             h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
             x = x + _mlp(lw, h)
 
@@ -769,7 +793,7 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
                                            page_tables, seq_lens, scale,
                                            cur_k=k, cur_v=v)
         o = o.reshape(B, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
-        x = x + o @ fw["wo"]
+        x = x + _proj(fw, "wo", o)
         h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(fw, h)
         return x, (k, v, jnp.stack(rec_new), jnp.stack(conv_new))
@@ -792,7 +816,7 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
         "state_slots": slots,
     }
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _proj(params, "lm_head", x).astype(jnp.float32)
     return state, pend, logits
 
 

@@ -47,6 +47,9 @@ def start_engine(
     sd = load_state_dict(model_path)
     params = q35.params_from_state_dict(cfg, sd)
     del sd
+    if opts.quantize == "int8":
+        log.info("quantizing weights: int8 per-output-channel (weight-only)")
+        params = q35.quantize_params_int8(params)
 
     page_size = DEFAULT_PAGE_SIZE
     num_pages = opts.max_num_pages or _compute_num_pages(cfg, page_size, opts, params)

@@ -64,3 +64,68 @@ def test_int8_engine_generates(cfg_params):
         assert toks2 == toks  # deterministic
     finally:
         handle.shutdown()
+
+
+# ── Qwen3.5 hybrid int8 ──────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def q35_cfg_params():
+    from pegainfer_tpu.models import qwen35 as q35
+
+    cfg = q35.Qwen35Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        partial_rotary_factor=0.25,
+        layer_types=("linear_attention",) * 3 + ("full_attention",),
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+        eos_token_id=1, stop_token_ids=(1,), max_position_embeddings=512,
+    )
+    params = q35.init_bench_params(cfg, dtype=jnp.float32, fill=0.02)
+    # perturb so logits aren't degenerate-uniform
+    rng = np.random.default_rng(3)
+    params["embed"] = jnp.asarray(
+        rng.standard_normal(params["embed"].shape) * 0.05, jnp.float32)
+    params["lm_head"] = jnp.asarray(
+        rng.standard_normal(params["lm_head"].shape) * 0.05, jnp.float32)
+    return cfg, params
+
+
+def test_q35_int8_logits_close(q35_cfg_params):
+    from pegainfer_tpu.models import qwen35 as q35
+
+    cfg, params = q35_cfg_params
+    q8 = q35.quantize_params_int8(jax.tree.map(lambda a: a, params))
+    state = q35.make_state(cfg, 32, 4, max_slots=2, kv_dtype=jnp.float32)
+    state8 = q35.make_state(cfg, 32, 4, max_slots=2, kv_dtype=jnp.float32)
+    toks = jnp.asarray(np.arange(8) + 3, jnp.int32)
+    table = jnp.asarray([1, 2], jnp.int32)
+    _, l1, _ = q35.prefill(cfg, params, state, toks, jnp.int32(8), table,
+                           jnp.int32(0))
+    _, l2, _ = q35.prefill(cfg, q8, state8, toks, jnp.int32(8), table,
+                           jnp.int32(0))
+    a, b = np.asarray(l1), np.asarray(l2)
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+
+def test_q35_int8_engine_generates(q35_cfg_params):
+    from pegainfer_tpu.models import qwen35 as q35
+
+    cfg, params = q35_cfg_params
+    q8 = q35.quantize_params_int8(jax.tree.map(lambda a: a, params))
+    runtime = q35.make_runtime(cfg, q8, num_pages=64, page_size=4,
+                               max_slots=4, kv_dtype=jnp.float32)
+    handle = start_scheduler(JaxExecutor(runtime, EngineLoadOptions(
+        max_batch_size=4)))
+    try:
+        req = GenerateRequest(prompt_tokens=[3, 9, 27], max_tokens=10,
+                              params=SamplingParams(ignore_eos=True))
+        handle.submit(req)
+        toks = [ev.id for ev in req.channel if isinstance(ev, Token)]
+        assert len(toks) == 10
+    finally:
+        handle.shutdown()
