@@ -106,6 +106,15 @@ def place_tree(mesh: Mesh, params, specs):
     recurse into the spec itself.)
     """
     if isinstance(params, dict):
+        if set(params.keys()) == {"q8", "s"} and not isinstance(specs, dict):
+            # int8 weight-only leaf ({q8: [..., in, out], s: [..., out]}):
+            # the matrix spec applies to q8; the scale drops the input axis
+            sp = tuple(specs)
+            s_spec = P(*(sp[:-2] + sp[-1:])) if len(sp) >= 2 else P()
+            return {
+                "q8": jax.device_put(params["q8"], NamedSharding(mesh, specs)),
+                "s": jax.device_put(params["s"], NamedSharding(mesh, s_spec)),
+            }
         return {k: place_tree(mesh, params[k], specs[k]) for k in params}
     if isinstance(params, (list, tuple)):
         return type(params)(

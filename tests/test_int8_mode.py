@@ -129,3 +129,23 @@ def test_q35_int8_engine_generates(q35_cfg_params):
         assert len(toks) == 10
     finally:
         handle.shutdown()
+
+
+def test_int8_tp_sharding(cfg_params):
+    """int8 {q8, s} leaves shard under the TP specs (scale drops the input
+    axis) and produce the same logits as unsharded int8."""
+    from pegainfer_tpu.parallel.sharding import MeshConfig, make_mesh, shard_qwen3
+
+    cfg, params = cfg_params
+    q8 = q3.quantize_params_int8(jax.tree.map(lambda a: a, params))
+    kv = q3.make_kv_pages(cfg, 32, 4, dtype=jnp.float32)
+    toks = jnp.asarray(np.arange(8) + 3, jnp.int32)
+    table = jnp.asarray([1, 2], jnp.int32)
+    _, ref, _ = q3.prefill(cfg, q8, kv, toks, jnp.int32(8), table)
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=2))
+    kv2 = q3.make_kv_pages(cfg, 32, 4, dtype=jnp.float32)
+    q8s, kv2 = shard_qwen3(mesh, cfg, q8, kv2)
+    _, out, _ = q3.prefill(cfg, q8s, kv2, toks, jnp.int32(8), table)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
