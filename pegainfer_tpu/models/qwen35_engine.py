@@ -17,10 +17,12 @@ from pegainfer_tpu.utils.weights import load_state_dict
 
 log = logging.getLogger("pegainfer.qwen35")
 
-# 32-token pages halve the decode kernel's per-page DMA-issue count —
-# measured 36 -> 26 ms/step at 16k ctx (scripts/decode_context_sweep.py);
-# granularity waste is ~half a page (~16 tokens) per request.
-DEFAULT_PAGE_SIZE = 32
+# Larger pages cut the decode kernel's per-page DMA-issue count (the
+# long-context bottleneck): 16k-ctx step = 35.9 / 26.2 / 21.3 ms at page
+# size 16 / 32 / 64 (scripts/decode_context_sweep.py). Waste is ~half a
+# page (~32 tokens) per request; prefix-cache sharing granularity coarsens
+# to page multiples — both negligible at serving scale.
+DEFAULT_PAGE_SIZE = 64
 FALLBACK_NUM_PAGES = 512
 
 
