@@ -341,14 +341,35 @@ def init_bench_params(cfg: Qwen35Config, dtype=jnp.bfloat16, fill: float = 0.01)
     }
 
 
+def fuse_params(params):
+    """Optional fused-projection layout (one GEMM per site, mirroring the
+    HF checkpoint's in_proj_qkvz / q_proj). MEASURED NEUTRAL-TO-WORSE on
+    v5e (TPOT 16.46 vs 15.92 ms split) — XLA already schedules the split
+    GEMVs well; kept as a tested alternative layout, not wired by default.
+    TP must keep the split layout (sharding the fused out axis would cut
+    across segment boundaries)."""
+    lin = dict(params["lin"])
+    full = dict(params["full"])
+    lin["qkvzba"] = jnp.concatenate(
+        [lin.pop(k) for k in ("wq", "wk", "wv", "wz", "wb", "wa")], axis=-1
+    )
+    full["qgkv"] = jnp.concatenate(
+        [full.pop(k) for k in ("wq", "wgate", "wk", "wv")], axis=-1
+    )
+    return {**params, "lin": lin, "full": full}
+
+
 def quantize_params_int8(params):
     """Weight-only int8 (per output channel) for the streaming-bound
     matrices; norms/embed/conv/gates stay in their checkpoint dtype — see
-    qwen3.quantize_params_int8. CONSUMES ``params`` (buffers donated)."""
+    qwen3.quantize_params_int8. CONSUMES ``params`` (buffers donated).
+    Handles both the split and fused (fuse_params) layouts."""
     from pegainfer_tpu.models.qwen3 import _qs_int8_donating
 
-    big_lin = ("wq", "wk", "wv", "wz", "out_proj", "mlp_gate_up", "mlp_down")
-    big_full = ("wq", "wgate", "wk", "wv", "wo", "mlp_gate_up", "mlp_down")
+    big_lin = ("wq", "wk", "wv", "wz", "qkvzba", "out_proj",
+               "mlp_gate_up", "mlp_down")
+    big_full = ("wq", "wgate", "wk", "wv", "qgkv", "wo",
+                "mlp_gate_up", "mlp_down")
     lin = {k: (_qs_int8_donating(v) if k in big_lin else v)
            for k, v in params["lin"].items()}
     full = {k: (_qs_int8_donating(v) if k in big_full else v)
@@ -402,13 +423,29 @@ def _mlp(lw, x):
 
 
 def _gdn_project(cfg: Qwen35Config, lw, h):
-    """h: [N, D] → conv input [N, conv_dim] plus z, g, beta (pre-conv)."""
-    q = _proj(lw, "wq", h)  # [N, Hk*dk]
-    k = _proj(lw, "wk", h)
-    v = _proj(lw, "wv", h)  # [N, Hv*dv]
-    z = _proj(lw, "wz", h).reshape(-1, cfg.linear_num_value_heads, cfg.linear_value_head_dim)
-    b = h @ lw["wb"]  # [N, Hv]
-    a = h @ lw["wa"]
+    """h: [N, D] → conv input [N, conv_dim] plus z, g, beta (pre-conv).
+
+    Two layouts: split (wq/wk/wv/wz/wb/wa — TP-shardable) or fused
+    ("qkvzba", one GEMM — the single-chip decode layout; a bs=1 GDN layer
+    of six serialized projections measured ~250 GB/s vs ~370+ fused,
+    scripts/kernel_report.py)."""
+    kd, vd = cfg.key_dim, cfg.value_dim
+    Hv, dv = cfg.linear_num_value_heads, cfg.linear_value_head_dim
+    if "qkvzba" in lw:
+        y = _proj(lw, "qkvzba", h)  # [N, 2kd + 2vd + 2Hv]
+        q = y[:, :kd]
+        k = y[:, kd:2 * kd]
+        v = y[:, 2 * kd:2 * kd + vd]
+        z = y[:, 2 * kd + vd:2 * kd + 2 * vd].reshape(-1, Hv, dv)
+        b = y[:, 2 * kd + 2 * vd:2 * kd + 2 * vd + Hv]
+        a = y[:, 2 * kd + 2 * vd + Hv:]
+    else:
+        q = _proj(lw, "wq", h)  # [N, Hk*dk]
+        k = _proj(lw, "wk", h)
+        v = _proj(lw, "wv", h)  # [N, Hv*dv]
+        z = _proj(lw, "wz", h).reshape(-1, Hv, dv)
+        b = h @ lw["wb"]  # [N, Hv]
+        a = h @ lw["wa"]
     beta = jax.nn.sigmoid(b.astype(jnp.float32))
     g = -jnp.exp(lw["A_log"].astype(jnp.float32)) * jax.nn.softplus(
         a.astype(jnp.float32) + lw["dt_bias"].astype(jnp.float32)
@@ -440,13 +477,23 @@ def _gated_norm(cfg: Qwen35Config, norm_w, out, z):
 
 
 def _full_qkv(cfg: Qwen35Config, fw, h, cos, sin):
-    """Full-attention projections with qk-norm + partial RoPE + gate."""
+    """Full-attention projections with qk-norm + partial RoPE + gate.
+    Split (wq/wgate/wk/wv) or fused ("qgkv") layouts — see _gdn_project."""
     N = h.shape[0]
     hd = cfg.head_dim
-    q = _proj(fw, "wq", h).reshape(N, cfg.num_attention_heads, hd)
-    gate = _proj(fw, "wgate", h)  # [N, Hq*hd]
-    k = _proj(fw, "wk", h).reshape(N, cfg.num_key_value_heads, hd)
-    v = _proj(fw, "wv", h).reshape(N, cfg.num_key_value_heads, hd)
+    if "qgkv" in fw:
+        qd = cfg.num_attention_heads * hd
+        kvd = cfg.num_key_value_heads * hd
+        y = _proj(fw, "qgkv", h)  # [N, 2qd + 2kvd]
+        q = y[:, :qd].reshape(N, cfg.num_attention_heads, hd)
+        gate = y[:, qd:2 * qd]
+        k = y[:, 2 * qd:2 * qd + kvd].reshape(N, cfg.num_key_value_heads, hd)
+        v = y[:, 2 * qd + kvd:].reshape(N, cfg.num_key_value_heads, hd)
+    else:
+        q = _proj(fw, "wq", h).reshape(N, cfg.num_attention_heads, hd)
+        gate = _proj(fw, "wgate", h)  # [N, Hq*hd]
+        k = _proj(fw, "wk", h).reshape(N, cfg.num_key_value_heads, hd)
+        v = _proj(fw, "wv", h).reshape(N, cfg.num_key_value_heads, hd)
     q = rms_norm(q, fw["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, fw["k_norm"], cfg.rms_norm_eps)
     rd = cfg.rotary_dim

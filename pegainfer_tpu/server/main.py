@@ -39,6 +39,7 @@ def build_engine_and_tokenizer(args):
         max_num_pages=args.max_num_pages,
         max_batch_size=args.max_batch_size,
         quantize=args.quantize,
+        enable_prefix_cache=not args.no_prefix_cache,
     )
     if args.sim:
         from pegainfer_tpu.server.tokenizer import SimTokenizer
@@ -79,6 +80,8 @@ def main(argv=None):
     p.add_argument("--max-batch-size", type=int, default=64)
     p.add_argument("--quantize", choices=["int8"], default=None,
                    help="weight-only int8 serving (approximate, ~2x decode speed)")
+    p.add_argument("--no-prefix-cache", action="store_true",
+                   help="disable shared-prompt-prefix page caching")
     p.add_argument("--no-precompile", action="store_true",
                    help="skip decode-bucket precompilation (reference: --cuda-graph off)")
     p.add_argument("--profile-dir", default=None,

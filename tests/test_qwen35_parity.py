@@ -166,3 +166,38 @@ def test_decode_batch_padding_parity(tiny):
     a = greedy_generate_ours(cfg, jitted, prompt, 6, batch_pad=1)
     b = greedy_generate_ours(cfg, jitted, prompt, 6, batch_pad=4)
     assert a == b
+
+
+def test_fused_layout_matches_split():
+    """fuse_params (single-GEMM projections) is numerically identical to
+    the split layout — column-slicing a fused GEMM computes the same dot
+    products."""
+    import numpy as np
+
+    cfg = q35.Qwen35Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        partial_rotary_factor=0.25,
+        layer_types=("linear_attention",) * 3 + ("full_attention",),
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=8, linear_value_head_dim=8,
+        linear_conv_kernel_dim=4, tie_word_embeddings=True,
+        eos_token_id=1, stop_token_ids=(1,), max_position_embeddings=512,
+    )
+    params = q35.init_bench_params(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    for grp in ("lin", "full"):
+        for k, v in params[grp].items():
+            params[grp][k] = jnp.asarray(
+                rng.standard_normal(v.shape) * 0.05, v.dtype)
+    fused = q35.fuse_params(jax.tree.map(lambda a: a, params))
+
+    toks = jnp.asarray(np.arange(8) + 3, jnp.int32)
+    table = jnp.asarray([1, 2], jnp.int32)
+    s1 = q35.make_state(cfg, 16, 4, max_slots=2, kv_dtype=jnp.float32)
+    s2 = q35.make_state(cfg, 16, 4, max_slots=2, kv_dtype=jnp.float32)
+    _, l1, _ = q35.prefill(cfg, params, s1, toks, jnp.int32(8), table, jnp.int32(0))
+    _, l2, _ = q35.prefill(cfg, fused, s2, toks, jnp.int32(8), table, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)
