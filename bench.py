@@ -101,8 +101,9 @@ def main():
     note(f"backend={jax.default_backend()} devices={jax.devices()}")
     model = os.environ.get("PEGAINFER_BENCH_MODEL", "qwen3")
     quant = os.environ.get("PEGAINFER_BENCH_QUANT")
-    num_pages = 64 if smoke else 512
-    page_size = 16
+    # 64-token pages minimize decode DMA-issue count (docs/PERF.md)
+    num_pages = 64 if smoke else 192
+    page_size = 16 if smoke else 64
     if model == "qwen35":
         from pegainfer_tpu.models import qwen35 as q35
 
@@ -182,13 +183,18 @@ def main():
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, prompt_len).tolist()
+    # distinct warmup prompt: the prefix cache would otherwise turn the
+    # measured request into a warm hit (and pay tail-chunk compiles in TTFT)
+    warm_prompt = rng.integers(0, cfg.vocab_size, prompt_len).tolist()
     greedy = SamplingParams(ignore_eos=True)
 
-    def run_request(max_tokens):
+    def run_request(max_tokens, use_warm_prompt=False):
         """One request through the real engine path (scheduler + async
         pipelined decode). Returns (ttft_ms, inter-token deltas ms)."""
-        req = GenerateRequest(prompt_tokens=prompt, max_tokens=max_tokens,
-                              params=greedy, queued_at_unix_s=time.time())
+        req = GenerateRequest(
+            prompt_tokens=warm_prompt if use_warm_prompt else prompt,
+            max_tokens=max_tokens, params=greedy,
+            queued_at_unix_s=time.time())
         t0 = time.perf_counter()
         handle.submit(req)
         ttft = None
@@ -203,7 +209,7 @@ def main():
                 break
         return ttft, stamps
 
-    run_request(8)  # warmup: compiles prefill + fused decode bucket
+    run_request(8, use_warm_prompt=True)  # warmup: compiles the bucket ladder
     note("warmup request done (compiles)")
 
     ttft_ms, stamps = run_request(n_decode + 2)
