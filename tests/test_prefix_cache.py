@@ -221,3 +221,53 @@ def test_fully_cached_prompt_reruns_last_token(engine_and_executor):
     engine.submit(r2)
     t2 = collect(r2)
     assert t1 == t2
+
+
+def test_differential_random_stream_cache_vs_nocache():
+    """Randomized differential test: a stream of requests (with repeated
+    and shared-prefix prompts) must produce IDENTICAL greedy tokens with
+    the prefix cache on vs off — the cache is a pure optimization."""
+    import numpy as np
+
+    cfg = q3.Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=True, eos_token_id=1, stop_token_ids=(1,),
+        max_position_embeddings=512,
+    )
+    params = q3.init_random_params(cfg, seed=21, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    bases = [rng.integers(2, 127, rng.integers(6, 40)).tolist()
+             for _ in range(4)]
+    prompts = []
+    for _ in range(14):
+        b = bases[rng.integers(0, len(bases))]
+        cut = int(rng.integers(3, len(b) + 1))
+        tail = rng.integers(2, 127, rng.integers(0, 6)).tolist()
+        prompts.append(b[:cut] + tail)
+
+    def run(enable_cache):
+        runtime = q3.make_runtime(cfg, params, num_pages=128, page_size=4,
+                                  kv_dtype=jnp.float32)
+        ex = JaxExecutor(runtime, EngineLoadOptions(
+            max_batch_size=4, prefill_chunk=8,
+            enable_prefix_cache=enable_cache))
+        engine = start_scheduler(ex)
+        outs = []
+        try:
+            reqs = []
+            for i, p in enumerate(prompts):
+                r = GenerateRequest(prompt_tokens=list(p),
+                                    max_tokens=4 + (i % 5),
+                                    params=SamplingParams(ignore_eos=True))
+                engine.submit(r)
+                reqs.append(r)
+                if i % 3 == 2:  # drain some before submitting more
+                    outs.append(collect(reqs.pop(0)))
+            outs.extend(collect(r) for r in reqs)
+        finally:
+            engine.shutdown()
+        return outs
+
+    assert run(True) == run(False)
