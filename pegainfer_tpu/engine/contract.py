@@ -65,7 +65,9 @@ class EngineLoadOptions:
     # Prompts longer than this prefill in fixed-size chunks (bounded compile
     # sizes + tighter padding); models without a chunk path ignore it.
     prefill_chunk: int = 2048
-    # Weight quantization mode: None (checkpoint dtype) or "int8"
+    # Weight quantization mode: None (checkpoint dtype — for DSv4 this
+    # means FP8/FP4 quantized-resident in HBM), "int8" (weight-only int8,
+    # Qwen families), or "bf16" (dequantize a quantized checkpoint at load)
     # (weight-only per-channel — approximate serving, halves decode HBM
     # traffic; models without support ignore it).
     quantize: Optional[str] = None

@@ -219,6 +219,45 @@ def init_random_params(cfg: DSv4Config, seed: int = 0, dtype=jnp.bfloat16,
     }
 
 
+# Tensors the reference holds FP8-blocked (model.rs fp8_linear call sites)
+FP8_KEYS = ("wq_a", "wq_b", "wkv", "wo_b", "shared_w1", "shared_w2",
+            "shared_w3", "idx_wq_b")
+# Expert stacks the reference holds FP4-grouped (moe_fp4_grouped_* kernels)
+FP4_KEYS = ("experts_w1", "experts_w2", "experts_w3")
+
+
+def quantize_params_resident(params: Dict[str, Any]) -> Dict[str, Any]:
+    """bf16 params tree → quantized-resident tree ({"q","s"} containers on
+    the reference's FP8/FP4 tensor set; everything else untouched).
+
+    Mirrors what load_params(resident=True) produces from a real mp8
+    checkpoint — used by tests/benches that start from random bf16 params.
+    """
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = []
+    for lw in params["layers"]:
+        nlw = dict(lw)
+        for k in FP8_KEYS:
+            if k in nlw:
+                nlw[k] = quant.quantize_fp8_tensor(nlw[k])
+        for k in FP4_KEYS:
+            if k in nlw:
+                nlw[k] = quant.quantize_fp4_stack(nlw[k])
+        layers.append(nlw)
+    out["layers"] = layers
+    return out
+
+
+def params_hbm_bytes(params) -> int:
+    """Device bytes of a params tree (sub-byte dtypes counted at true width)."""
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        bits = jnp.finfo(leaf.dtype).bits if jnp.issubdtype(
+            leaf.dtype, jnp.floating) else jnp.iinfo(leaf.dtype).bits
+        total += leaf.size * bits // 8
+    return total
+
+
 # ── Forward pieces ───────────────────────────────────────────────────────
 
 
@@ -231,8 +270,10 @@ def _rms(x, wt, eps):
 def _attn_q(cfg: DSv4Config, lw, x, positions, inv_freq):
     """x: [T, D] → q [T, H, hd] (rope'd)."""
     T = x.shape[0]
-    qa = _rms(x @ lw["wq_a"].T, lw["q_norm"], cfg.rms_norm_eps)  # [T, q_lora]
-    q = (qa @ lw["wq_b"].T).reshape(T, cfg.num_attention_heads, cfg.head_dim)
+    qa = _rms(quant.qlinear(x, lw["wq_a"]), lw["q_norm"], cfg.rms_norm_eps)
+    q = quant.qlinear(qa, lw["wq_b"]).reshape(
+        T, cfg.num_attention_heads, cfg.head_dim
+    )
     return dsa.rope_interleaved(
         q, positions[:, None], jnp.asarray(inv_freq), cfg.qk_rope_head_dim
     ), qa
@@ -240,7 +281,7 @@ def _attn_q(cfg: DSv4Config, lw, x, positions, inv_freq):
 
 def _attn_kv(cfg: DSv4Config, lw, x, positions, inv_freq):
     """x: [T, D] → joint kv rows [T, hd] (rope'd + fp8 storage rounding)."""
-    kv = _rms(x @ lw["wkv"].T, lw["kv_norm"], cfg.rms_norm_eps)
+    kv = _rms(quant.qlinear(x, lw["wkv"]), lw["kv_norm"], cfg.rms_norm_eps)
     kv = dsa.rope_interleaved(kv, positions, jnp.asarray(inv_freq), cfg.qk_rope_head_dim)
     return dsa.fp8_round_nope(kv, cfg.qk_rope_head_dim)
 
@@ -253,7 +294,7 @@ def _attn_out(cfg: DSv4Config, lw, o):
     og = o.reshape(T, G, per_g)
     wo_a = lw["wo_a"].reshape(G, cfg.o_lora_rank, per_g)
     oa = jnp.einsum("tgp,grp->tgr", og, wo_a).reshape(T, G * cfg.o_lora_rank)
-    return oa @ lw["wo_b"].T
+    return quant.qlinear(oa, lw["wo_b"])
 
 
 def _compress_layer(cfg: DSv4Config, comp, x, ratio: int, head_dim: int,
@@ -371,20 +412,26 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
         return jax.nn.sigmoid(gate) * gate * up
 
     # shared expert
-    g = (x @ lw["shared_w1"].T).astype(jnp.float32)
-    u = (x @ lw["shared_w3"].T).astype(jnp.float32)
-    shared = swiglu(g, u).astype(x.dtype) @ lw["shared_w2"].T
+    g = quant.qlinear(x, lw["shared_w1"]).astype(jnp.float32)
+    u = quant.qlinear(x, lw["shared_w3"]).astype(jnp.float32)
+    shared = quant.qlinear(swiglu(g, u).astype(x.dtype), lw["shared_w2"])
 
+    M = T * K
+    flat_e = route_idx.reshape(M)
+    flat_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), K)
+    flat_w = weights.reshape(M)
     if T >= 8:
         # prefill scale: sort token-slots by expert and run grouped GEMMs
         # (lax.ragged_dot_general — XLA's MoE group-GEMM primitive; the
         # reference's analog is its grouped expert GEMM kernels,
         # deepseek_quant.cu moe_fp4_grouped_w13). O(T·K·I·D) instead of the
-        # dense O(T·E·I·D) one-hot combine.
-        M = T * K
-        flat_e = route_idx.reshape(M)
-        flat_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), K)
-        flat_w = weights.reshape(M)
+        # dense O(T·E·I·D) one-hot combine. Quantized-resident experts are
+        # dequantized layer-wide here (amortized over the prefill tokens; a
+        # Pallas fused dequant-group-GEMM is the staged upgrade).
+        def w_f32(w):
+            return (quant.dequant_any(w, jnp.float32)
+                    if quant.is_quantized(w) else w.astype(jnp.float32))
+
         order = jnp.argsort(flat_e)
         src_t = flat_t[order]
         xs = x.astype(jnp.float32)[src_t]  # [M, D] in expert order
@@ -394,31 +441,26 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
             lhs_ragged_dimensions=[0],
             rhs_group_dimensions=[0],
         )
-        ge = lax.ragged_dot_general(
-            xs, lw["experts_w1"].astype(jnp.float32), group_sizes, dn)
-        ue = lax.ragged_dot_general(
-            xs, lw["experts_w3"].astype(jnp.float32), group_sizes, dn)
+        ge = lax.ragged_dot_general(xs, w_f32(lw["experts_w1"]), group_sizes, dn)
+        ue = lax.ragged_dot_general(xs, w_f32(lw["experts_w3"]), group_sizes, dn)
         act = swiglu(ge, ue)  # [M, I]
-        dn2 = lax.RaggedDotDimensionNumbers(
-            dot_dimension_numbers=(((1,), (2,)), ((), ())),
-            lhs_ragged_dimensions=[0],
-            rhs_group_dimensions=[0],
-        )
-        per = lax.ragged_dot_general(
-            act, lw["experts_w2"].astype(jnp.float32), group_sizes, dn2)
+        per = lax.ragged_dot_general(act, w_f32(lw["experts_w2"]), group_sizes, dn)
         per = per * flat_w[order][:, None]
         routed = jnp.zeros((T, x.shape[1]), jnp.float32).at[src_t].add(per)
     else:
-        # decode scale: dense one-hot combine (tiny T, trivially fused)
-        onehot = jax.nn.one_hot(route_idx, E, dtype=jnp.float32)  # [T, K, E]
-        tok_w = jnp.einsum("tk,tke->te", weights, onehot)  # [T, E]
-        ge = jnp.einsum("td,eid->tei", x.astype(jnp.float32),
-                        lw["experts_w1"].astype(jnp.float32))
-        ue = jnp.einsum("td,eid->tei", x.astype(jnp.float32),
-                        lw["experts_w3"].astype(jnp.float32))
-        act = swiglu(ge, ue)  # [T, E, I]
-        per_e = jnp.einsum("tei,edi->ted", act, lw["experts_w2"].astype(jnp.float32))
-        routed = jnp.einsum("te,ted->td", tok_w, per_e)
+        # decode scale: gather ONLY the routed experts' weights — bytes and
+        # FLOPs ∝ T·K, not E (at the real model's 256 experts the dense
+        # combine would stream every expert per token; reference analog:
+        # moe_local_mapping route compaction, deepseek_moe.cu).
+        xs = xf32[flat_t]  # [M, D]
+        w1g = quant.gather_dequant(lw["experts_w1"], flat_e)  # [M, I, D]
+        w3g = quant.gather_dequant(lw["experts_w3"], flat_e)
+        ge = jnp.einsum("md,mid->mi", xs, w1g)
+        ue = jnp.einsum("md,mid->mi", xs, w3g)
+        act = swiglu(ge, ue)  # [M, I]
+        w2g = quant.gather_dequant(lw["experts_w2"], flat_e)  # [M, D, I]
+        per = jnp.einsum("mi,mdi->md", act, w2g) * flat_w[:, None]
+        routed = jnp.zeros((T, x.shape[1]), jnp.float32).at[flat_t].add(per)
 
     return (routed + shared.astype(jnp.float32)).astype(x.dtype)
 
@@ -495,7 +537,9 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
             kv_all = jnp.concatenate([kv, ckv], axis=0)
             if ratio == 4:
                 ihd = cfg.index_head_dim
-                iq = (qa @ lw["idx_wq_b"].T).reshape(T, cfg.index_n_heads, ihd)
+                iq = quant.qlinear(qa, lw["idx_wq_b"]).reshape(
+                    T, cfg.index_n_heads, ihd
+                )
                 iq = dsa.rope_interleaved(
                     iq, positions[:, None], jnp.asarray(inv_freq), cfg.qk_rope_head_dim
                 )
@@ -649,7 +693,9 @@ def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
                     iblock.astype(ls["ick"].dtype)
                 )
                 ihd = cfg.index_head_dim
-                iq = (qa @ lw["idx_wq_b"].T).reshape(B, cfg.index_n_heads, ihd)
+                iq = quant.qlinear(qa, lw["idx_wq_b"]).reshape(
+                    B, cfg.index_n_heads, ihd
+                )
                 iq = dsa.rope_interleaved(
                     iq, positions[:, None], jnp.asarray(inv_freq),
                     cfg.qk_rope_head_dim,

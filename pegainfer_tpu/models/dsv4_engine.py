@@ -94,7 +94,14 @@ def start_engine(
     log.info("loading DeepSeek-V4 (%d layers, dim %d)", cfg.n_layers, cfg.dim)
     from pegainfer_tpu.models.dsv4_weights import load_params
 
-    params = load_params(cfg, model_path, tp_size=tp_size)
+    # quantize=None serves the checkpoint's own dtypes — FP8/FP4 resident in
+    # HBM with on-the-fly dequant, like the reference (model.rs fp8_linear/
+    # fp4_linear). quantize="bf16" dequantizes at load (numerics oracle).
+    resident = opts.quantize != "bf16"
+    params = load_params(cfg, model_path, tp_size=tp_size, resident=resident)
+    log.info("DSv4 params HBM footprint: %.2f GiB (%s)",
+             dsv4.params_hbm_bytes(params) / 2**30,
+             "fp8/fp4 resident" if resident else "bf16")
     max_slots = min(opts.max_batch_size, 2)  # reference serves bs<=2
     runtime = make_runtime(
         cfg, params,

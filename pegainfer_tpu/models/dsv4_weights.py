@@ -5,16 +5,30 @@ Reference layout (deepseek-v4/src/weights.rs:128-166 + src/model.rs schema):
 attention-head / o-group / index-head / expert shards per rank and
 replicated norms, hc tensors, compressors, gates, and shared experts.
 
-This loader reassembles the full-model pytree used by models/dsv4 (FP8/FP4
-tensors dequantized to bf16; the quantized-in-HBM path reuses
-ops/quant dequant linears when memory demands it). Under GSPMD the
-re-assembled tensors are placed with the MP8 PartitionSpecs — the sharding
-axes are exactly the reference's (vocab/heads/groups/experts), so each TPU
-shard holds the same bytes a reference GPU rank held.
+Two load modes:
+
+- ``resident=True`` (default, matches the reference's quantized-in-HBM
+  serving): FP8/FP4 tensors stay E4M3/E2M1 with E8M0 scales as
+  {"q","s"} containers (ops/quant.py); the forward dequantizes on the fly.
+  A real 671B checkpoint is ~0.7 TB in this form vs ~1.3 TB as bf16.
+- ``resident=False``: dequantize everything to bf16 at load (debug/
+  numerics-oracle mode).
+
+The loader STREAMS tensors: each safetensors file is opened once, the
+header parsed, and every tensor read with a seek at use time — peak host
+memory is one full-model tensor (the 8-rank concat), never a whole rank
+file, and far less than the model (reference analog: mmap'd shard loads,
+pegainfer-core/src/weight_loader.rs:57-77).
+
+Under GSPMD the re-assembled tensors are placed with the MP8
+PartitionSpecs — the sharding axes are exactly the reference's
+(vocab/heads/groups/experts), so each TPU shard holds the same bytes a
+reference GPU rank held.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, List
 
@@ -26,6 +40,86 @@ from pegainfer_tpu.ops import quant
 
 WORLD = 8
 
+_F4_LUT = np.array(
+    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+     -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], np.float32
+)
+
+
+class SafetensorsReader:
+    """Per-tensor streaming safetensors reader.
+
+    The Python safetensors bindings in this environment cannot materialize
+    F8/E8M0/F4 tensors (numpy lacks the dtypes they getattr for), so this
+    parses the header and views the bytes with ml_dtypes. Packed F4 (two
+    E2M1 nibbles per byte, low nibble first) decodes via LUT. Tensors are
+    read with seek+read on demand — a lookup costs only that tensor's bytes.
+    """
+
+    def __init__(self, path: str):
+        import ml_dtypes
+
+        self._path = path
+        self._dtype_map = {
+            "BF16": ml_dtypes.bfloat16,
+            "F16": np.float16,
+            "F32": np.float32,
+            "F64": np.float64,
+            "I32": np.int32,
+            "I64": np.int64,
+            "U8": np.uint8,
+            "F8_E4M3": ml_dtypes.float8_e4m3fn,
+            "F8_E8M0": ml_dtypes.float8_e8m0fnu,
+        }
+        with open(path, "rb") as f:
+            n = int.from_bytes(f.read(8), "little")
+            self._header = json.loads(f.read(n))
+            self._base = 8 + n
+        self._header.pop("__metadata__", None)
+
+    def keys(self):
+        return self._header.keys()
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._header
+
+    def _read(self, name: str) -> bytes:
+        info = self._header[name]
+        st, en = info["data_offsets"]
+        with open(self._path, "rb") as f:
+            f.seek(self._base + st)
+            return f.read(en - st)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        info = self._header[name]
+        buf = self._read(name)
+        shape, dt = info["shape"], info["dtype"]
+        if dt in ("F4", "F4_E2M1", "F4_E2M1_X2"):
+            raw = np.frombuffer(buf, np.uint8)
+            lo = _F4_LUT[raw & 0xF]
+            hi = _F4_LUT[raw >> 4]
+            vals = np.stack([lo, hi], axis=-1).reshape(-1)
+            return vals[: int(np.prod(shape))].reshape(shape)
+        return np.frombuffer(buf, self._dtype_map[dt]).reshape(shape)
+
+    def read_f4_packed(self, name: str):
+        """Raw packed-F4 bytes [..., in/2] uint8 (low nibble first), or
+        None when the tensor isn't stored packed (e.g. fixture files using
+        an E4M3 container)."""
+        info = self._header[name]
+        if info["dtype"] not in ("F4", "F4_E2M1", "F4_E2M1_X2"):
+            return None
+        shape = info["shape"]
+        raw = np.frombuffer(self._read(name), np.uint8)
+        return raw.reshape(*shape[:-1], shape[-1] // 2)
+
+
+def read_safetensors_raw(path: str) -> Dict[str, np.ndarray]:
+    """Materialize every tensor of a file (tests/tools; load_params streams
+    instead)."""
+    r = SafetensorsReader(path)
+    return {k: r[k] for k in r.keys()}
+
 
 def _rank_files(model_path: str) -> List[str]:
     return [
@@ -34,59 +128,9 @@ def _rank_files(model_path: str) -> List[str]:
     ]
 
 
-_F4_LUT = np.array(
-    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
-     -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], np.float32
-)
-
-
-def read_safetensors_raw(path: str) -> Dict[str, np.ndarray]:
-    """Minimal safetensors reader: the Python bindings in this environment
-    cannot materialize F8/E8M0/F4 tensors (numpy lacks the dtypes they
-    getattr for), so parse the header and view the bytes with ml_dtypes.
-    Packed F4 (two E2M1 nibbles per byte, low nibble first) decodes via LUT.
-    """
-    import json as _json
-
-    import ml_dtypes
-
-    dtype_map = {
-        "BF16": ml_dtypes.bfloat16,
-        "F16": np.float16,
-        "F32": np.float32,
-        "F64": np.float64,
-        "I32": np.int32,
-        "I64": np.int64,
-        "U8": np.uint8,
-        "F8_E4M3": ml_dtypes.float8_e4m3fn,
-        "F8_E8M0": ml_dtypes.float8_e8m0fnu,
-    }
-    out: Dict[str, np.ndarray] = {}
-    with open(path, "rb") as f:
-        n = int.from_bytes(f.read(8), "little")
-        header = _json.loads(f.read(n))
-        data = f.read()
-    for name, info in header.items():
-        if name == "__metadata__":
-            continue
-        st, en = info["data_offsets"]
-        buf = data[st:en]
-        shape = info["shape"]
-        dt = info["dtype"]
-        if dt in ("F4", "F4_E2M1", "F4_E2M1_X2"):
-            raw = np.frombuffer(buf, np.uint8)
-            lo = _F4_LUT[raw & 0xF]
-            hi = _F4_LUT[raw >> 4]
-            vals = np.stack([lo, hi], axis=-1).reshape(-1)
-            out[name] = vals[: int(np.prod(shape))].reshape(shape)
-        else:
-            out[name] = np.frombuffer(buf, dtype_map[dt]).reshape(shape)
-    return out
-
-
 def load_params(cfg: DSv4Config, model_path: str, tp_size: int = 1,
-                dtype=jnp.bfloat16) -> Dict[str, Any]:
-    ranks = [read_safetensors_raw(p) for p in _rank_files(model_path)]
+                dtype=jnp.bfloat16, resident: bool = True) -> Dict[str, Any]:
+    ranks = [SafetensorsReader(p) for p in _rank_files(model_path)]
 
     def rep(name):  # replicated tensor: take rank 0
         return np.asarray(ranks[0][name])
@@ -94,34 +138,87 @@ def load_params(cfg: DSv4Config, model_path: str, tp_size: int = 1,
     def cat(name, axis=0):  # sharded: concatenate ranks
         return np.concatenate([np.asarray(r[name]) for r in ranks], axis=axis)
 
-    def fp8(prefix, sharded: bool, axis: int = 0):
-        if sharded:
-            parts = [
-                np.asarray(
-                    quant.dequant_fp8_blocks(
-                        jnp.asarray(r[f"{prefix}.weight"]),
-                        jnp.asarray(r[f"{prefix}.scale"]),
-                        dtype=jnp.float32,
-                    )
-                )
-                for r in ranks
-            ]
-            return np.concatenate(parts, axis=axis)
-        r = ranks[0]
-        return np.asarray(
-            quant.dequant_fp8_blocks(
-                jnp.asarray(r[f"{prefix}.weight"]),
-                jnp.asarray(r[f"{prefix}.scale"]), dtype=jnp.float32,
-            )
-        )
+    def q4_resident(r, name) -> jnp.ndarray:
+        # real checkpoints store packed F4: ship the raw bytes to the
+        # device untouched. Fixture files use an E4M3 container (safetensors
+        # python has no fp4 dtype): repack host-side (exact — every stored
+        # value is E2M1-representable).
+        raw = r.read_f4_packed(name)
+        if raw is None:
+            raw = quant.pack_fp4(np.asarray(r[name], np.float32))
+        return jnp.asarray(raw)
 
-    def fp4(r, prefix):
-        return np.asarray(
-            quant.dequant_fp4_groups(
+    def s_resident(arr) -> jnp.ndarray:
+        # scales may be stored E8M0 (real checkpoint) or f32 exact-pow2
+        # (fixtures); both convert to bf16 exactly (pow2 values). The f32
+        # hop happens in NUMPY: an e8m0 device array is rejected by this
+        # TPU's XLA (see ops/quant.py SCALE_DTYPE).
+        return jnp.asarray(np.asarray(arr).astype(np.float32),
+                           quant.SCALE_DTYPE)
+
+    def check_grid(q, s, prefix):
+        # the container's block grid is inferred from shape ratios
+        # (ops/quant.py dequant_any), which is exact iff each dim is a
+        # single block or 128-aligned — true for tiny fixtures and the real
+        # 128-blocked checkpoint alike; anything else must not load silently
+        for ax in (-2, -1):
+            assert s.shape[ax] == 1 or q.shape[ax] == 128 * s.shape[ax], \
+                (prefix, q.shape, s.shape)
+
+    def fp8(prefix, sharded: bool, axis: int = 0):
+        if resident:
+            if sharded:
+                qs_parts = [
+                    (np.asarray(r[f"{prefix}.weight"]),
+                     np.asarray(r[f"{prefix}.scale"])) for r in ranks
+                ]
+                for qp, sp in qs_parts:
+                    check_grid(qp, sp, prefix)
+                q = np.concatenate([qp for qp, _ in qs_parts], axis=axis)
+                s = np.concatenate([sp for _, sp in qs_parts], axis=axis)
+            else:
+                q = np.asarray(ranks[0][f"{prefix}.weight"])
+                s = np.asarray(ranks[0][f"{prefix}.scale"])
+                check_grid(q, s, prefix)
+            return {"q": jnp.asarray(q).astype(quant.F8), "s": s_resident(s)}
+        def deq(r):  # host-side: no e8m0 device arrays (see s_resident)
+            return np.asarray(quant.dequant_fp8_blocks(
                 jnp.asarray(r[f"{prefix}.weight"]),
-                jnp.asarray(r[f"{prefix}.scale"]), dtype=jnp.float32,
-            )
-        )
+                jnp.asarray(np.asarray(r[f"{prefix}.scale"], np.float32)),
+                dtype=jnp.float32,
+            ))
+
+        if sharded:
+            return cast(np.concatenate([deq(r) for r in ranks], axis=axis))
+        return cast(deq(ranks[0]))
+
+    def fp4_experts(pre: str, name: str, E_loc: int):
+        """All ranks' expert tensors ``{pre}.ffn.experts.{ge}.{name}`` →
+        stacked container [E, out, in] (resident) or bf16 array."""
+        if resident:
+            qs, ss = [], []
+            for rank, r in enumerate(ranks):
+                for le in range(E_loc):
+                    ge = rank * E_loc + le
+                    qs.append(q4_resident(r, f"{pre}.ffn.experts.{ge}.{name}.weight"))
+                    ss.append(s_resident(r[f"{pre}.ffn.experts.{ge}.{name}.scale"]))
+            assert ss[0].shape[-1] == 1 or \
+                2 * qs[0].shape[-1] == 32 * ss[0].shape[-1], (pre, name)
+            return {"q": jnp.stack(qs), "s": jnp.stack(ss)}
+        parts = []
+        for rank, r in enumerate(ranks):
+            for le in range(E_loc):
+                ge = rank * E_loc + le
+                parts.append(np.asarray(quant.dequant_fp4_groups(
+                    jnp.asarray(np.asarray(
+                        r[f"{pre}.ffn.experts.{ge}.{name}.weight"],
+                        np.float32)),
+                    jnp.asarray(np.asarray(
+                        r[f"{pre}.ffn.experts.{ge}.{name}.scale"],
+                        np.float32)),
+                    dtype=jnp.float32,
+                )))
+        return cast(np.stack(parts))
 
     def cast(x, keep_f32=False):
         return jnp.asarray(x, jnp.float32 if keep_f32 else dtype)
@@ -143,17 +240,17 @@ def load_params(cfg: DSv4Config, model_path: str, tp_size: int = 1,
             "attn_sink": cast(cat(f"{pre}.attn.attn_sink"), True),
             "q_norm": cast(rep(f"{pre}.attn.q_norm.weight")),
             "kv_norm": cast(rep(f"{pre}.attn.kv_norm.weight")),
-            "wq_a": cast(fp8(f"{pre}.attn.wq_a", sharded=False)),
-            "wq_b": cast(fp8(f"{pre}.attn.wq_b", sharded=True)),
-            "wkv": cast(fp8(f"{pre}.attn.wkv", sharded=False)),
+            "wq_a": fp8(f"{pre}.attn.wq_a", sharded=False),
+            "wq_b": fp8(f"{pre}.attn.wq_b", sharded=True),
+            "wkv": fp8(f"{pre}.attn.wkv", sharded=False),
             "wo_a": cast(cat(f"{pre}.attn.wo_a.weight")),
             # wo_b shards on its INPUT axis (each rank holds its o-groups'
             # lora columns, model.rs wo_b: [dim, local_groups*o_lora])
-            "wo_b": cast(fp8(f"{pre}.attn.wo_b", sharded=True, axis=1)),
+            "wo_b": fp8(f"{pre}.attn.wo_b", sharded=True, axis=1),
             "gate_weight": cast(rep(f"{pre}.ffn.gate.weight")),
-            "shared_w1": cast(fp8(f"{pre}.ffn.shared_experts.w1", False)),
-            "shared_w2": cast(fp8(f"{pre}.ffn.shared_experts.w2", False)),
-            "shared_w3": cast(fp8(f"{pre}.ffn.shared_experts.w3", False)),
+            "shared_w1": fp8(f"{pre}.ffn.shared_experts.w1", False),
+            "shared_w2": fp8(f"{pre}.ffn.shared_experts.w2", False),
+            "shared_w3": fp8(f"{pre}.ffn.shared_experts.w3", False),
         }
         if li < cfg.n_hash_layers:
             lw["gate_tid2eid"] = jnp.asarray(
@@ -163,12 +260,7 @@ def load_params(cfg: DSv4Config, model_path: str, tp_size: int = 1,
             lw["gate_bias"] = cast(rep(f"{pre}.ffn.gate.bias"), True)
 
         for name in ("w1", "w2", "w3"):
-            parts = []
-            for rank, r in enumerate(ranks):
-                for le in range(E_loc):
-                    ge = rank * E_loc + le
-                    parts.append(fp4(r, f"{pre}.ffn.experts.{ge}.{name}"))
-            lw[f"experts_{name}"] = cast(np.stack(parts))
+            lw[f"experts_{name}"] = fp4_experts(pre, name, E_loc)
 
         if ratio > 0:
             cp = f"{pre}.attn.compressor"
@@ -180,7 +272,7 @@ def load_params(cfg: DSv4Config, model_path: str, tp_size: int = 1,
             }
         if ratio == 4:
             ip = f"{pre}.attn.indexer"
-            lw["idx_wq_b"] = cast(fp8(f"{ip}.wq_b", sharded=True))
+            lw["idx_wq_b"] = fp8(f"{ip}.wq_b", sharded=True)
             lw["idx_weights_proj"] = cast(cat(f"{ip}.weights_proj.weight"))
             icp = f"{ip}.compressor"
             lw["idx_comp"] = {

@@ -32,24 +32,37 @@ E8M0 = jnp.float8_e8m0fnu
 
 def round_scale_pow2(amax: jnp.ndarray, fmt_max: float) -> jnp.ndarray:
     """Power-of-two scale >= amax/fmt_max (reference fast_round_scale:
-    exponent ceil in log2). Returns f32 (exactly representable in E8M0)."""
+    exponent ceil in log2). Returns f32 (exactly representable in E8M0).
+    On-device form (dsa.fp8_round_nope uses it inside the jitted step)."""
     ratio = jnp.maximum(amax.astype(jnp.float32) / fmt_max, 1e-38)
     exp = jnp.ceil(jnp.log2(ratio))
     return jnp.exp2(exp)
 
 
+def _round_scale_pow2_np(amax: np.ndarray, fmt_max: float) -> np.ndarray:
+    ratio = np.maximum(np.asarray(amax, np.float32) / fmt_max, 1e-38)
+    return np.exp2(np.ceil(np.log2(ratio))).astype(np.float32)
+
+
 def quant_fp8_blocks(w: np.ndarray, block: int = 128):
-    """Weight → (E4M3 values, E8M0 scales [ceil(out/128), ceil(in/128)])."""
+    """Weight → (E4M3 values, E8M0 scales [ceil(out/128), ceil(in/128)]).
+
+    Pure numpy/ml_dtypes (HOST-side: checkpoint writers must not touch the
+    device — this TPU rejects E8M0 programs, and quantization is load-time
+    work anyway). Returns numpy arrays.
+    """
+    import ml_dtypes
+
     out_dim, in_dim = w.shape
     ob, ib = -(-out_dim // block), -(-in_dim // block)
     wp = np.zeros((ob * block, ib * block), np.float32)
     wp[:out_dim, :in_dim] = np.asarray(w, np.float32)
     blocks = wp.reshape(ob, block, ib, block)
     amax = np.abs(blocks).max(axis=(1, 3))
-    scales = np.asarray(round_scale_pow2(jnp.asarray(amax), FP8_MAX))
+    scales = _round_scale_pow2_np(amax, FP8_MAX)
     q = (blocks / scales[:, None, :, None]).reshape(ob * block, ib * block)
-    q8 = jnp.asarray(q[:out_dim, :in_dim]).astype(F8)
-    return q8, jnp.asarray(scales).astype(E8M0)
+    q8 = q[:out_dim, :in_dim].astype(ml_dtypes.float8_e4m3fn)
+    return q8, scales.astype(ml_dtypes.float8_e8m0fnu)
 
 
 def dequant_fp8_blocks(q: jax.Array, scales: jax.Array, block: int = 128,
@@ -64,15 +77,20 @@ def dequant_fp8_blocks(q: jax.Array, scales: jax.Array, block: int = 128,
 
 
 def quant_fp4_groups(w: np.ndarray, group: int = 32):
-    """Weight → (E2M1 values, E8M0 scales [out, in/32])."""
+    """Weight → (E2M1 values, E8M0 scales [out, in/32]). Pure numpy
+    (host-side; see quant_fp8_blocks). Values round to nearest-even E2M1."""
+    import ml_dtypes
+
     out_dim, in_dim = w.shape
     group = min(group, in_dim)
     assert in_dim % group == 0, (in_dim, group)
     g = np.asarray(w, np.float32).reshape(out_dim, in_dim // group, group)
     amax = np.abs(g).max(axis=-1)
-    scales = np.asarray(round_scale_pow2(jnp.asarray(amax), FP4_MAX))
+    scales = _round_scale_pow2_np(amax, FP4_MAX)
     q = (g / scales[..., None]).reshape(out_dim, in_dim)
-    return jnp.asarray(q).astype(F4), jnp.asarray(scales).astype(E8M0)
+    return q.astype(ml_dtypes.float4_e2m1fn), scales.astype(
+        ml_dtypes.float8_e8m0fnu
+    )
 
 
 def dequant_fp4_groups(q: jax.Array, scales: jax.Array, group: Optional[int] = None,
@@ -117,3 +135,140 @@ def fp4_linear(x: jax.Array, q: jax.Array, scales: jax.Array,
                group: int = 32) -> jax.Array:
     w = dequant_fp4_groups(q, scales, group, dtype=x.dtype)
     return x @ w.T
+
+
+# ── Quantized-resident containers ────────────────────────────────────────
+# A quantized weight travels the params pytree as {"q": values, "s": scales}
+# (kind inferred from q.dtype: E4M3 → 128×128-blocked fp8, E2M1 → per-row
+# 32-grouped fp4). This is the TPU answer to the reference's quantized-in-HBM
+# serving (deepseek-v4/src/model.rs fp8_linear/fp4_linear over
+# deepseek_quant.cu): weights stay E4M3/E2M1 (+E8M0 scales) in device memory
+# — ~0.55 bytes/param for the MoE experts instead of 2 (bf16) — and the
+# dequant runs on the fly inside the jitted step, fused by XLA into the
+# consuming dot where possible.
+#
+# Block/group sizes are INFERRED from the shape ratio q.shape[-1]/s.shape[-1]
+# (and rows for fp8). This makes mp8 rank concatenation exact at any scale:
+# each rank's scale array covers its real rows/cols whether the rank shard is
+# ≤1 block (tiny test fixtures) or 128-aligned (the real 671B checkpoint).
+#
+# Scales are stored BF16, not E8M0: this chip's XLA rejects F8E8M0FNU
+# ("Element type F8E8M0FNU is not supported on TPU", measured), and every
+# E8M0 value (pow2, exponent −127..127) is exactly representable in bf16 —
+# zero numerics change, scale bytes are weights/64 (negligible).
+SCALE_DTYPE = jnp.bfloat16
+
+# FP4 values are stored PACKED, two E2M1 nibbles per uint8 (low nibble =
+# even element), exactly the reference checkpoint's on-disk F4 layout —
+# true 0.5 bytes/param in HBM. Two reasons over jnp.float4_e2m1fn device
+# arrays: (a) this backend cannot pass F4 arrays across a jit boundary
+# (device_put recursion bug, measured: "RecursionError: Recursively
+# calling jit ... F4E2M1FN"); (b) the real checkpoint's packed bytes load
+# without any repacking. The decode is a 16-entry LUT gather fused into
+# the consuming program.
+
+_F4_VALUES = np.array(
+    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+     -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], np.float32
+)
+
+
+def pack_fp4(arr: np.ndarray) -> np.ndarray:
+    """Host-side: float values (E2M1-exact or to-be-rounded) → packed uint8
+    [..., in/2], low nibble first (reference packed-F4 byte order)."""
+    import ml_dtypes
+
+    codes = np.asarray(arr).astype(ml_dtypes.float4_e2m1fn).view(np.uint8)
+    assert codes.shape[-1] % 2 == 0, codes.shape
+    return (codes[..., 0::2] | (codes[..., 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_fp4(q: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Device-side: packed uint8 [..., in/2] → values [..., in] dtype."""
+    lut = jnp.asarray(_F4_VALUES, dtype)
+    qi = q.astype(jnp.int32)
+    lo = lut[qi & 0xF]
+    hi = lut[qi >> 4]
+    return jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], 2 * q.shape[-1])
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and set(w.keys()) >= {"q", "s"}
+
+
+def dequant_any(w, dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize a {"q","s"} container (any leading batch dims).
+
+    fp8:        q E4M3 [.., out, in], s [.., S_o, S_i] — block grid
+                (out/S_o, in/S_i).
+    fp4 packed: q uint8 [.., out, in/2], s [.., out, S_i] — per-row group
+                (2·in/2)/S_i.
+    fp4 loose:  q E2M1 [.., out, in] (CPU-only paths), same scale layout.
+    """
+    q, s = w["q"], w["s"]
+    sf = s.astype(jnp.float32)
+    if q.dtype == jnp.uint8:  # packed fp4
+        assert q.shape[:-1] == s.shape[:-1], (q.shape, s.shape)
+        vals = unpack_fp4(q, jnp.float32)
+        bi, ri = divmod(vals.shape[-1], s.shape[-1])
+        assert ri == 0, (q.shape, s.shape)
+        return (vals * jnp.repeat(sf, bi, axis=-1)).astype(dtype)
+    bi, ri = divmod(q.shape[-1], s.shape[-1])
+    assert ri == 0, (q.shape, s.shape)
+    if q.dtype == F4:
+        assert q.shape[:-1] == s.shape[:-1], (q.shape, s.shape)
+        sfull = jnp.repeat(sf, bi, axis=-1)
+    else:
+        bo, ro = divmod(q.shape[-2], s.shape[-2])
+        assert ro == 0, (q.shape, s.shape)
+        sfull = jnp.repeat(jnp.repeat(sf, bo, axis=-2), bi, axis=-1)
+    return (q.astype(jnp.float32) * sfull).astype(dtype)
+
+
+def qlinear(x: jax.Array, w) -> jax.Array:
+    """y = x @ W.T where W is a plain [out, in] array or a {"q","s"}
+    container (dequantized on the fly in the latter case)."""
+    if is_quantized(w):
+        return x @ dequant_any(w, x.dtype).T
+    return x @ w.T
+
+
+def quantize_fp8_tensor(w, block: int = 128) -> dict:
+    """[out, in] array → resident fp8 container (test/transform helper).
+
+    Per-dim block falls back to the full dim when `block` doesn't divide it,
+    so the container's inferred block grid (dequant_any) is always exact.
+    """
+    import ml_dtypes
+
+    wf = np.asarray(w, np.float32)
+    out_dim, in_dim = wf.shape
+    bo = block if out_dim % block == 0 else out_dim
+    bi = block if in_dim % block == 0 else in_dim
+    blocks = wf.reshape(out_dim // bo, bo, in_dim // bi, bi)
+    amax = np.abs(blocks).max(axis=(1, 3))
+    scales = _round_scale_pow2_np(amax, FP8_MAX)
+    q = (blocks / scales[:, None, :, None]).reshape(out_dim, in_dim)
+    return {"q": jnp.asarray(q.astype(ml_dtypes.float8_e4m3fn)),
+            "s": jnp.asarray(scales, SCALE_DTYPE)}
+
+
+def quantize_fp4_stack(w, group: int = 32) -> dict:
+    """[E, out, in] expert stack → resident packed-fp4 container
+    ({"q": uint8 [E, out, in/2], "s": bf16 [E, out, in/group]})."""
+    arr = np.asarray(w, np.float32)
+    g = group if arr.shape[-1] % group == 0 else arr.shape[-1]
+    qs = [quant_fp4_groups(arr[e], g) for e in range(arr.shape[0])]
+    return {"q": jnp.asarray(np.stack([pack_fp4(a) for a, _ in qs])),
+            "s": jnp.asarray(np.stack([b.astype(np.float32) for _, b in qs]),
+                             SCALE_DTYPE)}
+
+
+def gather_dequant(w, idx: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Rows idx of an expert stack ([E, out, in] plain or container) →
+    [len(idx), out, in] dtype. Streams only the gathered experts' bytes —
+    the decode-MoE bytes/FLOPs become ∝ K (routed) instead of ∝ E
+    (reference analog: deepseek_moe.cu moe_local_mapping route compaction)."""
+    if is_quantized(w):
+        return dequant_any({"q": w["q"][idx], "s": w["s"][idx]}, dtype)
+    return w[idx].astype(dtype)

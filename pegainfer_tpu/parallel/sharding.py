@@ -115,6 +115,14 @@ def place_tree(mesh: Mesh, params, specs):
                 "q8": jax.device_put(params["q8"], NamedSharding(mesh, specs)),
                 "s": jax.device_put(params["s"], NamedSharding(mesh, s_spec)),
             }
+        if set(params.keys()) == {"q", "s"} and not isinstance(specs, dict):
+            # quantized-resident fp8/fp4 leaf (ops/quant.py containers):
+            # q and s have the same rank and shard on the same axes (the
+            # scale grid divides the same way the value grid does)
+            return {
+                "q": jax.device_put(params["q"], NamedSharding(mesh, specs)),
+                "s": jax.device_put(params["s"], NamedSharding(mesh, specs)),
+            }
         return {k: place_tree(mesh, params[k], specs[k]) for k in params}
     if isinstance(params, (list, tuple)):
         return type(params)(
@@ -220,7 +228,10 @@ def dsv4_layer_specs(lw: dict) -> dict:
     }
     out = {}
     for k, v in lw.items():
-        if isinstance(v, dict):  # compressors: replicated
+        if isinstance(v, dict) and set(v.keys()) == {"q", "s"}:
+            # quantized-resident container: spec resolved in place_tree
+            out[k] = sharded.get(k, P())
+        elif isinstance(v, dict):  # compressors: replicated
             out[k] = {kk: P() for kk in v}
         else:
             out[k] = sharded.get(k, P())

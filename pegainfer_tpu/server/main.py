@@ -78,8 +78,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-num-pages", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=64)
-    p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="weight-only int8 serving (approximate, ~2x decode speed)")
+    p.add_argument("--quantize", choices=["int8", "bf16"], default=None,
+                   help="int8: weight-only int8 serving (Qwen families, "
+                        "approximate, ~2x decode speed); bf16: dequantize a "
+                        "quantized checkpoint at load (DSv4 numerics oracle; "
+                        "DSv4 default serves the checkpoint's FP8/FP4 "
+                        "resident in HBM)")
     p.add_argument("--no-prefix-cache", action="store_true",
                    help="disable shared-prompt-prefix page caching")
     p.add_argument("--no-precompile", action="store_true",

@@ -173,6 +173,78 @@ def write_fake_checkpoint(tmpdir, cfg: dsv4.DSv4Config, params):
                   str(tmpdir / "mp8" / f"model{rank}-mp8.safetensors"))
 
 
+def test_resident_vs_dequant_load(tmp_path):
+    """load_params(resident=True) must keep FP8/FP4 (+E8M0) on device and
+    produce the same logits as the dequantize-at-load oracle (both decode
+    the same checkpoint bytes; only the dequant point differs).
+
+    Reference: quantized-in-HBM serving, deepseek-v4/src/model.rs
+    fp8_linear/fp4_linear over deepseek_quant.cu:1-1272."""
+    import jax
+
+    from pegainfer_tpu.models import dsv4_weights
+    from pegainfer_tpu.ops import quant
+
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=32, moe_inter_dim=16, n_layers=2,
+        num_attention_heads=8, head_dim=16, q_lora_rank=16,
+        qk_rope_head_dim=8, o_groups=8, o_lora_rank=4, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=16, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.init_random_params(cfg, seed=5, dtype=jnp.float32, scale=0.08)
+    write_fake_checkpoint(tmp_path, cfg, params)
+
+    res = dsv4_weights.load_params(cfg, str(tmp_path), resident=True)
+    deq = dsv4_weights.load_params(cfg, str(tmp_path), resident=False)
+
+    lw = res["layers"][0]
+    assert quant.is_quantized(lw["wq_b"]) and lw["wq_b"]["q"].dtype == quant.F8
+    assert lw["wq_b"]["s"].dtype == quant.SCALE_DTYPE
+    assert quant.is_quantized(lw["experts_w1"])
+    # fp4 rides as PACKED nibbles (0.5 B/param; F4 device arrays can't
+    # cross jit on this backend — ops/quant.py)
+    assert lw["experts_w1"]["q"].dtype == jnp.uint8
+    # dequantizing the container reproduces the dequant-at-load tensor
+    w_res = quant.dequant_any(lw["wq_b"], jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(w_res, np.float32),
+        np.asarray(deq["layers"][0]["wq_b"], np.float32),
+    )
+    w4 = quant.dequant_any(lw["experts_w1"], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(w4),
+        np.asarray(deq["layers"][0]["experts_w1"], np.float32),
+        rtol=0, atol=1.0 / 128,  # bf16 storage rounding of the oracle only
+    )
+
+    # resident footprint well under the bf16 tree (fp8=1B, fp4=0.5B vs 2B)
+    assert dsv4.params_hbm_bytes(res) < 0.8 * dsv4.params_hbm_bytes(deq)
+
+    toks = jnp.asarray([3, 17, 42, 9, 88], jnp.int32)
+    lg_r, _ = dsv4.prefill(cfg, res, toks)
+    lg_d, _ = dsv4.prefill(cfg, deq, toks)
+    np.testing.assert_allclose(
+        np.asarray(lg_r), np.asarray(lg_d), rtol=0, atol=5e-2
+    )
+
+    # decode path (routed-expert gather) agrees too
+    state = dsv4.make_state(cfg, 1, 16)
+    _, st_r = dsv4.prefill(cfg, res, toks, state=state, slot=jnp.int32(0))
+    _, st_d = dsv4.prefill(cfg, deq, toks, state=state, slot=jnp.int32(0))
+    step = jnp.asarray([7], jnp.int32)
+    pos = jnp.asarray([5], jnp.int32)
+    slots = jnp.asarray([0], jnp.int32)
+    _, dl_r = dsv4.decode(cfg, res, st_r, step, pos, slots)
+    _, dl_d = dsv4.decode(cfg, deq, st_d, step, pos, slots)
+    np.testing.assert_allclose(
+        np.asarray(dl_r), np.asarray(dl_d), rtol=0, atol=5e-2
+    )
+
+
 def test_dsv4_engine_e2e(tmp_path):
     cfg = dsv4.DSv4Config(
         vocab_size=128, dim=32, moe_inter_dim=16, n_layers=2,
