@@ -117,11 +117,19 @@ def place_tree(mesh: Mesh, params, specs):
             }
         if set(params.keys()) == {"q", "s"} and not isinstance(specs, dict):
             # quantized-resident fp8/fp4 leaf (ops/quant.py containers):
-            # q and s have the same rank and shard on the same axes (the
-            # scale grid divides the same way the value grid does)
+            # the matrix spec shards q; the scale keeps any leading
+            # batch/expert-axis sharding but REPLICATES its last two (block
+            # grid) axes — scale bytes are ≤1/64 of the weight and grid
+            # dims (e.g. [2,2] for a 256x256 fp8 tensor) generally cannot
+            # divide the mesh axes.
+            sp = tuple(specs)
+            if len(sp) == params["s"].ndim and len(sp) >= 2:
+                s_spec = P(*(sp[:-2] + (None, None)))
+            else:
+                s_spec = P()
             return {
                 "q": jax.device_put(params["q"], NamedSharding(mesh, specs)),
-                "s": jax.device_put(params["s"], NamedSharding(mesh, specs)),
+                "s": jax.device_put(params["s"], NamedSharding(mesh, s_spec)),
             }
         return {k: place_tree(mesh, params[k], specs[k]) for k in params}
     if isinstance(params, (list, tuple)):
@@ -263,3 +271,50 @@ def shard_dsv4(mesh: Mesh, params, state=None):
     if state is not None:
         state = place_tree(mesh, state, dsv4_state_specs(state))
     return params, state
+
+
+def dsv4_grouped_param_specs(gparams: dict) -> dict:
+    """Specs for the segment-grouped params layout (dsv4.group_params):
+    per-layer specs gain a leading None for the stacked layer axis."""
+    def prep(spec):
+        t = tuple(spec)
+        return P(None, *t) if t else P()
+
+    seg_specs = []
+    for seg in gparams["segments"]:
+        base = dsv4_layer_specs(seg)
+        seg_specs.append({
+            k: ({kk: P() for kk in v} if isinstance(v, dict) else prep(v))
+            for k, v in base.items()
+        })
+    top = dsv4_param_specs({"layers": []})
+    return {**{k: v for k, v in top.items() if k != "layers"},
+            "segments": seg_specs}
+
+
+def shard_dsv4_grouped(mesh: Mesh, gparams, gstate=None):
+    """Place a segment-grouped DSv4 runtime (the serving layout) with the
+    MP8 specs — the multichip form the engine actually runs."""
+    gparams = place_tree(mesh, gparams, dsv4_grouped_param_specs(gparams))
+    if gstate is not None:
+        gstate = place_tree(
+            mesh, gstate,
+            {"segments": [
+                {k: P() for k in seg} for seg in gstate["segments"]
+            ]},
+        )
+    return gparams, gstate
+
+
+def validate_dsv4_mp8(cfg, world: int = 8) -> None:
+    """The reference's fixed-world-8 shardability constraints
+    (deepseek-v4/src/config.rs TensorParallelConfig)."""
+    for name, v in (
+        ("num_attention_heads", cfg.num_attention_heads),
+        ("o_groups", cfg.o_groups),
+        ("n_routed_experts", cfg.n_routed_experts),
+        ("index_n_heads", cfg.index_n_heads),
+        ("vocab_size", cfg.vocab_size),
+    ):
+        if v % world:
+            raise ValueError(f"mp8 world={world} must divide {name}={v}")
