@@ -135,6 +135,9 @@ class PendingDecode:
     items: list
     tokens_dev: jax.Array  # [B] int32, bucketed
     n: int
+    # device logprob data when any row asked for logprobs:
+    # (chosen [N,B] f32, top_vals [N,B,K] f32, top_ids [N,B,K] i32)
+    lp_dev: Optional[tuple] = None
 
 
 class JaxExecutor:
@@ -277,53 +280,70 @@ class JaxExecutor:
             log.info("compiling decode B=%d P=%d", B, P)
         return fn
 
-    def _decode_sampled(self, B: int, P: int, greedy: bool, n_steps: int = 1) -> Callable:
+    def _decode_sampled(self, B: int, P: int, greedy: bool, n_steps: int = 1,
+                        lp_k: int = 0) -> Callable:
         """Fused N-step decode + on-device sampling: one dispatch computes
         ``n_steps`` tokens per row (lax.scan over the step body, sampled
         tokens fed back on device) — amortizes the host read latency of the
-        serving link across N tokens."""
-        key = (B, P, greedy, n_steps, "sampled")
+        serving link across N tokens.
+
+        ``lp_k > 0`` also extracts per-step logprob data ON DEVICE (chosen-
+        token logprob + top-lp_k values/ids), so logprobs requests ride the
+        same async pipeline instead of dropping to the unfused path
+        (reference serves logprobs from its normal path,
+        vllm-frontend/src/lib.rs:303-325). Outputs gain (lp [N,B],
+        top_vals [N,B,K], top_ids [N,B,K]).
+        """
+        key = (B, P, greedy, n_steps, lp_k, "sampled")
         fn = self._jit_decode.get(key)
         if fn is None:
             decode_fn = self.rt.decode_fn
             wa = self.rt.decode_wa_fn
+
+            def step_outputs(logits, tok):
+                if lp_k == 0:
+                    return (tok,)
+                lp = smp.token_logprob(logits, tok)
+                tv, ti = smp.top_logprobs(logits, lp_k)
+                return (tok, lp, tv, ti)
 
             if wa is not None:
                 # Write-ahead form: pend rides between steps; the N steps are
                 # UNROLLED (no outer while) so every pool write is a straight-
                 # line in-place scatter ahead of all reads — XLA never copies
                 # the pool (see ModelRuntime.decode_wa_fn).
+                def run(params, state, pend, tokens, positions, tables,
+                        seq_lens, slots, sample_step):
+                    tok, pos, sl = tokens, positions, seq_lens
+                    outs = []
+                    for i in range(n_steps):
+                        state, pend, logits = wa(
+                            params, state, pend, tok, pos, tables, sl, slots
+                        )
+                        tok = sample_step(logits, i)
+                        outs.append(step_outputs(logits, tok))
+                        pos, sl = pos + 1, sl + 1
+                    stacked = tuple(jnp.stack(x) for x in zip(*outs))
+                    return (state, pend) + stacked
+
                 if greedy:
                     def fused(params, state, pend, tokens, positions, tables,
                               seq_lens, slots):
-                        tok, pos, sl = tokens, positions, seq_lens
-                        toks = []
-                        for _ in range(n_steps):
-                            state, pend, logits = wa(
-                                params, state, pend, tok, pos, tables, sl, slots
-                            )
-                            tok = smp.sample_greedy(logits)
-                            toks.append(tok)
-                            pos, sl = pos + 1, sl + 1
-                        return state, pend, jnp.stack(toks)  # [N, B]
+                        return run(params, state, pend, tokens, positions,
+                                   tables, seq_lens, slots,
+                                   lambda lg, i: smp.sample_greedy(lg))
                 else:
                     def fused(params, state, pend, tokens, positions, tables,
                               seq_lens, slots, temp, top_k, top_p, rand):
-                        tok, pos, sl = tokens, positions, seq_lens
-                        toks = []
-                        for i in range(n_steps):
-                            state, pend, logits = wa(
-                                params, state, pend, tok, pos, tables, sl, slots
-                            )
-                            tok = smp.sample(logits, temp, top_k, top_p, rand[i])
-                            toks.append(tok)
-                            pos, sl = pos + 1, sl + 1
-                        return state, pend, jnp.stack(toks)
+                        return run(params, state, pend, tokens, positions,
+                                   tables, seq_lens, slots,
+                                   lambda lg, i: smp.sample(
+                                       lg, temp, top_k, top_p, rand[i]))
                 fn = jax.jit(fused, donate_argnums=(1, 2))
                 self._jit_decode[key] = fn
                 log.info(
-                    "compiling fused wa-decode B=%d P=%d greedy=%s N=%d",
-                    B, P, greedy, n_steps,
+                    "compiling fused wa-decode B=%d P=%d greedy=%s N=%d K=%d",
+                    B, P, greedy, n_steps, lp_k,
                 )
                 return fn
 
@@ -335,13 +355,13 @@ class JaxExecutor:
                             params, state, tok, pos, tables, sl, slots
                         )
                         tok = smp.sample_greedy(logits)
-                        return (state, tok, pos + 1, sl + 1), tok
+                        return (state, tok, pos + 1, sl + 1), step_outputs(logits, tok)
 
-                    (state, *_), toks = jax.lax.scan(
+                    (state, *_), ys = jax.lax.scan(
                         body, (state, tokens, positions, seq_lens), None,
                         length=n_steps,
                     )
-                    return state, toks  # [N, B]
+                    return (state,) + tuple(ys)  # toks[, lp, tv, ti] each [N, ...]
             else:
                 def fused(params, state, tokens, positions, tables, seq_lens,
                           slots, temp, top_k, top_p, rand):
@@ -351,17 +371,18 @@ class JaxExecutor:
                             params, state, tok, pos, tables, sl, slots
                         )
                         tok = smp.sample(logits, temp, top_k, top_p, rand_row)
-                        return (state, tok, pos + 1, sl + 1), tok
+                        return (state, tok, pos + 1, sl + 1), step_outputs(logits, tok)
 
-                    (state, *_), toks = jax.lax.scan(
+                    (state, *_), ys = jax.lax.scan(
                         body, (state, tokens, positions, seq_lens), rand,
                         length=n_steps,
                     )
-                    return state, toks
+                    return (state,) + tuple(ys)
             fn = jax.jit(fused, donate_argnums=1)
             self._jit_decode[key] = fn
             log.info(
-                "compiling fused decode B=%d P=%d greedy=%s N=%d", B, P, greedy, n_steps
+                "compiling fused decode B=%d P=%d greedy=%s N=%d K=%d",
+                B, P, greedy, n_steps, lp_k,
             )
         return fn
 
@@ -718,8 +739,15 @@ class JaxExecutor:
 
     # ── async decode pipeline ────────────────────────────────────────
 
+    # logprobs top-k cap for the fused path (top_k over [B,V] on device;
+    # OpenAI surface caps at 5 — 32 is generous)
+    MAX_FUSED_LOGPROBS = 32
+
     def supports_async_decode(self, items) -> bool:
-        return not any(it.logprobs > 0 for it in items) and len(items) <= self.max_batch
+        return (
+            len(items) <= self.max_batch
+            and all(it.logprobs <= self.MAX_FUSED_LOGPROBS for it in items)
+        )
 
     def execute_decode_async(
         self,
@@ -747,6 +775,8 @@ class JaxExecutor:
             tok_arg = jnp.asarray(tokens)
 
         greedy = all(it.params.is_greedy for it in items)
+        lp_max = max((it.logprobs for it in items), default=0)
+        lp_k = bucket_pow2(lp_max, 1, self.MAX_FUSED_LOGPROBS) if lp_max else 0
         use_wa = self.rt.decode_wa_fn is not None
         if use_wa:
             pend = self._chain_pend(B, tuple(it.request_id for it in items))
@@ -760,11 +790,8 @@ class JaxExecutor:
                 jnp.asarray(tables), jnp.asarray(seq_lens), jnp.asarray(slots),
             )
         if greedy:
-            fn = self._decode_sampled(B, P, True, N)
-            if use_wa:
-                self.state, self._pend, toks = fn(*args)
-            else:
-                self.state, toks = fn(*args)
+            fn = self._decode_sampled(B, P, True, N, lp_k)
+            out = fn(*args)
         else:
             temp = np.zeros(B, np.float32)
             top_k = np.full(B, -1, np.int32)
@@ -777,42 +804,76 @@ class JaxExecutor:
                 rand[0, i] = it.random_val
             if rand_matrix is not None:
                 rand[:, :n] = rand_matrix
-            fn = self._decode_sampled(B, P, False, N)
-            sargs = (
+            fn = self._decode_sampled(B, P, False, N, lp_k)
+            out = fn(
                 *args, jnp.asarray(temp), jnp.asarray(top_k),
                 jnp.asarray(top_p), jnp.asarray(rand),
             )
-            if use_wa:
-                self.state, self._pend, toks = fn(*sargs)
-            else:
-                self.state, toks = fn(*sargs)
+        if use_wa:
+            self.state, self._pend, toks, *lp_rest = out
+        else:
+            self.state, toks, *lp_rest = out
+        lp_dev = tuple(lp_rest) if lp_k else None
         for st in states:
             st.advance(N)
-        try:
-            toks.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — transfer hint only
-            pass
-        return PendingDecode(items=list(items), tokens_dev=toks, n=n)
+        for arr in (toks, *(lp_rest if lp_k else ())):
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — transfer hint only
+                pass
+        return PendingDecode(items=list(items), tokens_dev=toks, n=n,
+                             lp_dev=lp_dev)
+
+    def _pending_logprobs(self, pending: PendingDecode, n_steps: int):
+        """Per-item per-step TokenLogprob lists from the device lp arrays
+        (None entries for rows that didn't ask)."""
+        if pending.lp_dev is None:
+            return [None] * len(pending.items)
+        chosen = np.asarray(pending.lp_dev[0])
+        tv = np.asarray(pending.lp_dev[1])
+        ti = np.asarray(pending.lp_dev[2])
+        out = []
+        for i, it in enumerate(pending.items):
+            if it.logprobs <= 0:
+                out.append(None)
+                continue
+            out.append([
+                TokenLogprob(
+                    logprob=float(chosen[s, i]),
+                    top_logprobs=[
+                        (int(ti[s, i, j]), float(tv[s, i, j]))
+                        for j in range(it.logprobs)
+                    ],
+                )
+                for s in range(n_steps)
+            ])
+        return out
 
     def resolve_pending(self, pending: PendingDecode) -> DecodeResult:
         """Single-token resolve (sync path)."""
         host = np.asarray(pending.tokens_dev)
         if host.ndim == 2:
             host = host[0]
+        lps = self._pending_logprobs(pending, 1)
         return DecodeResult(
             requests=[
-                DecodeRequestResult(request_id=it.request_id, token=int(host[i]))
+                DecodeRequestResult(
+                    request_id=it.request_id, token=int(host[i]),
+                    logprob=lps[i][0] if lps[i] else None,
+                )
                 for i, it in enumerate(pending.items)
             ]
         )
 
     def resolve_pending_multi(self, pending: PendingDecode):
-        """[(request_id, [token, ...]), ...] — all n_tokens per row."""
+        """[(request_id, [token, ...], [TokenLogprob, ...] | None), ...] —
+        all n_tokens per row."""
         host = np.asarray(pending.tokens_dev)
         if host.ndim == 1:
             host = host[None, :]
+        lps = self._pending_logprobs(pending, host.shape[0])
         return [
-            (it.request_id, [int(t) for t in host[:, i]])
+            (it.request_id, [int(t) for t in host[:, i]], lps[i])
             for i, it in enumerate(pending.items)
         ]
 

@@ -304,6 +304,19 @@ class Scheduler:
                         done_reqs.append(req)
                         break
                     self._decode_block_once()
+            elif chunkable and self.active:
+                # Non-chunkable prefill (e.g. echo+logprobs needs all-
+                # position logits in one pass): run it ALONE and give the
+                # active set a decode block right after — the decode stall
+                # is bounded by one request's prefill, never the whole
+                # pending queue (the reference bounds this structurally via
+                # its fused unified GEMM pass, unified_forward.rs:1-78).
+                result = ex.execute_prefill(
+                    PrefillPlan(requests=[item], echo=item.echo)
+                )
+                done_results.append(result.requests[0])
+                done_reqs.append(req)
+                self._decode_block_once()
             else:
                 plain.append(item)
                 plain_reqs.append(req)
@@ -378,9 +391,8 @@ class Scheduler:
             if finished or not self.active:
                 live = {st.request_id for st in self.active}
                 res2 = [
-                    (rid, toks)
-                    for rid, toks in ex.resolve_pending_multi(next_pending)
-                    if rid in live
+                    r for r in ex.resolve_pending_multi(next_pending)
+                    if r[0] in live
                 ]
                 if res2:
                     self._apply_decode_tokens(res2)
@@ -393,16 +405,16 @@ class Scheduler:
         (EOS mid-block discards the request's remaining tokens)."""
         by_id = {st.request_id: st for st in self.active}
         finished_ids = set()
-        for rid, toks in results:
+        for rid, toks, lps in results:
             st = by_id[rid]
-            for tok in toks:
+            for ti, tok in enumerate(toks):
                 completion = st.generated_count + 1
                 is_eos = not st.params.ignore_eos and self.executor.is_stop_token(tok)
                 if is_eos:
                     st.channel.send(Finished(FinishReason.STOP, st.prompt_len, completion))
                     finished_ids.add(rid)
                     break
-                st.channel.send(Token(tok))
+                st.channel.send(Token(tok, lps[ti] if lps else None))
                 st.last_token = tok
                 st.generated_count = completion
                 if completion >= st.max_tokens:

@@ -266,3 +266,46 @@ def test_threaded_scheduler_end_to_end():
     handle.shutdown()
     handle._thread.join(timeout=5)
     assert not handle._thread.is_alive()
+
+
+class ChunkableFakeExecutor(FakeExecutor):
+    """Has the real executor's chunked-prefill surface so the unified plan
+    takes the interleaved path, but reports every prompt as non-chunkable
+    (the echo+logprobs case, which needs all-position logits in one pass)."""
+
+    def supports_chunked_prefill(self, item):
+        return False
+
+    def prefill_stepper(self, item):  # pragma: no cover - must not be hit
+        raise AssertionError("non-chunkable prompts must not use the stepper")
+
+
+def test_unified_nonchunkable_prefill_interleaves_decode():
+    """A non-chunkable (echo-style) prefill queue must not stall active
+    decodes for the whole queue: decode blocks run between per-request
+    prefills (reference bound: the fused unified pass,
+    unified_forward.rs:1-78)."""
+    ex = ChunkableFakeExecutor()
+    handle = EngineHandle()
+    sched = Scheduler(ex, handle)
+    ch_a = submit(handle, [1], 30, params=SamplingParams(ignore_eos=True))
+    reqs, _ = sched.handle._drain()
+    for r in reqs:
+        sched._ingest(r)
+    sched.step()
+    assert ex.plans == ["prefill"]
+
+    # two long non-chunkable prompts arrive while A decodes
+    ch_b = submit(handle, [10], 2, params=SamplingParams(ignore_eos=True))
+    ch_c = submit(handle, [20], 2, params=SamplingParams(ignore_eos=True))
+    reqs, _ = sched.handle._drain()
+    for r in reqs:
+        sched._ingest(r)
+    sched.step()
+    # each pending request prefills ALONE with a decode block after it —
+    # A makes progress between B's and C's prefills
+    assert ex.plans[1:5] == ["prefill", "decode", "prefill", "decode"]
+    run_until_idle(sched)
+    assert len([e for e in collect(ch_a) if isinstance(e, Token)]) == 30
+    assert len([e for e in collect(ch_b) if isinstance(e, Token)]) == 2
+    assert len([e for e in collect(ch_c) if isinstance(e, Token)]) == 2
