@@ -113,12 +113,23 @@ class ModelRuntime:
     prefill_chunk_wa_fn: Optional[Callable] = None
     make_chunk_pend_fn: Optional[Callable] = None  # (n_pages) -> cpend
     flush_chunk_pend_fn: Optional[Callable] = None  # (state, cpend) -> state
-    # True when a prompt prefix's pages fully determine its attention state
-    # (no per-slot recurrent/compressor state), so prefix pages can be
-    # shared across requests (docs/prefix-cache-design.md). Hybrid models
-    # (Qwen3.5 GDN state, DSv4 compressor rings) need state snapshots at
-    # the prefix boundary — staged.
+    # True when prompt prefixes are reusable across requests
+    # (docs/prefix-cache-design.md). Models whose prefix pages fully
+    # determine attention state (Qwen3) need nothing else; HYBRID models
+    # (Qwen3.5 GDN/conv state, DSv4 compressor state) must also provide the
+    # two cpend hooks below — the write-ahead chunk-pend already carries
+    # exactly the per-slot state at each chunk boundary, so a snapshot is a
+    # copy of its state part and a restore seeds the initial cpend of the
+    # continuation (landed by the first chunk's flush; the model's
+    # start_pos>0 path then reads the slot state).
     supports_prefix_cache: bool = False
+    # (cpend) -> small device pytree: the per-slot state part of a chunk
+    # pend, valid at the chunk boundary the pend describes. Must COPY (the
+    # pend itself is donated into the next chunk call).
+    cpend_snapshot_fn: Optional[Callable] = None
+    # (cpend, snap, slot:int) -> cpend with the snapshot's state seeded for
+    # ``slot`` (rows/pages parts must stay benign — null-page writes).
+    cpend_restore_fn: Optional[Callable] = None
 
 
 @dataclass
@@ -152,6 +163,13 @@ class JaxExecutor:
             opts.enable_prefix_cache
             and runtime.supports_prefix_cache
             and runtime.prefill_chunk_fn is not None
+            # stateful models additionally need the write-ahead chunk path
+            # (snapshots ride the chunk pend) — see ModelRuntime
+            and (runtime.cpend_snapshot_fn is None
+                 or runtime.prefill_chunk_wa_fn is not None)
+        )
+        self._hybrid_cache = (
+            use_prefix_cache and runtime.cpend_snapshot_fn is not None
         )
         if use_prefix_cache:
             # prefix sharing needs the refcounted Python pool
@@ -463,7 +481,13 @@ class JaxExecutor:
         ):
             return
         st.prefix_checked = True
-        n_tok, pages = self.prefix_cache.match(item.prompt_tokens)
+        if self._hybrid_cache:
+            n_tok, pages, snap = self.prefix_cache.match_hybrid(
+                item.prompt_tokens
+            )
+            st.prefix_snap = snap
+        else:
+            n_tok, pages = self.prefix_cache.match(item.prompt_tokens)
         if n_tok:
             st.pages = list(pages)
             st.prefix_len = n_tok
@@ -494,9 +518,37 @@ class JaxExecutor:
         # short remainder (e.g. a near-full prefix-cache hit) doesn't pay a
         # whole padded chunk of GEMMs (measured 1267 -> ~60 ms warm TTFT).
         small = 256 if (256 % ps == 0 and 256 < chunk) else chunk
+        # Hybrid prefix cache: end the schedule with a SMALL piece, so the
+        # deepest state snapshot lands within `small` tokens of the prompt
+        # end — warm TTFT then re-prefills ~small tokens instead of a whole
+        # chunk (measured 270 -> ~110 ms at 8k). The piece before it pads
+        # up to a full chunk (a known compile size); only the final `small`
+        # piece is an extra dispatch vs the plain ladder.
+        fine_tail = (self._hybrid_cache and small < chunk
+                     and self.rt.prefill_chunk_wa_fn is not None)
 
-        def pick(rem: int) -> int:
-            return small if rem <= small else chunk
+        # Piece schedule: [(Tc, end)] — Tc is the compile-size bucket
+        # (tokens padded, `valid` = end - start real); `end` positions are
+        # page-aligned except the final T. A mid-schedule short piece's
+        # padding pages get garbage rows transiently; the next piece's own
+        # rows overwrite them at its flush, and attention masks past
+        # `start_pos + valid`, so they are never read.
+        pieces = []
+        pos = start0
+        if fine_tail and T - pos > small:
+            b = -(-(T - small) // ps) * ps  # penultimate boundary
+            while b - pos > chunk:
+                pieces.append((chunk, pos + chunk))
+                pos += chunk
+            if b > pos:
+                pieces.append((small if b - pos <= small else chunk, b))
+                pos = b
+            pieces.append((small if T - pos <= small else chunk, T))
+        else:
+            while pos < T:
+                Tc = small if T - pos <= small else chunk
+                pieces.append((Tc, min(pos + Tc, T)))
+                pos = min(pos + Tc, T)
 
         # Tables must cover each chunk's FULL page span (the model
         # dynamic-slices chunk_len/ps entries from first_page; an
@@ -506,9 +558,12 @@ class JaxExecutor:
         cpend = None
         table_cache = {}
         last_logits = None
+        # Hybrid prefix cache: the chunk pend carries the slot's state at
+        # each boundary — copy the deepest one (and the end, if aligned) as
+        # snapshots for future prompts sharing this prefix.
+        snaps = []  # [(pos, snapshot)]
         start = start0
-        while start < T:
-            Tc = pick(T - start)
+        for Tc, end in pieces:
             need_entries = -(-(start + Tc) // ps)
             P = bucket_pow2(max(len(pages), need_entries), 8, self._table_cap)
             table_dev = table_cache.get(P)
@@ -516,12 +571,20 @@ class JaxExecutor:
                 table = np.full(P, PagePool.NULL_PAGE, dtype=np.int32)
                 table[: len(pages)] = pages
                 table_dev = table_cache[P] = jnp.asarray(table)
-            part = item.prompt_tokens[start:start + Tc]
+            part = item.prompt_tokens[start:end]
             toks = np.zeros(Tc, dtype=np.int32)
             toks[: len(part)] = part
             if use_wa:
                 if cpend is None:
                     cpend = self.rt.make_chunk_pend_fn(Tc // ps)
+                    if getattr(st, "prefix_snap", None) is not None:
+                        # continuation from a cached hybrid prefix: seed the
+                        # initial pend with the snapshotted slot state (the
+                        # first chunk's flush lands it; start_pos>0 reads it)
+                        cpend = self.rt.cpend_restore_fn(
+                            cpend, st.prefix_snap, int(slot)
+                        )
+                        st.prefix_snap = None
                 nP_in = cpend["rows"].shape[0]
                 key = ("chunk_wa", Tc, P, nP_in)
                 fn = self._jit_prefill.get(key)
@@ -541,9 +604,16 @@ class JaxExecutor:
                     self.params, self.state, jnp.asarray(toks), jnp.int32(start),
                     jnp.int32(len(part)), table_dev, slot,
                 )
-            start += Tc
-            if start < T:
-                yield start  # progress; caller may run decode now
+            start = end
+            if self._hybrid_cache and use_wa and (end < T or T % ps == 0):
+                # state after exactly `end` tokens; keep the deepest
+                # interior boundary plus (when page-aligned) the prompt
+                # end — the end snapshot serves extended prompts (multi-turn)
+                if snaps and snaps[-1][0] < T and end < T:
+                    snaps.pop()
+                snaps.append((end, self.rt.cpend_snapshot_fn(cpend)))
+            if end < T:
+                yield end  # progress; caller may run decode now
         if use_wa:
             # land the last chunk's pages (write-only program — in place)
             fkey = ("chunk_flush", cpend["rows"].shape[0])
@@ -557,6 +627,8 @@ class JaxExecutor:
             self.prefix_cache.insert(
                 item.prompt_tokens, st.pages[: T // self.rt.page_size]
             )
+            for pos, snap in snaps:
+                self.prefix_cache.insert_snapshot(item.prompt_tokens, pos, snap)
         logits_b = last_logits[None, :]
         host_toks, dev_toks = self._sample(logits_b, [item])
         lp = self._maybe_logprobs(logits_b, dev_toks, [item])[0]

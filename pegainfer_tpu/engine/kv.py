@@ -104,6 +104,7 @@ class KvState:
     length: int = 0  # tokens currently stored
     prefix_len: int = 0  # cached-prefix tokens (page-aligned)
     prefix_checked: bool = False  # cache lookup already performed
+    prefix_snap: Optional[object] = None  # hybrid-model state snapshot to restore
 
     @property
     def capacity(self) -> int:
@@ -174,7 +175,8 @@ class PrefixCache:
     exactly. LRU eviction runs via the pool's shortage hook.
     """
 
-    def __init__(self, pool: PagePool, page_size: int) -> None:
+    def __init__(self, pool: PagePool, page_size: int,
+                 max_snapshots: int = 4) -> None:
         self.pool = pool
         self.page_size = page_size
         self._pages: Dict[int, int] = {}  # chain key -> page id
@@ -182,6 +184,13 @@ class PrefixCache:
         self._tick = 0
         self.hits = 0
         self.misses = 0
+        # Hybrid-model state snapshots: chain key -> (pos, device pytree).
+        # Linear-attention / compressor state is position-dependent, so a
+        # prefix is only reusable at positions where the per-slot state was
+        # snapshotted (docs/prefix-cache-design.md "Hybrid/DSv4 caveat").
+        # Snapshots are tens of MB of HBM each — LRU-capped by count.
+        self._snaps: Dict[int, tuple] = {}
+        self.max_snapshots = max_snapshots
         pool.set_eviction_hook(self._evict)
 
     def _keys(self, tokens: Sequence[int]):
@@ -214,6 +223,54 @@ class PrefixCache:
         else:
             self.misses += 1
         return len(pages) * ps, pages
+
+    def match_hybrid(self, tokens: Sequence[int]) -> tuple:
+        """Longest cached prefix USABLE BY A STATEFUL MODEL: the largest
+        snapshotted position whose page chain is fully cached. Returns
+        (n_tokens, page_ids, snapshot) — pages increfed as in ``match``;
+        (0, [], None) when no snapshotted boundary matches."""
+        ps = self.page_size
+        usable = (len(tokens) - 1) // ps  # full pages, excluding last token
+        self._tick += 1
+        chain: List[tuple] = []  # (key, page_id) per matched page
+        best = None  # (n_pages, key)
+        for i, key in enumerate(self._keys(tokens)):
+            if i >= usable:
+                break
+            pid = self._pages.get(key)
+            if pid is None:
+                break
+            chain.append((key, pid))
+            if key in self._snaps:
+                best = (i + 1, key)
+        if best is None:
+            self.misses += 1
+            return 0, [], None
+        n_pages, skey = best
+        pages = [pid for _, pid in chain[:n_pages]]
+        for key, _ in chain[:n_pages]:
+            self._lru[key] = self._tick
+        pos, snap = self._snaps.pop(skey)
+        self._snaps[skey] = (pos, snap)  # refresh snapshot LRU order
+        assert pos == n_pages * ps
+        self.pool.incref(pages)
+        self.hits += 1
+        return pos, pages, snap
+
+    def insert_snapshot(self, tokens: Sequence[int], pos: int, snap) -> None:
+        """Register a state snapshot taken after exactly ``pos`` tokens
+        (page-aligned). The page chain for those tokens must be inserted
+        separately (``insert``); a snapshot whose pages were evicted simply
+        never matches and ages out."""
+        ps = self.page_size
+        if pos <= 0 or pos % ps or pos > len(tokens):
+            return
+        keys = list(self._keys(tokens[:pos]))
+        key = keys[pos // ps - 1]
+        self._snaps.pop(key, None)
+        self._snaps[key] = (pos, snap)
+        while len(self._snaps) > self.max_snapshots:
+            self._snaps.pop(next(iter(self._snaps)))
 
     def insert(self, tokens: Sequence[int], pages: Sequence[int]) -> None:
         """Register a prefilled prompt's full pages (immutable: generated
@@ -252,6 +309,7 @@ class PrefixCache:
             self.pool.free([pid])
 
     def clear(self) -> None:
+        self._snaps.clear()
         self._evict(len(self._pages))
 
 

@@ -885,6 +885,24 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
 # ── Runtime bundle ───────────────────────────────────────────────────────
 
 
+def cpend_snapshot(cpend):
+    """State part of a chunk pend (= the slot's GDN/conv state at the chunk
+    boundary), copied — the pend itself is donated into the next chunk."""
+    return {"rec": jnp.copy(cpend["rec"]), "conv": jnp.copy(cpend["conv"])}
+
+
+def cpend_restore(cpend, snap, slot: int):
+    """Seed a fresh chunk pend with a cached prefix snapshot for ``slot``.
+    The rows/pages parts stay zeros (null-page writes on flush); copies keep
+    the cached snapshot alive across the pend's donation."""
+    return dict(
+        cpend,
+        rec=jnp.copy(snap["rec"]),
+        conv=jnp.copy(snap["conv"]),
+        slot=jnp.int32(slot),
+    )
+
+
 def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
                  max_slots: int = 64, kv_dtype=jnp.bfloat16,
                  use_pallas=None):
@@ -926,4 +944,9 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         max_model_len=cfg.max_position_embeddings,
         vocab_size=cfg.vocab_size,
         max_slots=max_slots,
+        # hybrid prefix cache: GDN/conv state snapshots ride the chunk pend
+        # (docs/prefix-cache-design.md "Hybrid/DSv4 caveat")
+        supports_prefix_cache=True,
+        cpend_snapshot_fn=cpend_snapshot,
+        cpend_restore_fn=cpend_restore,
     )

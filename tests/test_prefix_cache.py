@@ -75,6 +75,56 @@ def test_eviction_under_pressure():
     assert cache.hits == 0  # nothing matched, just mechanics
 
 
+def test_hybrid_match_only_at_snapshot_boundaries():
+    """Stateful-model matching: a prefix is only usable where a state
+    snapshot exists, even when deeper pages are cached."""
+    pool = PagePool(32)
+    cache = PrefixCache(pool, page_size=4)
+    toks = list(range(20))  # 5 full pages
+    pages = pool.alloc(5)
+    cache.insert(toks, pages)
+    # no snapshot anywhere -> no hybrid match (but a plain match succeeds)
+    n, p, snap = cache.match_hybrid(toks + [77])
+    assert (n, p, snap) == (0, [], None)
+    # snapshot at pos 8 (page 2 boundary)
+    cache.insert_snapshot(toks, 8, {"s": "at8"})
+    n, p, snap = cache.match_hybrid(toks + [77])
+    assert n == 8 and p == pages[:2] and snap == {"s": "at8"}
+    pool.free(p)
+    # deeper snapshot wins
+    cache.insert_snapshot(toks, 16, {"s": "at16"})
+    n, p, snap = cache.match_hybrid(toks + [77])
+    assert n == 16 and snap == {"s": "at16"}
+    pool.free(p)
+    # identical prompt (len 20): usable cap is (20-1)//4 = 4 pages -> the
+    # pos-16 snapshot is exactly usable
+    n, p, snap = cache.match_hybrid(toks)
+    assert n == 16
+    pool.free(p)
+    # misaligned / out-of-range snapshot positions are ignored
+    cache.insert_snapshot(toks, 7, {"s": "bad"})
+    cache.insert_snapshot(toks, 24, {"s": "bad"})
+    assert len(cache._snaps) == 2
+
+
+def test_hybrid_snapshot_lru_cap():
+    pool = PagePool(64)
+    cache = PrefixCache(pool, page_size=4, max_snapshots=2)
+    toks = list(range(40))
+    pages = pool.alloc(10)
+    cache.insert(toks, pages)
+    cache.insert_snapshot(toks, 8, {"s": 8})
+    cache.insert_snapshot(toks, 16, {"s": 16})
+    cache.insert_snapshot(toks, 24, {"s": 24})  # evicts pos-8 (LRU)
+    assert sorted(pos for pos, _ in cache._snaps.values()) == [16, 24]
+    # matching refreshes LRU order: touch 16, then insert -> 24 evicted
+    n, p, snap = cache.match_hybrid(toks[:17] + [99])
+    assert n == 16
+    pool.free(p)
+    cache.insert_snapshot(toks, 32, {"s": 32})
+    assert sorted(pos for pos, _ in cache._snaps.values()) == [16, 32]
+
+
 # ── engine-level: token parity + fewer pages prefilled ───────────────────
 
 
@@ -221,6 +271,173 @@ def test_fully_cached_prompt_reruns_last_token(engine_and_executor):
     engine.submit(r2)
     t2 = collect(r2)
     assert t1 == t2
+
+
+def _tiny_qwen35():
+    """Tiny random-weight hybrid model (1 linear + 1 full layer)."""
+    import torch
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    from pegainfer_tpu.models import qwen35 as q35
+
+    hf = Qwen3NextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=1e6,
+        partial_rotary_factor=0.25, tie_word_embeddings=True,
+        max_position_embeddings=2048,
+        layer_types=["linear_attention", "full_attention"],
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, num_experts=0, attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    model = Qwen3NextForCausalLM(hf).eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    cfg = q35.Qwen35Config.from_hf(hf)
+    return cfg, q35.params_from_state_dict(cfg, sd, dtype=jnp.float32)
+
+
+def _qwen35_engine(cfg, params, enable_cache=True):
+    from pegainfer_tpu.models import qwen35 as q35
+
+    runtime = q35.make_runtime(cfg, params, num_pages=128, page_size=4,
+                               max_slots=4, kv_dtype=jnp.float32,
+                               use_pallas=False)
+    ex = JaxExecutor(runtime, EngineLoadOptions(
+        prefill_chunk=16, enable_prefix_cache=enable_cache))
+    return start_scheduler(ex), ex
+
+
+def test_hybrid_prefix_cache_qwen35_token_parity():
+    """Qwen3.5 prefix reuse: GDN/conv state snapshots at the chunk boundary
+    make cached prefixes usable despite position-dependent state — tokens
+    must be identical to the cold path (VERDICT #6; the reference carries
+    this as a design doc only, prefix-paged-kv-pd-handoff.md)."""
+    cfg, params = _tiny_qwen35()
+    engine, ex = _qwen35_engine(cfg, params)
+    try:
+        assert ex.prefix_cache is not None and ex._hybrid_cache
+        rng = np.random.default_rng(7)
+        prompt = rng.integers(2, 255, 45).tolist()  # 3 chunks of 16
+
+        def run(p, n=6):
+            r = GenerateRequest(prompt_tokens=list(p), max_tokens=n,
+                                params=SamplingParams(ignore_eos=True))
+            engine.submit(r)
+            return collect(r)
+
+        t1 = run(prompt)
+        hits0 = ex.prefix_cache.hits
+        t2 = run(prompt)  # identical prompt -> snapshot boundary hit
+        assert t2 == t1
+        assert ex.prefix_cache.hits == hits0 + 1
+
+        # extended prompt (multi-turn shape): shares the cached prefix
+        ext = prompt + rng.integers(2, 255, 20).tolist()
+        t3 = run(ext)
+        assert ex.prefix_cache.hits == hits0 + 2
+        # cold reference for the extended prompt
+        ex.prefix_cache.clear()
+        t4 = run(ext)
+        assert t3 == t4
+    finally:
+        engine.shutdown()
+
+
+def test_hybrid_page_aligned_end_snapshot():
+    """A page-aligned prompt end is snapshotted too, so an extended prompt
+    resumes from the full previous prompt (the multi-turn case)."""
+    cfg, params = _tiny_qwen35()
+    engine, ex = _qwen35_engine(cfg, params)
+    try:
+        rng = np.random.default_rng(9)
+        prompt = rng.integers(2, 255, 32).tolist()  # 2 chunks, end aligned
+
+        def run(p, n=4):
+            r = GenerateRequest(prompt_tokens=list(p), max_tokens=n,
+                                params=SamplingParams(ignore_eos=True))
+            engine.submit(r)
+            return collect(r)
+
+        run(prompt)
+        # snapshots: deepest interior boundary (16) + aligned end (32)
+        assert sorted(pos for pos, _ in ex.prefix_cache._snaps.values()) \
+            == [16, 32]
+        ext = prompt + rng.integers(2, 255, 12).tolist()
+        hits0 = ex.prefix_cache.hits
+        t1 = run(ext)
+        assert ex.prefix_cache.hits == hits0 + 1
+        ex.prefix_cache.clear()
+        t2 = run(ext)
+        assert t1 == t2
+    finally:
+        engine.shutdown()
+
+
+def test_hybrid_fine_tail_snapshot_depth():
+    """With the hybrid cache on, the prompt's final stretch runs in small
+    chunks so the deepest snapshot lands within `small` tokens of the end
+    (warm TTFT floor ≈ small, not a whole chunk)."""
+    from pegainfer_tpu.models import qwen35 as q35
+
+    cfg, params = _tiny_qwen35()
+    runtime = q35.make_runtime(cfg, params, num_pages=512, page_size=4,
+                               max_slots=4, kv_dtype=jnp.float32,
+                               use_pallas=False)
+    ex = JaxExecutor(runtime, EngineLoadOptions(prefill_chunk=512))
+    engine = start_scheduler(ex)
+    try:
+        rng = np.random.default_rng(23)
+        prompt = rng.integers(2, 255, 900).tolist()
+
+        def run(p, n=3):
+            r = GenerateRequest(prompt_tokens=list(p), max_tokens=n,
+                                params=SamplingParams(ignore_eos=True))
+            engine.submit(r)
+            return collect(r)
+
+        t1 = run(prompt)
+        # pieces: (512, 512), (256, 644), (256, 900) -> deepest interior
+        # snapshot at 644 = ceil((900-256)/4)*4, plus the aligned end 900
+        assert sorted(pos for pos, _ in ex.prefix_cache._snaps.values()) \
+            == [644, 900]
+        hits0 = ex.prefix_cache.hits
+        t2 = run(prompt)
+        assert t2 == t1 and ex.prefix_cache.hits == hits0 + 1
+    finally:
+        engine.shutdown()
+
+
+def test_hybrid_differential_random_stream():
+    """Differential: hybrid engine with cache on vs off over a stream of
+    shared-prefix prompts — identical greedy tokens (cache is pure opt)."""
+    cfg, params = _tiny_qwen35()
+    rng = np.random.default_rng(17)
+    bases = [rng.integers(2, 255, rng.integers(20, 60)).tolist()
+             for _ in range(3)]
+    prompts = []
+    for _ in range(10):
+        b = bases[rng.integers(0, len(bases))]
+        cut = int(rng.integers(8, len(b) + 1))
+        tail = rng.integers(2, 255, rng.integers(0, 8)).tolist()
+        prompts.append(b[:cut] + tail)
+
+    def run(enable_cache):
+        engine, _ = _qwen35_engine(cfg, params, enable_cache)
+        outs = []
+        try:
+            for i, p in enumerate(prompts):
+                r = GenerateRequest(prompt_tokens=list(p),
+                                    max_tokens=3 + (i % 4),
+                                    params=SamplingParams(ignore_eos=True))
+                engine.submit(r)
+                outs.append(collect(r))
+        finally:
+            engine.shutdown()
+        return outs
+
+    assert run(True) == run(False)
 
 
 def test_differential_random_stream_cache_vs_nocache():
