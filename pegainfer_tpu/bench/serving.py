@@ -102,14 +102,93 @@ def run_case(engine: EngineHandle, case: CaseConfig, vocab_size: int,
     return out
 
 
-def snapshot(engine: EngineHandle, vocab_size: int, model: str,
-             cases=DEFAULT_CASES, hardware: str = "") -> Dict:
+def run_concurrent(engine: EngineHandle, concurrency: int, prompt_len: int,
+                   output_len: int, vocab_size: int, iters: int = 3,
+                   warmup: int = 1, seed: int = 0) -> Dict:
+    """Batched-decode point: ``concurrency`` simultaneous streams.
+
+    Per iteration all requests are submitted together and consumed on
+    threads; reports per-request steady TPOT percentiles and aggregate
+    output throughput (reference: bench_serving.rs `curve`)."""
+    import threading
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    params = SamplingParams(ignore_eos=True)
+    tpots: List[float] = []
+    ttfts: List[float] = []
+    rates: List[float] = []
+
+    for it in range(warmup + iters):
+        reqs = [
+            GenerateRequest(
+                prompt_tokens=rng.integers(0, vocab_size, prompt_len).tolist(),
+                max_tokens=output_len, params=params,
+                queued_at_unix_s=time.time(),
+            )
+            for _ in range(concurrency)
+        ]
+        stamps: List[List[float]] = [[] for _ in reqs]
+
+        def consume(i, req):
+            for ev in req.channel:
+                if isinstance(ev, Token):
+                    stamps[i].append(time.perf_counter())
+                elif isinstance(ev, Finished):
+                    break
+
+        t0 = time.perf_counter()
+        threads = []
+        for i, req in enumerate(reqs):
+            engine.submit(req)
+            th = threading.Thread(target=consume, args=(i, req))
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join()
+        t1 = time.perf_counter()
+        if it < warmup:
+            continue
+        n_out = sum(len(s) for s in stamps)
+        rates.append(n_out / (t1 - t0))
+        for s in stamps:
+            if len(s) > 2:
+                k = min(2, len(s) - 2)
+                tpots.append((s[-1] - s[k]) * 1e3 / (len(s) - 1 - k))
+            if s:
+                ttfts.append((s[0] - t0) * 1e3)
+
+    tpots.sort()
+    ttfts.sort()
     return {
+        "concurrency": concurrency,
+        "prompt_len": prompt_len,
+        "output_len": output_len,
+        "iters": iters,
+        "steady_tpot_ms": {"p50": _pct(tpots, 50), "p95": _pct(tpots, 95)},
+        "ttft_ms": {"p50": _pct(ttfts, 50), "p95": _pct(ttfts, 95)},
+        "output_tok_s": statistics.fmean(rates) if rates else float("nan"),
+    }
+
+
+def snapshot(engine: EngineHandle, vocab_size: int, model: str,
+             cases=DEFAULT_CASES, hardware: str = "",
+             curve_concurrency=(), curve_prompt_len: int = 1024,
+             curve_output_len: int = 128, curve_iters: int = 3) -> Dict:
+    out = {
         "model": model,
         "hardware": hardware,
         "created_unix_s": int(time.time()),
         "cases": {c.name: run_case(engine, c, vocab_size) for c in cases},
     }
+    if curve_concurrency:
+        out["curve"] = [
+            run_concurrent(engine, int(c), curve_prompt_len, curve_output_len,
+                           vocab_size, iters=curve_iters)
+            for c in curve_concurrency
+        ]
+    return out
 
 
 def compare(baseline: Dict, new: Dict) -> List[str]:
@@ -206,9 +285,24 @@ def main(argv=None):
     snap.add_argument("--quick", action="store_true",
                       help="small iters for smoke runs")
 
+    snap.add_argument("--curve", default="1,2,4,8",
+                      help="concurrency ladder for the batched-decode "
+                           "table ('' disables)")
+
     cmp_ = sub.add_parser("compare")
     cmp_.add_argument("baseline")
     cmp_.add_argument("new")
+
+    cur = sub.add_parser("curve", help="concurrency ladder (batched decode)")
+    cur.add_argument("--model-path")
+    cur.add_argument("--sim", action="store_true")
+    cur.add_argument("--random-qwen3-4b", action="store_true")
+    cur.add_argument("--concurrency", default="1,2,4,8,16")
+    cur.add_argument("--prompt-len", type=int, default=1024)
+    cur.add_argument("--output-len", type=int, default=128)
+    cur.add_argument("--iters", type=int, default=3)
+    cur.add_argument("--out", default=None)
+    cur.add_argument("--max-num-pages", type=int, default=None)
 
     mat = sub.add_parser("matrix", help="sweep a (prompt x output) grid")
     mat.add_argument("--model-path")
@@ -221,6 +315,20 @@ def main(argv=None):
     mat.add_argument("--max-num-pages", type=int, default=None)
 
     args = p.parse_args(argv)
+    if args.cmd == "curve":
+        engine, vocab, model = _build_engine(args)
+        rows = [
+            run_concurrent(engine, int(c), args.prompt_len, args.output_len,
+                           vocab, iters=args.iters)
+            for c in args.concurrency.split(",")
+        ]
+        engine.shutdown()
+        data = {"model": model, "curve": rows}
+        print(json.dumps(rows, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(data, f, indent=2)
+        return 0
     if args.cmd == "matrix":
         engine, vocab, model = _build_engine(args)
         cases = [
@@ -239,12 +347,19 @@ def main(argv=None):
     if args.cmd == "snapshot":
         engine, vocab, model = _build_engine(args)
         cases = DEFAULT_CASES
+        curve = tuple(int(c) for c in args.curve.split(",") if c)
+        curve_kw = dict(curve_prompt_len=1024, curve_output_len=128,
+                        curve_iters=3)
         if args.quick:
             cases = (
                 CaseConfig("prefill_heavy", 512, 1, iters=2, warmup=1),
                 CaseConfig("decode_heavy", 128, 32, iters=3, warmup=1),
             )
-        snap_data = snapshot(engine, vocab, model, cases, args.hardware)
+            curve = curve[:2]
+            curve_kw = dict(curve_prompt_len=128, curve_output_len=16,
+                            curve_iters=1)
+        snap_data = snapshot(engine, vocab, model, cases, args.hardware,
+                             curve_concurrency=curve, **curve_kw)
         engine.shutdown()
         with open(args.out, "w") as f:
             json.dump(snap_data, f, indent=2)
