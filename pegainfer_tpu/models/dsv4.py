@@ -379,6 +379,26 @@ def make_state(cfg: DSv4Config, max_slots: int, max_blocks: int,
     return {"layers": layers}
 
 
+# ── Expert-parallel MoE path (engine flag) ──────────────────────────────
+# When set, prefill-scale routed MoE ships tokens to their experts' shards
+# via ops/moe_ep.moe_ep_a2a (the reference's pplx-ep all-to-all analog,
+# pegainfer-comm/src/ep_backend.rs dispatch/combine; enabled there by the
+# PEGAINFER_DSV4_PPLX env). Module-level because _moe is traced deep inside
+# the jitted layer fns; engines set it before their first trace and it
+# stays for the engine's lifetime.
+_MOE_EP: Optional[tuple] = None  # (mesh, axis_name, transport)
+
+
+def set_moe_ep(mesh, axis: str = "tp", transport: str = "ragged") -> None:
+    global _MOE_EP
+    _MOE_EP = (mesh, axis, transport)
+
+
+def clear_moe_ep() -> None:
+    global _MOE_EP
+    _MOE_EP = None
+
+
 def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
     """x: [T, D] → MoE output [T, D] (shared + routed experts)."""
     T = x.shape[0]
@@ -431,6 +451,26 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
         def w_f32(w):
             return (quant.dequant_any(w, jnp.float32)
                     if quant.is_quantized(w) else w.astype(jnp.float32))
+
+        if _MOE_EP is not None:
+            # expert-parallel token shipping: dispatch rows to their
+            # experts' shards and combine back (4-step a2a, moe_ep.py)
+            from pegainfer_tpu.ops import moe_ep as ep
+
+            mesh, axis, transport = _MOE_EP
+            n = mesh.shape[axis]
+            Tp = -(-T // n) * n
+            pad = Tp - T
+            routed = ep.moe_ep_a2a(
+                mesh,
+                jnp.pad(xf32, ((0, pad), (0, 0))),
+                w_f32(lw["experts_w1"]), w_f32(lw["experts_w2"]),
+                w_f32(lw["experts_w3"]),
+                jnp.pad(route_idx, ((0, pad), (0, 0))),  # pad → expert 0
+                jnp.pad(weights, ((0, pad), (0, 0))),  # pad weight 0
+                cfg.swiglu_limit, axis=axis, transport=transport,
+            )[:T]
+            return (routed + shared.astype(jnp.float32)).astype(x.dtype)
 
         order = jnp.argsort(flat_e)
         src_t = flat_t[order]

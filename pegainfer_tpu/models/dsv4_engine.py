@@ -108,5 +108,43 @@ def start_engine(
         max_model_len=opts.max_model_len or 4096,
         max_slots=max_slots,
     )
+    maybe_enable_moe_ep(cfg, runtime)
     executor = JaxExecutor(runtime, opts)
     return start_scheduler(executor, seed=opts.seed)
+
+
+def maybe_enable_moe_ep(cfg: dsv4.DSv4Config, runtime: ModelRuntime,
+                        mode: Optional[str] = None) -> bool:
+    """Expert-parallel MoE behind a flag (reference: PEGAINFER_DSV4_PPLX
+    env enabling the pplx-ep RDMA a2a path, direct/pplx_bootstrap.rs).
+
+    ``PEGAINFER_DSV4_EP=ragged|dense|1`` ships prefill-scale MoE tokens to
+    their experts' shards over a mesh of all local devices via
+    lax.ragged_all_to_all (ops/moe_ep.moe_ep_a2a); "dense" uses the fixed-
+    block lax.all_to_all transport (the CPU-testable oracle). Params/state
+    are placed with the MP8 shard specs over that mesh.
+    """
+    mode = mode or os.environ.get("PEGAINFER_DSV4_EP")
+    if not mode:
+        return False
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from pegainfer_tpu.parallel.sharding import shard_dsv4_grouped
+
+    devs = np.asarray(jax.devices())
+    if cfg.n_routed_experts % len(devs):
+        raise ValueError(
+            f"PEGAINFER_DSV4_EP: {cfg.n_routed_experts} experts not "
+            f"divisible by {len(devs)} devices"
+        )
+    mesh = Mesh(devs, ("tp",))
+    transport = "dense" if mode == "dense" else "ragged"
+    dsv4.set_moe_ep(mesh, "tp", transport)
+    runtime.params, runtime.state = shard_dsv4_grouped(
+        mesh, runtime.params, runtime.state
+    )
+    log.info("DSv4 expert-parallel MoE on %d devices (%s transport)",
+             len(devs), transport)
+    return True

@@ -129,7 +129,21 @@ def _rank_files(model_path: str) -> List[str]:
 
 
 def load_params(cfg: DSv4Config, model_path: str, tp_size: int = 1,
-                dtype=jnp.bfloat16, resident: bool = True) -> Dict[str, Any]:
+                dtype=jnp.bfloat16, resident: bool = True,
+                validate: bool = True) -> Dict[str, Any]:
+    if validate:
+        # header-only manifest check: fail fast (seconds) instead of
+        # mid-way through a multi-hour 0.7 TB load — the reference gates
+        # loads the same way (deepseek-v4/tests/mp8_manifest.rs)
+        from pegainfer_tpu.models.dsv4_manifest import validate_checkpoint
+
+        problems = validate_checkpoint(cfg, model_path)
+        if problems:
+            head = "; ".join(problems[:5])
+            raise ValueError(
+                f"mp8 checkpoint fails manifest validation "
+                f"({len(problems)} problems): {head}"
+            )
     ranks = [SafetensorsReader(p) for p in _rank_files(model_path)]
 
     def rep(name):  # replicated tensor: take rank 0
