@@ -39,9 +39,21 @@ def nbytes(tree):
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
-def row(name, ms, gb):
+# Roofline denominators (docs/PERF.md round-2 revision): the v5e HBM
+# datasheet 819 GB/s — real-shape XLA GEMM chains measure ~650 GB/s (79%)
+# and the full decode step ~657 effective. The roofline column is the
+# CUPTI-hw-counter analog: achieved fraction of attainable memory BW.
+# CAUTION: isolated small ops (<1 GB) are dominated by the ~0.7-1.8 ms
+# dispatch floor; their roofline numbers only make sense in-program.
+CEIL_READ_GB_S = 819.0
+CEIL_RW_GB_S = 819.0
+
+
+def row(name, ms, gb, ceiling=CEIL_READ_GB_S):
     eff = gb / (ms / 1e3) if ms > 0 else 0.0
-    print(f"{name:<34} {ms:8.3f} ms {gb:8.3f} GB {eff:8.0f} GB/s", flush=True)
+    pct = 100.0 * eff / ceiling
+    print(f"{name:<34} {ms:8.3f} ms {gb:8.3f} GB {eff:8.0f} GB/s "
+          f"{pct:5.1f}% roofline", flush=True)
 
 
 def report_qwen3(ctx: int):
@@ -113,10 +125,11 @@ def report_qwen3(ctx: int):
     ms = timeit(jax.jit(head), params, x)
     row("lm_head GEMV", ms, nbytes(params["lm_head"]) / 1e9)
 
-    # pend flush (dus chain)
+    # pend flush (dus chain) — REUSE the attention section's pool (three
+    # 4.8 GB pools + 8 GB params would exhaust HBM)
     pend = q3.make_pend(cfg, B)
     flush = jax.jit(q3.flush_pend, donate_argnums=0)
-    kvf = q3.make_kv_pages(cfg, num_pages, ps)
+    kvf = kv
     out = flush(kvf, pend, jnp.ones((B,), bool))
     _ = np.asarray(out[0, 0, 0, 0, 0])
     t0 = time.perf_counter()
@@ -124,7 +137,7 @@ def report_qwen3(ctx: int):
         out = flush(out, pend, jnp.ones((B,), bool))
     _ = np.asarray(out[0, 0, 0, 0, 0])
     row("pend flush (dus chain)", (time.perf_counter() - t0) / 20 * 1e3,
-        nbytes(pend) / 1e9)
+        nbytes(pend) / 1e9, ceiling=CEIL_RW_GB_S)
 
     # full wa step
     tables_f = jnp.broadcast_to(
@@ -137,7 +150,7 @@ def report_qwen3(ctx: int):
         return kv, pend, jnp.argmax(logits, -1).astype(jnp.int32)
 
     jl = jax.jit(step, donate_argnums=(1, 2))
-    kv2 = q3.make_kv_pages(cfg, num_pages, ps)
+    kv2 = out  # the flushed pool from the previous section (same geometry)
     pend2 = q3.make_pend(cfg, B)
     tok = jnp.zeros(B, jnp.int32)
     kv2, pend2, out = jl(params, kv2, pend2, tok)
@@ -200,7 +213,8 @@ def report_qwen35(ctx: int):
         return acc
 
     ms = timeit(jax.jit(gdn_all), S0, qv, vv, g, beta)
-    row("GDN step x24 (state rows)", ms, nbytes(S0) / 1e9 * 2)
+    row("GDN step x24 (state rows)", ms, nbytes(S0) / 1e9 * 2,
+        ceiling=CEIL_RW_GB_S)
 
     # full-attention layers x8: GEMMs dominate
     full = params["full"]
