@@ -236,12 +236,32 @@ def _build_engine(args):
 
         cfg = qwen3_4b_config()
         params = q3.init_bench_params(cfg)
-        runtime = q3.make_runtime(cfg, params, num_pages=args.max_num_pages or 768,
-                                  page_size=16)
+        if getattr(args, "quant", None) == "int8":
+            params = q3.quantize_params_int8(params)
+        # 64-token pages: the measured decode optimum (docs/PERF.md)
+        runtime = q3.make_runtime(cfg, params, num_pages=args.max_num_pages or 192,
+                                  page_size=64)
         return (
             start_scheduler(JaxExecutor(runtime, opts)),
             cfg.vocab_size,
             "qwen3-4b-randomweights",
+        )
+    if getattr(args, "random_qwen35_4b", False):
+        from pegainfer_tpu.engine.jax_executor import JaxExecutor
+        from pegainfer_tpu.engine.scheduler import start_scheduler
+        from pegainfer_tpu.models import qwen35 as q35
+
+        cfg = q35.bench_config()
+        params = q35.init_bench_params(cfg)
+        if getattr(args, "quant", None) == "int8":
+            params = q35.quantize_params_int8(params)
+        runtime = q35.make_runtime(cfg, params,
+                                   num_pages=args.max_num_pages or 192,
+                                   page_size=64)
+        return (
+            start_scheduler(JaxExecutor(runtime, opts)),
+            cfg.vocab_size,
+            "qwen3.5-4b-randomweights",
         )
     from pegainfer_tpu.server.main import detect_model_type
 
@@ -277,6 +297,7 @@ def main(argv=None):
     snap = sub.add_parser("snapshot")
     snap.add_argument("--model-path")
     snap.add_argument("--sim", action="store_true")
+    snap.add_argument("--random-qwen35-4b", action="store_true")
     snap.add_argument("--random-qwen3-4b", action="store_true",
                       help="bench-shaped Qwen3-4B without a checkpoint")
     snap.add_argument("--out", required=True)
@@ -285,6 +306,8 @@ def main(argv=None):
     snap.add_argument("--quick", action="store_true",
                       help="small iters for smoke runs")
 
+    snap.add_argument("--quant", default=None, choices=[None, "int8"],
+                      help="weight-only quant mode for the random builders")
     snap.add_argument("--curve", default="1,2,4,8",
                       help="concurrency ladder for the batched-decode "
                            "table ('' disables)")
@@ -296,6 +319,7 @@ def main(argv=None):
     cur = sub.add_parser("curve", help="concurrency ladder (batched decode)")
     cur.add_argument("--model-path")
     cur.add_argument("--sim", action="store_true")
+    cur.add_argument("--random-qwen35-4b", action="store_true")
     cur.add_argument("--random-qwen3-4b", action="store_true")
     cur.add_argument("--concurrency", default="1,2,4,8,16")
     cur.add_argument("--prompt-len", type=int, default=1024)
@@ -307,6 +331,7 @@ def main(argv=None):
     mat = sub.add_parser("matrix", help="sweep a (prompt x output) grid")
     mat.add_argument("--model-path")
     mat.add_argument("--sim", action="store_true")
+    mat.add_argument("--random-qwen35-4b", action="store_true")
     mat.add_argument("--random-qwen3-4b", action="store_true")
     mat.add_argument("--prompts", default="128,1024,4096")
     mat.add_argument("--outputs", default="64,256")
