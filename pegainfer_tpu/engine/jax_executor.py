@@ -130,6 +130,17 @@ class ModelRuntime:
     # (cpend, snap, slot:int) -> cpend with the snapshot's state seeded for
     # ``slot`` (rows/pages parts must stay benign — null-page writes).
     cpend_restore_fn: Optional[Callable] = None
+    # PD handoff (engine/pd.py): gather/scatter a request's KV page
+    # contents and (hybrids) its per-slot state rows, so a prefilled
+    # request can move to a DIFFERENT executor's pool/state.
+    # export_pages_fn(state, page_ids[n]) -> rows (pages axis preserved)
+    # import_pages_fn(state, rows, page_ids[n]) -> state  (in-place dus)
+    # slot_export_fn(state, slot) -> snap pytree
+    # slot_import_fn(state, snap, slot) -> state
+    export_pages_fn: Optional[Callable] = None
+    import_pages_fn: Optional[Callable] = None
+    slot_export_fn: Optional[Callable] = None
+    slot_import_fn: Optional[Callable] = None
 
 
 @dataclass

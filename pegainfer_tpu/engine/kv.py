@@ -176,7 +176,7 @@ class PrefixCache:
     """
 
     def __init__(self, pool: PagePool, page_size: int,
-                 max_snapshots: int = 4) -> None:
+                 max_snapshots: int = 8) -> None:
         self.pool = pool
         self.page_size = page_size
         self._pages: Dict[int, int] = {}  # chain key -> page id
@@ -188,7 +188,11 @@ class PrefixCache:
         # Linear-attention / compressor state is position-dependent, so a
         # prefix is only reusable at positions where the per-slot state was
         # snapshotted (docs/prefix-cache-design.md "Hybrid/DSv4 caveat").
-        # Snapshots are tens of MB of HBM each — LRU-capped by count.
+        # Snapshots are tens of MB of HBM each — LRU-capped by count. Each
+        # prompt family holds up to TWO entries (deepest interior boundary
+        # + aligned end), so the cap must be ≥ 2x the concurrently-warm
+        # prompt families or reuse thrashes (measured: cap 4 with 3
+        # families sent the base prompt back to cold TTFT).
         self._snaps: Dict[int, tuple] = {}
         self.max_snapshots = max_snapshots
         pool.set_eviction_hook(self._evict)

@@ -1,0 +1,101 @@
+"""Prefill/decode disaggregation (PD handoff).
+
+A prefill-side executor runs the prompt, then the request MOVES to a
+decode-side executor with its own KV pool and state — in deployment a
+different host or mesh slice. The payload is host numpy (exactly the
+bytes that would cross DCN): the request's KV page contents, its per-slot
+recurrent state rows (hybrid models), and bookkeeping. The decode side
+allocates its own pages, scatters the rows in, seeds a slot, and the
+request decodes there as if it had prefilled locally.
+
+The reference carries this as a design doc only
+(docs/models/deepseek-v4/prefix-paged-kv-pd-handoff.md); this implements
+the TPU-native design from docs/prefix-cache-design.md: the page arrays
+are layout-identical on both sides, so handoff = gather + ship + scatter
++ a page-table rewrite. Model support = two (four for hybrids) small
+gather/scatter hooks on ModelRuntime (export/import_pages_fn,
+slot_export/import_fn).
+
+Scope: executor-level seam. A disaggregated scheduler routes
+(prefill engine → payload → decode engine); the scheduling policy around
+it is deployment-specific and intentionally not baked in here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pegainfer_tpu.engine.executor import PrefillPlan, PrefillStepItem
+
+
+@dataclass
+class HandoffPayload:
+    """Everything the decode side needs (host-resident, DCN-shippable)."""
+
+    request_id: int
+    prompt_len: int
+    first_token: int
+    kv_rows: np.ndarray  # gathered pages, pages axis preserved
+    state_snap: Optional[Any] = None  # hybrid per-slot rows (numpy pytree)
+
+
+def prefill_and_export(ex, item: PrefillStepItem) -> HandoffPayload:
+    """Run ``item``'s prefill on executor ``ex``, gather its KV/state into
+    a host payload, and release every resource it held on ``ex``."""
+    rt = ex.rt
+    if rt.export_pages_fn is None:
+        raise ValueError("model provides no export_pages_fn (no PD support)")
+    res = ex.execute_prefill(PrefillPlan(requests=[item], echo=item.echo))
+    st = ex.acct.get(item.request_id)
+    pages = list(st.pages)
+    prompt_len = st.length
+    rows = jax.jit(rt.export_pages_fn)(
+        ex.state, jnp.asarray(pages, jnp.int32))
+    snap = None
+    if rt.slot_export_fn is not None:
+        slot = ex._slot(item.request_id)
+        snap = jax.tree.map(
+            np.asarray,
+            jax.jit(rt.slot_export_fn)(ex.state, jnp.int32(slot)),
+        )
+    payload = HandoffPayload(
+        request_id=item.request_id,
+        prompt_len=prompt_len,
+        first_token=res.requests[0].first_token,
+        kv_rows=np.asarray(rows),
+        state_snap=snap,
+    )
+    ex.release_request(item.request_id)
+    return payload
+
+
+def import_request(ex, payload: HandoffPayload) -> None:
+    """Materialize a handed-off request on executor ``ex``: allocate local
+    pages, scatter the shipped rows, seed the slot state, and register the
+    KV accounting — after this the request decodes on ``ex`` exactly as if
+    it had prefilled here (feed ``payload.first_token`` as the first
+    decode input)."""
+    rt = ex.rt
+    if rt.import_pages_fn is None:
+        raise ValueError("model provides no import_pages_fn (no PD support)")
+    st = ex.acct.state(payload.request_id)
+    if st.length or st.pages:
+        raise ValueError(f"request {payload.request_id} already present")
+    st.ensure_capacity(ex.acct.pool, payload.prompt_len)
+    n_pages = -(-payload.prompt_len // ex.rt.page_size)
+    ids = jnp.asarray(st.pages[:n_pages], jnp.int32)
+    imp = jax.jit(rt.import_pages_fn, donate_argnums=0)
+    ex.state = imp(ex.state, jnp.asarray(payload.kv_rows), ids)
+    st.advance(payload.prompt_len)
+    if payload.state_snap is not None:
+        if rt.slot_import_fn is None:
+            raise ValueError("payload has state but model lacks slot_import_fn")
+        slot = ex._slot(payload.request_id)
+        ex.state = jax.jit(rt.slot_import_fn, donate_argnums=0)(
+            ex.state, jax.tree.map(jnp.asarray, payload.state_snap),
+            jnp.int32(slot))

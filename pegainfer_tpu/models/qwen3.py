@@ -334,6 +334,24 @@ def use_pallas_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def export_pages(kv_pages, page_ids):
+    """Gather page contents for a PD handoff (engine/pd.py):
+    [L,2,Hkv,pages,ps,hd] x ids [n] -> [L,2,Hkv,n,ps,hd]."""
+    return jnp.take(kv_pages, page_ids, axis=3)
+
+
+def import_pages(kv_pages, rows, page_ids):
+    """Scatter handed-off page rows into this pool's pages (dus chain —
+    in place on a donated buffer, docs/PERF.md)."""
+    n = rows.shape[3]
+    for i in range(n):
+        upd = lax.dynamic_slice_in_dim(rows, i, 1, axis=3)
+        kv_pages = lax.dynamic_update_slice(
+            kv_pages, upd.astype(kv_pages.dtype),
+            (0, 0, 0, page_ids[i], 0, 0))
+    return kv_pages
+
+
 def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
                  kv_dtype=jnp.bfloat16, use_pallas: Optional[bool] = None):
     """Bundle jit-ready closures + device KV for the generic JaxExecutor.
@@ -378,6 +396,8 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
         # attention state is fully determined by the pages — prefix pages
         # are shareable across requests (docs/prefix-cache-design.md)
         supports_prefix_cache=True,
+        export_pages_fn=export_pages,
+        import_pages_fn=import_pages,
     )
 
 

@@ -885,6 +885,35 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
 # ── Runtime bundle ───────────────────────────────────────────────────────
 
 
+def export_pages(state, page_ids):
+    """PD handoff gather: kv [G,2,Hkv,pages,ps,hd] x ids [n]."""
+    return jnp.take(state["kv"], page_ids, axis=3)
+
+
+def import_pages(state, rows, page_ids):
+    kv = state["kv"]
+    for i in range(rows.shape[3]):
+        upd = lax.dynamic_slice_in_dim(rows, i, 1, axis=3)
+        kv = lax.dynamic_update_slice(
+            kv, upd.astype(kv.dtype), (0, 0, 0, page_ids[i], 0, 0))
+    return {**state, "kv": kv}
+
+
+def slot_export(state, slot):
+    """Per-slot GDN/conv state rows (post-prefill, flushed form)."""
+    return {"rec": state["rec"][:, :, slot], "conv": state["conv"][:, :, slot]}
+
+
+def slot_import(state, snap, slot):
+    rec = lax.dynamic_update_slice(
+        state["rec"], snap["rec"][:, :, None].astype(state["rec"].dtype),
+        (0, 0, slot, 0, 0, 0))
+    conv = lax.dynamic_update_slice(
+        state["conv"], snap["conv"][:, :, None].astype(state["conv"].dtype),
+        (0, 0, slot, 0, 0))
+    return {**state, "rec": rec, "conv": conv}
+
+
 def cpend_snapshot(cpend):
     """State part of a chunk pend (= the slot's GDN/conv state at the chunk
     boundary), copied — the pend itself is donated into the next chunk."""
@@ -949,4 +978,8 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         supports_prefix_cache=True,
         cpend_snapshot_fn=cpend_snapshot,
         cpend_restore_fn=cpend_restore,
+        export_pages_fn=export_pages,
+        import_pages_fn=import_pages,
+        slot_export_fn=slot_export,
+        slot_import_fn=slot_import,
     )

@@ -86,7 +86,16 @@ def _compute_num_pages(cfg, page_size, opts, params) -> int:
            * cfg.linear_value_head_dim + cfg.linear_conv_kernel_dim * cfg.conv_dim)
         * 4
     )
-    free = limit - max(stats.get("bytes_in_use", 0), params_bytes) - slot_bytes
+    # hybrid prefix-cache snapshots are HBM too: cap (8) x one slot's
+    # rec+conv bytes (engine/kv.py PrefixCache.max_snapshots)
+    snap_bytes = 8 * (
+        cfg.num_groups * (cfg.period - 1)
+        * (cfg.linear_num_value_heads * cfg.linear_key_head_dim
+           * cfg.linear_value_head_dim
+           + cfg.linear_conv_kernel_dim * cfg.conv_dim) * 4
+    )
+    free = (limit - max(stats.get("bytes_in_use", 0), params_bytes)
+            - slot_bytes - snap_bytes)
     per_page = q35.kv_bytes_per_page(cfg, page_size)
     n = int(free * opts.kv_memory_fraction) // per_page
     return max(min(n, 1 << 16), 2)
