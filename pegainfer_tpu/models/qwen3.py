@@ -299,15 +299,69 @@ def init_bench_params(cfg: Qwen3Config, dtype=jnp.bfloat16, fill: float = 0.01):
     }
 
 
+def init_bench_params_int8(cfg: Qwen3Config, dtype=jnp.bfloat16,
+                           fill: float = 0.01):
+    """Constant-filled bench params with the big matrices created DIRECTLY
+    in the int8 weight-only container — no bf16 tree is ever materialized
+    (a Qwen3-8B bf16 tree is ~16.4 GB and exceeds a v5e chip's HBM, so
+    init-then-quantize cannot work there). Quantizing a constant fill is
+    closed-form: q8 = 127, per-output-channel scale = fill / 127 —
+    identical to quantize_params_int8(init_bench_params(cfg))."""
+    L, D, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, hd, V = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.vocab_size,
+    )
+
+    # the staged path quantizes the dtype-rounded fill — match it exactly
+    fill_eff = float(jnp.asarray(fill, dtype))
+
+    def w8(*shape):
+        return {
+            "q8": jnp.full(shape, 127, jnp.int8),
+            "s": jnp.full(shape[:-2] + shape[-1:], fill_eff / 127.0,
+                          jnp.float32),
+        }
+
+    def w(*shape):
+        return jnp.full(shape, fill, dtype=dtype)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=dtype)
+
+    return {
+        "embed": w(V, D),
+        "layers": {
+            "input_ln": ones(L, D),
+            "wq": w8(L, D, Hq * hd),
+            "wk": w8(L, D, Hkv * hd),
+            "wv": w8(L, D, Hkv * hd),
+            "q_norm": ones(L, hd),
+            "k_norm": ones(L, hd),
+            "wo": w8(L, Hq * hd, D),
+            "post_ln": ones(L, D),
+            "w_gate_up": w8(L, D, 2 * I),
+            "w_down": w8(L, I, D),
+        },
+        "final_ln": ones(D),
+        "lm_head": w8(D, V),
+    }
+
+
 def make_kv_pages(cfg: Qwen3Config, num_pages: int, page_size: int, dtype=jnp.bfloat16):
-    """KV block array: [L, 2, Hkv, num_pages, page_size, hd] (head-major —
-    see ops.attention module docstring)."""
+    """KV block array: [L, Hkv, num_pages, 2, page_size, hd] — head-major and
+    k/v-ADJACENT, so a page's k+v is one contiguous [2, page_size, hd] block
+    and the Pallas decode kernel fetches it in ONE DMA (halves the
+    scalar-core DMA-issue count, the long-context bottleneck —
+    docs/ROADMAP.md #8)."""
     return jnp.zeros(
         (
             cfg.num_hidden_layers,
-            2,
             cfg.num_key_value_heads,
             num_pages,
+            2,
             page_size,
             cfg.head_dim,
         ),
@@ -336,19 +390,19 @@ def use_pallas_default() -> bool:
 
 def export_pages(kv_pages, page_ids):
     """Gather page contents for a PD handoff (engine/pd.py):
-    [L,2,Hkv,pages,ps,hd] x ids [n] -> [L,2,Hkv,n,ps,hd]."""
-    return jnp.take(kv_pages, page_ids, axis=3)
+    [L,Hkv,pages,2,ps,hd] x ids [n] -> [L,Hkv,n,2,ps,hd]."""
+    return jnp.take(kv_pages, page_ids, axis=2)
 
 
 def import_pages(kv_pages, rows, page_ids):
     """Scatter handed-off page rows into this pool's pages (dus chain —
     in place on a donated buffer, docs/PERF.md)."""
-    n = rows.shape[3]
+    n = rows.shape[2]
     for i in range(n):
-        upd = lax.dynamic_slice_in_dim(rows, i, 1, axis=3)
+        upd = lax.dynamic_slice_in_dim(rows, i, 1, axis=2)
         kv_pages = lax.dynamic_update_slice(
             kv_pages, upd.astype(kv_pages.dtype),
-            (0, 0, 0, page_ids[i], 0, 0))
+            (0, 0, page_ids[i], 0, 0, 0))
     return kv_pages
 
 
@@ -438,17 +492,17 @@ def _write_pages(kv_pages, k_all, v_all, page_table):
     L, T, Hkv, hd = k_all.shape
     ps = kv_pages.shape[4]
     nP = page_table.shape[0]
-    # [2, L, T, Hkv, hd] → [nP, L, 2, Hkv, ps, hd]
+    # [2, L, T, Hkv, hd] → [nP, L, Hkv, 2, ps, hd] (k/v-adjacent pool order)
     rows = (
         jnp.stack([k_all, v_all])
         .reshape(2, L, nP, ps, Hkv, hd)
-        .transpose(2, 1, 0, 4, 3, 5)
+        .transpose(2, 1, 4, 0, 3, 5)
         .astype(kv_pages.dtype)
     )
     for p in range(nP):
-        upd = rows[p].reshape(L, 2, Hkv, 1, ps, hd)
+        upd = rows[p].reshape(L, Hkv, 1, 2, ps, hd)
         kv_pages = lax.dynamic_update_slice(
-            kv_pages, upd, (0, 0, 0, page_table[p], 0, 0)
+            kv_pages, upd, (0, 0, page_table[p], 0, 0, 0)
         )
     return kv_pages
 
@@ -510,7 +564,7 @@ def make_chunk_pend(cfg: Qwen3Config, n_pages: int, page_size: int,
     ``flush_chunk_pend`` after the last). pages 0 = null page."""
     L, Hkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     return {
-        "rows": jnp.zeros((n_pages, L, 2, Hkv, page_size, hd), kv_dtype),
+        "rows": jnp.zeros((n_pages, L, Hkv, 2, page_size, hd), kv_dtype),
         "pages": jnp.zeros((n_pages,), jnp.int32),
     }
 
@@ -518,12 +572,12 @@ def make_chunk_pend(cfg: Qwen3Config, n_pages: int, page_size: int,
 def flush_chunk_pend(kv_pages, cpend):
     """Land a chunk-pend into the pool (per-page dus chain — in place)."""
     rows, pages = cpend["rows"], cpend["pages"]
-    nP, L, _, Hkv, ps, hd = rows.shape
+    nP, L, Hkv, _, ps, hd = rows.shape
     rows = rows.astype(kv_pages.dtype)
     for p in range(nP):
         kv_pages = lax.dynamic_update_slice(
-            kv_pages, rows[p].reshape(L, 2, Hkv, 1, ps, hd),
-            (0, 0, 0, pages[p], 0, 0),
+            kv_pages, rows[p].reshape(L, Hkv, 1, 2, ps, hd),
+            (0, 0, pages[p], 0, 0, 0),
         )
     return kv_pages
 
@@ -562,10 +616,14 @@ def prefill_chunk_wa(cfg: Qwen3Config, params, kv_pages, cpend, tokens,
         li, lw = inputs
         h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lw, h, cos, sin)
-        # one gather straight off the full pool (no per-layer slice), then
-        # splice this chunk's in-flight rows over its (stale) region
-        k_seq = kv_pages[li, 0, :, page_table].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
-        v_seq = kv_pages[li, 1, :, page_table].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
+        # one gather straight off the full pool (no per-layer slice) fetches
+        # k AND v (adjacent in the page), then splice this chunk's in-flight
+        # rows over its (stale) region. Advanced indices (li, page_table)
+        # separated by the Hkv slice → batch dims to the FRONT:
+        # [P, Hkv, 2, ps, hd].
+        kv_seq = kv_pages[li, :, page_table]
+        k_seq = kv_seq[:, :, 0].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
+        v_seq = kv_seq[:, :, 1].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
         k_seq = lax.dynamic_update_slice(k_seq, k.astype(k_seq.dtype), (start_pos, 0, 0))
         v_seq = lax.dynamic_update_slice(v_seq, v.astype(v_seq.dtype), (start_pos, 0, 0))
         if use_pallas:
@@ -588,7 +646,7 @@ def prefill_chunk_wa(cfg: Qwen3Config, params, kv_pages, cpend, tokens,
     rows = (
         jnp.stack([k_all, v_all])
         .reshape(2, L, nPc, page_size, Hkv, hd)
-        .transpose(2, 1, 0, 4, 3, 5)
+        .transpose(2, 1, 4, 0, 3, 5)
         .astype(kv_pages.dtype)
     )
     cpend = {"rows": rows, "pages": chunk_table}
@@ -624,7 +682,7 @@ def make_pend(cfg: Qwen3Config, B: int, kv_dtype=jnp.bfloat16):
     """
     L, Hkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     return {
-        "rows": jnp.zeros((B, L, 2, Hkv, hd), kv_dtype),
+        "rows": jnp.zeros((B, L, Hkv, 2, hd), kv_dtype),
         "page_ids": jnp.zeros((B,), jnp.int32),
         "slots": jnp.zeros((B,), jnp.int32),
     }
@@ -642,11 +700,11 @@ def flush_pend(kv_pages, pend, live):
     """
     pid = jnp.where(live, pend["page_ids"], 0)
     rows = pend["rows"].astype(kv_pages.dtype)
-    B, L, _, Hkv, hd = rows.shape
+    B, L, Hkv, _, hd = rows.shape
     for b in range(B):
-        upd = rows[b].reshape(L, 2, Hkv, 1, 1, hd)
+        upd = rows[b].reshape(L, Hkv, 1, 2, 1, hd)
         kv_pages = lax.dynamic_update_slice(
-            kv_pages, upd, (0, 0, 0, pid[b], pend["slots"][b], 0)
+            kv_pages, upd, (0, 0, pid[b], 0, pend["slots"][b], 0)
         )
     return kv_pages
 
@@ -698,8 +756,9 @@ def decode_wa(cfg: Qwen3Config, params, kv_pages, pend, tokens, positions,
                                        layer_id=li)
         else:
             kp = lax.dynamic_index_in_dim(kv_pages, li, axis=0, keepdims=False)
-            o = att.paged_attention_decode(q, kp[0], kp[1], page_tables,
-                                           seq_lens, scale, cur_k=k, cur_v=v)
+            o = att.paged_attention_decode(q, kp[:, :, 0], kp[:, :, 1],
+                                           page_tables, seq_lens, scale,
+                                           cur_k=k, cur_v=v)
         x = x + _proj(lw, "wo", o.reshape(B, -1))
         h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
         x = x + _mlp(cfg, lw, h)
@@ -709,8 +768,8 @@ def decode_wa(cfg: Qwen3Config, params, kv_pages, pend, tokens, positions,
     x, (k_all, v_all) = lax.scan(
         layer, x, (jnp.arange(L, dtype=jnp.int32), params["layers"])
     )
-    # [L, B, Hkv, hd] ×2 → [B, L, 2, Hkv, hd]
-    rows = jnp.stack([k_all, v_all], axis=2).transpose(1, 0, 2, 3, 4)
+    # [L, B, Hkv, hd] ×2 → [B, L, Hkv, 2, hd]
+    rows = jnp.stack([k_all, v_all], axis=3).transpose(1, 0, 2, 3, 4)
     pend = {
         "rows": rows.astype(kv_pages.dtype),
         "page_ids": page_ids,

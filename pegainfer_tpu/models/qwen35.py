@@ -10,7 +10,7 @@ period, Gated Delta Net with conv1d, gated attention with partial RoPE).
 Layout: layers are grouped by the periodic pattern; one ``lax.scan`` over
 groups traces (p-1) linear layers + 1 full layer once. Per-request state:
 
-- ``kv``   [G, 2, Hkv, pages, ps, hd]  — paged KV, full-attention layers only
+- ``kv``   [G, Hkv, pages, 2, ps, hd]  — paged KV (k/v-adjacent), full-attention layers only
 - ``rec``  [G, p-1, S+1, Hv, dk, dv] f32 — GDN recurrent state per slot
 - ``conv`` [G, p-1, S+1, K, conv_dim] f32 — conv1d window per slot
 
@@ -391,7 +391,9 @@ def make_state(cfg: Qwen35Config, num_pages: int, page_size: int,
     G, pl_ = cfg.num_groups, cfg.period - 1
     return {
         "kv": jnp.zeros(
-            (G, 2, cfg.num_key_value_heads, num_pages, page_size, cfg.head_dim),
+            # k/v-adjacent paged pool (one DMA per page fetches k+v — see
+            # qwen3.make_kv_pages)
+            (G, cfg.num_key_value_heads, num_pages, 2, page_size, cfg.head_dim),
             dtype=kv_dtype,
         ),
         "rec": jnp.zeros(
@@ -600,7 +602,7 @@ def make_chunk_pend(cfg: Qwen35Config, n_pages: int, page_size: int,
     G, pl_ = cfg.num_groups, cfg.period - 1
     return {
         "rows": jnp.zeros(
-            (n_pages, G, 2, cfg.num_key_value_heads, page_size, cfg.head_dim),
+            (n_pages, G, cfg.num_key_value_heads, 2, page_size, cfg.head_dim),
             kv_dtype),
         "pages": jnp.zeros((n_pages,), jnp.int32),
         "rec": jnp.zeros((G, pl_, cfg.linear_num_value_heads,
@@ -615,12 +617,12 @@ def make_chunk_pend(cfg: Qwen35Config, n_pages: int, page_size: int,
 def flush_chunk_pend(state, cpend):
     """Land a chunk-pend into (kv, rec, conv) — dus chains, in place."""
     rows, pages = cpend["rows"], cpend["pages"]
-    nP, G, _, Hkv, ps, hd = rows.shape
+    nP, G, Hkv, _, ps, hd = rows.shape
     kv = state["kv"]
     rows = rows.astype(kv.dtype)
     for p in range(nP):
         kv = lax.dynamic_update_slice(
-            kv, rows[p].reshape(G, 2, Hkv, 1, ps, hd), (0, 0, 0, pages[p], 0, 0))
+            kv, rows[p].reshape(G, Hkv, 1, 2, ps, hd), (0, 0, pages[p], 0, 0, 0))
     rec = lax.dynamic_update_slice(
         state["rec"], cpend["rec"][:, :, None], (0, 0, cpend["slot"], 0, 0, 0))
     conv = lax.dynamic_update_slice(
@@ -683,8 +685,11 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
         h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
         q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
         hd = q.shape[2]
-        k_seq = kv0[gi, 0, :, page_table].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
-        v_seq = kv0[gi, 1, :, page_table].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+        # one gather fetches k AND v (adjacent in the page); advanced indices
+        # (gi, page_table) separated by the Hkv slice → [P, Hkv, 2, ps, hd]
+        kv_seq = kv0[gi, :, page_table]
+        k_seq = kv_seq[:, :, 0].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+        v_seq = kv_seq[:, :, 1].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
         k_seq = lax.dynamic_update_slice(k_seq, k.astype(k_seq.dtype), (start_pos, 0, 0))
         v_seq = lax.dynamic_update_slice(v_seq, v.astype(v_seq.dtype), (start_pos, 0, 0))
         if use_pallas:
@@ -708,7 +713,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
     rows = (
         jnp.stack([k_all, v_all])
         .reshape(2, G, nPc, page_size, Hkv, hd)
-        .transpose(2, 1, 0, 4, 3, 5)
+        .transpose(2, 1, 4, 0, 3, 5)
         .astype(kv0.dtype)
     )
     chunk_table = lax.dynamic_slice_in_dim(page_table, first_page, nPc)
@@ -745,7 +750,7 @@ def make_pend(cfg: Qwen35Config, B: int, max_slots: int, kv_dtype=jnp.bfloat16):
     kv rows target the null page; rec/conv rows target the dead slot."""
     G, pl_ = cfg.num_groups, cfg.period - 1
     return {
-        "rows": jnp.zeros((B, G, 2, cfg.num_key_value_heads, cfg.head_dim),
+        "rows": jnp.zeros((B, G, cfg.num_key_value_heads, 2, cfg.head_dim),
                           kv_dtype),
         "page_ids": jnp.zeros((B,), jnp.int32),
         "pslots": jnp.zeros((B,), jnp.int32),
@@ -768,13 +773,13 @@ def flush_pend(state, pend, live):
     sslot = jnp.where(live, pend["state_slots"], dead)
     kv, rec, conv = state["kv"], state["rec"], state["conv"]
     rows = pend["rows"].astype(kv.dtype)
-    B, G, _, Hkv, hd = rows.shape
+    B, G, Hkv, _, hd = rows.shape
     _, pl_, _, Hv, dk, dv = pend["rec"].shape
     K, cd = pend["conv"].shape[-2:]
     for b in range(B):
         kv = lax.dynamic_update_slice(
-            kv, rows[b].reshape(G, 2, Hkv, 1, 1, hd),
-            (0, 0, 0, pid[b], pend["pslots"][b], 0))
+            kv, rows[b].reshape(G, Hkv, 1, 2, 1, hd),
+            (0, 0, pid[b], 0, pend["pslots"][b], 0))
         rec = lax.dynamic_update_slice(
             rec, pend["rec"][:, :, b].reshape(G, pl_, 1, Hv, dk, dv),
             (0, 0, sslot[b], 0, 0, 0))
@@ -831,12 +836,14 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
         if use_pallas:
             from pegainfer_tpu.ops.pallas import paged_attention_decode
 
-            # full-pool form: the kernel DMAs kv0[gi, 0|1, h, page] directly
+            # full-pool form: the kernel DMAs kv0[gi, h, page] directly
+            # (one DMA per page fetches the k/v-adjacent [2, ps, hd] block)
             o = paged_attention_decode(q, kv0, kv0, page_tables, seq_lens,
                                        scale, cur_k=k, cur_v=v, layer_id=gi)
         else:
             layer_kv = lax.dynamic_index_in_dim(kv0, gi, axis=0, keepdims=False)
-            o = att.paged_attention_decode(q, layer_kv[0], layer_kv[1],
+            o = att.paged_attention_decode(q, layer_kv[:, :, 0],
+                                           layer_kv[:, :, 1],
                                            page_tables, seq_lens, scale,
                                            cur_k=k, cur_v=v)
         o = o.reshape(B, -1) * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
@@ -853,8 +860,8 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
     # batch dims jump to the FRONT when the advanced indices are separated
     # by a slice — kv case — and stay in place when adjacent — rec/conv)
     pend = {
-        # [G, B, Hkv, hd] ×2 → [B, G, 2, Hkv, hd]
-        "rows": jnp.stack([k_all, v_all], axis=2).transpose(1, 0, 2, 3, 4)
+        # [G, B, Hkv, hd] ×2 → [B, G, Hkv, 2, hd]
+        "rows": jnp.stack([k_all, v_all], axis=3).transpose(1, 0, 2, 3, 4)
                 .astype(kv0.dtype),
         "page_ids": page_ids,
         "pslots": pslots,
@@ -886,16 +893,16 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
 
 
 def export_pages(state, page_ids):
-    """PD handoff gather: kv [G,2,Hkv,pages,ps,hd] x ids [n]."""
-    return jnp.take(state["kv"], page_ids, axis=3)
+    """PD handoff gather: kv [G,Hkv,pages,2,ps,hd] x ids [n]."""
+    return jnp.take(state["kv"], page_ids, axis=2)
 
 
 def import_pages(state, rows, page_ids):
     kv = state["kv"]
-    for i in range(rows.shape[3]):
-        upd = lax.dynamic_slice_in_dim(rows, i, 1, axis=3)
+    for i in range(rows.shape[2]):
+        upd = lax.dynamic_slice_in_dim(rows, i, 1, axis=2)
         kv = lax.dynamic_update_slice(
-            kv, upd.astype(kv.dtype), (0, 0, 0, page_ids[i], 0, 0))
+            kv, upd.astype(kv.dtype), (0, 0, page_ids[i], 0, 0, 0))
     return {**state, "kv": kv}
 
 

@@ -11,6 +11,12 @@ merged by the running softmax instead of a second merge kernel).
 
 KV layout (head-major): k_pages/v_pages [Hkv, num_pages, page_size, hd];
 one (request, head) page DMA is a contiguous [page_size, hd] block.
+
+Full-pool form (layer_id given): the pool is k/v-ADJACENT —
+[L, Hkv, pages, 2, page_size, hd] — so ONE DMA fetches a page's k AND v
+as a contiguous [2, page_size, hd] block. DMA issue count on the scalar
+core is the long-context bottleneck (docs/ROADMAP.md #8): merging the
+k/v fetches halves it vs the separated [L, 2, Hkv, ...] layout.
 """
 
 from __future__ import annotations
@@ -26,8 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 # pages per double-buffered DMA chunk (tuning knob; larger chunks amortize
-# per-chunk control overhead at long context — scripts/decode_context_sweep.py)
-DEFAULT_CHUNK_PAGES = int(os.environ.get("PEGAINFER_CHUNK_PAGES", "8"))
+# per-chunk control overhead at long context — measured on-chip: 32 beats
+# 8/16 at 8k-16k ctx with page_size 64, scripts/decode_context_sweep.py +
+# scripts/paged_decode_probe.py; VMEM cost = 2 x cp x 2*ps x hd x dtype)
+DEFAULT_CHUNK_PAGES = int(os.environ.get("PEGAINFER_CHUNK_PAGES", "32"))
 
 
 def _kernel(
@@ -35,9 +43,9 @@ def _kernel(
     tables_ref,  # [B, P] int32
     seq_lens_ref,  # [B] int32
     layer_ref,  # [1] int32 (layer index into a full pool; 0 for 4-D layouts)
-    # inputs: q, then ONE pool ref ([L, 2, Hkv, pages, ps, hd], pool layout)
+    # inputs: q, then ONE pool ref ([L, Hkv, pages, 2, ps, hd], pool layout)
     # or TWO per-layer refs (k/v [Hkv, pages, ps, hd]), then cur k/v
-    # output: o_ref; scratch: k_buf, v_buf, sem
+    # output: o_ref; scratch: k_buf, v_buf (pool: ONE kv_buf + dummy), sem
     *refs,
     cp: int,
     ps: int,
@@ -45,8 +53,7 @@ def _kernel(
     pool_layout: bool,
 ):
     if pool_layout:
-        q_ref, kv_hbm, cur_k_ref, cur_v_ref, o_ref, k_buf, v_buf, sem = refs
-        k_hbm = v_hbm = kv_hbm
+        q_ref, kv_hbm, cur_k_ref, cur_v_ref, o_ref, kv_buf, sem = refs
     else:
         q_ref, k_hbm, v_hbm, cur_k_ref, cur_v_ref, o_ref, k_buf, v_buf, sem = refs
     b = pl.program_id(0)
@@ -57,70 +64,90 @@ def _kernel(
     num_chunks = pl.cdiv(num_pages, cp)
     li = layer_ref[0]
 
-    def _src(hbm, kv_idx, pid):
-        # pool layout: index (layer, k|v, head, page) into the full pool so
-        # no per-layer slice is ever materialized; 4-D: [Hkv, pages, ...].
-        if pool_layout:
-            return hbm.at[li, kv_idx, h, pid]
-        return hbm.at[h, pid]
-
     def start_chunk(ci, slot):
         base = ci * cp
         for idx in range(cp):  # static unroll: cp small (4-8)
             @pl.when(base + idx < num_pages)
             def _():
                 pid = tables_ref[b, base + idx]
-                pltpu.make_async_copy(
-                    _src(k_hbm, 0, pid), k_buf.at[slot, idx], sem.at[0, slot, idx]
-                ).start()
-                pltpu.make_async_copy(
-                    _src(v_hbm, 1, pid), v_buf.at[slot, idx], sem.at[1, slot, idx]
-                ).start()
+                if pool_layout:
+                    # k/v-adjacent pool: ONE DMA per page fetches the
+                    # contiguous [2, ps, hd] k+v block (halves DMA issues —
+                    # the scalar-core bottleneck at long context)
+                    pltpu.make_async_copy(
+                        kv_hbm.at[li, h, pid], kv_buf.at[slot, idx],
+                        sem.at[0, slot, idx],
+                    ).start()
+                else:
+                    pltpu.make_async_copy(
+                        k_hbm.at[h, pid], k_buf.at[slot, idx], sem.at[0, slot, idx]
+                    ).start()
+                    pltpu.make_async_copy(
+                        v_hbm.at[h, pid], v_buf.at[slot, idx], sem.at[1, slot, idx]
+                    ).start()
 
     def wait_chunk(ci, slot):
         base = ci * cp
         for idx in range(cp):
             @pl.when(base + idx < num_pages)
             def _():
-                pltpu.make_async_copy(
-                    _src(k_hbm, 0, 0), k_buf.at[slot, idx], sem.at[0, slot, idx]
-                ).wait()
-                pltpu.make_async_copy(
-                    _src(v_hbm, 1, 0), v_buf.at[slot, idx], sem.at[1, slot, idx]
-                ).wait()
+                if pool_layout:
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0, 0, 0], kv_buf.at[slot, idx],
+                        sem.at[0, slot, idx],
+                    ).wait()
+                else:
+                    pltpu.make_async_copy(
+                        k_hbm.at[h, 0], k_buf.at[slot, idx], sem.at[0, slot, idx]
+                    ).wait()
+                    pltpu.make_async_copy(
+                        v_hbm.at[h, 0], v_buf.at[slot, idx], sem.at[1, slot, idx]
+                    ).wait()
 
             # Unfetched slots hold garbage (can be NaN); the softmax weights
             # for their positions are exactly 0, but 0 * NaN = NaN in p @ v —
             # so zero the value pages (k feeds only masked scores).
             @pl.when(base + idx >= num_pages)
             def _():
-                v_buf[slot, idx] = jnp.zeros_like(v_buf[slot, idx])
-                k_buf[slot, idx] = jnp.zeros_like(k_buf[slot, idx])
+                if pool_layout:
+                    kv_buf[slot, idx] = jnp.zeros_like(kv_buf[slot, idx])
+                else:
+                    v_buf[slot, idx] = jnp.zeros_like(v_buf[slot, idx])
+                    k_buf[slot, idx] = jnp.zeros_like(k_buf[slot, idx])
 
     start_chunk(0, 0)  # no-op when num_pages == 0 (guards inside)
 
     q = q_ref[0, 0]  # [G, hd] f32
     g, hd = q.shape
 
-    def body(ci, carry):
+    def chunk_update(ci, slot, carry):
+        """One online-softmax update from the STATICALLY-indexed buffer
+        ``slot``. Safe to run past num_chunks: wait_chunk zeroed unfetched
+        buffers, every position fails ``pos < past``, so p == 0, pv == 0,
+        m/l/acc pass through unchanged (corr == 1).
+
+        Static slot matters: a ``lax.cond(slot == 0, ...)`` buffer select
+        copies the whole chunk buffer VMEM→VMEM each iteration — re-copying
+        the entire streamed KV once per step (measured: the kernel ran
+        compute-bound at ~225 GB/s vs the ~650 GB/s HBM ceiling).
+
+        The MXU dots take bf16 inputs with f32 accumulation (standard flash
+        numerics; f32 test pools keep full f32 dots — precision follows the
+        KV dtype). An f32 MXU dot runs at a fraction of the bf16 rate.
+        """
         m, l, acc = carry
-        slot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci + 1 < num_chunks)
-        def _():
-            start_chunk(ci + 1, 1 - slot)
-
-        wait_chunk(ci, slot)
-        k = jax.lax.cond(
-            slot == 0, lambda: k_buf[0], lambda: k_buf[1]
-        ).reshape(cp * ps, hd).astype(jnp.float32)
-        v = jax.lax.cond(
-            slot == 0, lambda: v_buf[0], lambda: v_buf[1]
-        ).reshape(cp * ps, hd).astype(jnp.float32)
+        if pool_layout:
+            kv = kv_buf[slot]  # [cp, 2*ps, hd] — k rows then v rows per page
+            k = kv[:, :ps, :].reshape(cp * ps, hd)
+            v = kv[:, ps:, :].reshape(cp * ps, hd)
+        else:
+            k = k_buf[slot].reshape(cp * ps, hd)
+            v = v_buf[slot].reshape(cp * ps, hd)
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, cp*ps] — caller pre-scales q
+            q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, cp*ps] f32 — caller pre-scales q
 
         pos = ci * cp * ps + jax.lax.broadcasted_iota(
             jnp.int32, (g, cp * ps), 1
@@ -135,14 +162,36 @@ def _kernel(
         corr = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - safe_m))
         l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc * corr + pv
+
+    def body(pi, carry):
+        # pair-unrolled: chunks 2*pi (buffer 0) and 2*pi+1 (buffer 1), so
+        # buffer indices are static (see chunk_update docstring)
+        ci0 = 2 * pi
+
+        @pl.when(ci0 + 1 < num_chunks)
+        def _():
+            start_chunk(ci0 + 1, 1)
+
+        wait_chunk(ci0, 0)
+        carry = chunk_update(ci0, 0, carry)
+
+        @pl.when(ci0 + 2 < num_chunks)
+        def _():
+            start_chunk(ci0 + 2, 0)
+
+        wait_chunk(ci0 + 1, 1)
+        carry = chunk_update(ci0 + 1, 1, carry)
+        return carry
 
     m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((g, 1), jnp.float32)
     acc0 = jnp.zeros((g, hd), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(
+        0, pl.cdiv(num_chunks, 2), body, (m0, l0, acc0))
 
     if has_cur:
         # current token's key/value from the in-flight tensors (one more
@@ -169,7 +218,7 @@ def _kernel(
 def paged_attention_decode(
     q: jax.Array,  # [B, Hq, hd]
     k_pages: jax.Array,  # [Hkv, num_pages, ps, hd] — or, with layer_id, the
-    v_pages: jax.Array,  # FULL pool [L, 2, Hkv, num_pages, ps, hd] (twice)
+    v_pages: jax.Array,  # FULL pool [L, Hkv, num_pages, 2, ps, hd] (twice)
     page_tables: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32 (0 = dead/padding row)
     scale: float,
@@ -177,9 +226,11 @@ def paged_attention_decode(
     interpret: bool = False,
     cur_k=None,  # [B, Hkv, hd] — current token's k/v from the in-flight
     cur_v=None,  # tensors (pages then hold only the first seq_len-1 tokens)
-    layer_id=None,  # int32 scalar: k/v_pages are the full pool; DMA from
-                    # pool[layer_id, 0|1] — avoids materializing a per-layer
-                    # slice of a multi-GB pool inside the layer scan
+    layer_id=None,  # int32 scalar: k/v_pages are the full k/v-adjacent pool
+                    # [L, Hkv, pages, 2, ps, hd]; DMA from pool[layer_id, h,
+                    # page] — avoids materializing a per-layer slice of a
+                    # multi-GB pool inside the layer scan, and fetches a
+                    # page's k+v in ONE DMA
 ) -> jax.Array:
     """Returns [B, Hq, hd] in q.dtype. Contract matches
     ops.attention.paged_attention_decode (incl. the cur_k/cur_v deferred
@@ -187,7 +238,11 @@ def paged_attention_decode(
     B, Hq, hd = q.shape
     pool_layout = layer_id is not None
     if pool_layout:
-        _, _, Hkv, _, ps, _ = k_pages.shape
+        L, Hkv, nPg, _, ps, _ = k_pages.shape
+        # flatten the page's k/v into one [2*ps, hd] block so the per-page
+        # fetch is a single 2-D contiguous DMA (a [2, ps, hd] block copy is
+        # split per leading element by Mosaic — measured no win)
+        k_pages = v_pages = k_pages.reshape(L, Hkv, nPg, 2 * ps, hd)
         li = jnp.asarray(layer_id, jnp.int32).reshape(1)
     else:
         Hkv, _, ps, _ = k_pages.shape
@@ -217,6 +272,19 @@ def paged_attention_decode(
                     pl.BlockSpec(memory_space=pl.ANY), cur_spec, cur_spec]
         operands = (qg, k_pages, v_pages, cur_k, cur_v)
 
+    if pool_layout:
+        # single double-buffered k+v scratch; sem axis 0 unused (kept at 2
+        # so both layouts share one semaphore shape)
+        scratch = [
+            pltpu.VMEM((2, cp, 2 * ps, hd), k_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, cp)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, cp, ps, hd), k_pages.dtype),
+            pltpu.VMEM((2, cp, ps, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, cp)),
+        ]
     out = pl.pallas_call(
         functools.partial(_kernel, cp=cp, ps=ps, has_cur=has_cur,
                           pool_layout=pool_layout),
@@ -225,11 +293,7 @@ def paged_attention_decode(
             grid=(B, Hkv),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, cp, ps, hd), k_pages.dtype),
-                pltpu.VMEM((2, cp, ps, hd), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2, 2, cp)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, hd), jnp.float32),
         interpret=interpret,

@@ -72,8 +72,8 @@ def qwen3_param_specs(cfg) -> dict:
 
 
 def qwen3_kv_spec() -> P:
-    """KV block array [L, 2, Hkv, pages, page_size, hd]: shard kv heads."""
-    return P(None, None, "tp", None, None, None)
+    """KV block array [L, Hkv, pages, 2, page_size, hd]: shard kv heads."""
+    return P(None, "tp", None, None, None, None)
 
 
 def validate_qwen3_tp(cfg, tp: int) -> None:
@@ -187,7 +187,7 @@ def qwen35_param_specs(cfg) -> dict:
 
 def qwen35_state_specs() -> dict:
     return {
-        "kv": P(None, None, "tp", None, None, None),   # [G,2,Hkv,pages,ps,hd]→kv heads
+        "kv": P(None, "tp", None, None, None, None),   # [G,Hkv,pages,2,ps,hd]→kv heads
         "rec": P(None, None, None, "tp", None, None),  # [G,pl,S,Hv,dk,dv]→v heads
         "conv": P(None, None, None, None, "tp"),       # [G,pl,S,K,conv_dim]→channels
     }

@@ -148,9 +148,9 @@ def test_paged_decode_pool_layout():
     cur_k = rand(12, (B, Hkv, hd))
     cur_v = rand(13, (B, Hkv, hd))
     scale = hd ** -0.5
-    # pool with layer 1 holding (kp, vp); other layers noise
-    pool = rand(14, (L, 2, Hkv, 32, ps, hd))
-    pool = pool.at[1, 0].set(kp).at[1, 1].set(vp)
+    # k/v-adjacent pool with layer 1 holding (kp, vp); other layers noise
+    pool = rand(14, (L, Hkv, 32, 2, ps, hd))
+    pool = pool.at[1, :, :, 0].set(kp).at[1, :, :, 1].set(vp)
     ref = np.asarray(att.paged_attention_decode(
         q, kp, vp, tables, sl, scale, cur_k=cur_k, cur_v=cur_v))
     out = np.asarray(paged_attention_decode(
