@@ -246,6 +246,31 @@ def _build_engine(args):
             cfg.vocab_size,
             "qwen3-4b-randomweights",
         )
+    if getattr(args, "random_qwen3_8b", False):
+        # Qwen3-8B (BASELINE.json target: "Qwen3-8B with top-k/top-p
+        # sampling, single chip"): a bf16 tree is ~16.4 GB — over one
+        # v5e chip's HBM — so single-chip 8B serves int8 weight-only,
+        # with params created directly in the int8 container.
+        from pegainfer_tpu.engine.jax_executor import JaxExecutor
+        from pegainfer_tpu.engine.scheduler import start_scheduler
+        from pegainfer_tpu.models import qwen3 as q3
+
+        cfg = q3.Qwen3Config(
+            hidden_size=4096, intermediate_size=12288, num_hidden_layers=36,
+            num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+            vocab_size=151936, rms_norm_eps=1e-6, rope_theta=1000000.0,
+            tie_word_embeddings=False, eos_token_id=151645,
+            stop_token_ids=(151645,), max_position_embeddings=40960,
+        )
+        params = q3.init_bench_params_int8(cfg)
+        runtime = q3.make_runtime(cfg, params,
+                                  num_pages=args.max_num_pages or 192,
+                                  page_size=64)
+        return (
+            start_scheduler(JaxExecutor(runtime, opts)),
+            cfg.vocab_size,
+            "qwen3-8b-randomweights-int8",
+        )
     if getattr(args, "random_qwen35_4b", False):
         from pegainfer_tpu.engine.jax_executor import JaxExecutor
         from pegainfer_tpu.engine.scheduler import start_scheduler
@@ -298,6 +323,8 @@ def main(argv=None):
     snap.add_argument("--model-path")
     snap.add_argument("--sim", action="store_true")
     snap.add_argument("--random-qwen35-4b", action="store_true")
+    snap.add_argument("--random-qwen3-8b", action="store_true",
+                      help="Qwen3-8B shapes, int8 weight-only (single-chip)")
     snap.add_argument("--random-qwen3-4b", action="store_true",
                       help="bench-shaped Qwen3-4B without a checkpoint")
     snap.add_argument("--out", required=True)
@@ -320,6 +347,7 @@ def main(argv=None):
     cur.add_argument("--model-path")
     cur.add_argument("--sim", action="store_true")
     cur.add_argument("--random-qwen35-4b", action="store_true")
+    cur.add_argument("--random-qwen3-8b", action="store_true")
     cur.add_argument("--random-qwen3-4b", action="store_true")
     cur.add_argument("--concurrency", default="1,2,4,8,16")
     cur.add_argument("--prompt-len", type=int, default=1024)
@@ -332,6 +360,7 @@ def main(argv=None):
     mat.add_argument("--model-path")
     mat.add_argument("--sim", action="store_true")
     mat.add_argument("--random-qwen35-4b", action="store_true")
+    mat.add_argument("--random-qwen3-8b", action="store_true")
     mat.add_argument("--random-qwen3-4b", action="store_true")
     mat.add_argument("--prompts", default="128,1024,4096")
     mat.add_argument("--outputs", default="64,256")

@@ -149,3 +149,23 @@ def test_int8_tp_sharding(cfg_params):
     _, out, _ = q3.prefill(cfg, q8s, kv2, toks, jnp.int32(8), table)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_init_bench_params_int8_matches_quantize(cfg_params):
+    """init_bench_params_int8 (direct int8 container, no bf16 tree — the
+    Qwen3-8B single-chip path, bench/serving.py --random-qwen3-8b) equals
+    quantize_params_int8(init_bench_params(cfg)) leaf-for-leaf."""
+    cfg, _ = cfg_params
+    direct = q3.init_bench_params_int8(cfg)
+    staged = q3.quantize_params_int8(q3.init_bench_params(cfg))
+
+    flat_d = jax.tree_util.tree_leaves_with_path(direct)
+    flat_s = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(staged)}
+    assert {jax.tree_util.keystr(k) for k, _ in flat_d} == set(flat_s)
+    for k, v in flat_d:
+        ref = flat_s[jax.tree_util.keystr(k)]
+        assert v.dtype == ref.dtype, k
+        np.testing.assert_allclose(np.asarray(v, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=1e-6, atol=0)
