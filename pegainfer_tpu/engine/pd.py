@@ -40,22 +40,25 @@ class HandoffPayload:
     request_id: int
     prompt_len: int
     first_token: int
-    kv_rows: np.ndarray  # gathered pages, pages axis preserved
-    state_snap: Optional[Any] = None  # hybrid per-slot rows (numpy pytree)
+    kv_rows: Optional[np.ndarray]  # gathered pages (None: pages-less model,
+    # e.g. DSv4's slot-ring caches — the slot snapshot is the whole payload)
+    state_snap: Optional[Any] = None  # per-slot rows (numpy pytree)
 
 
 def prefill_and_export(ex, item: PrefillStepItem) -> HandoffPayload:
     """Run ``item``'s prefill on executor ``ex``, gather its KV/state into
     a host payload, and release every resource it held on ``ex``."""
     rt = ex.rt
-    if rt.export_pages_fn is None:
-        raise ValueError("model provides no export_pages_fn (no PD support)")
+    if rt.export_pages_fn is None and rt.slot_export_fn is None:
+        raise ValueError("model provides no export hooks (no PD support)")
     res = ex.execute_prefill(PrefillPlan(requests=[item], echo=item.echo))
     st = ex.acct.get(item.request_id)
-    pages = list(st.pages)
     prompt_len = st.length
-    rows = jax.jit(rt.export_pages_fn)(
-        ex.state, jnp.asarray(pages, jnp.int32))
+    rows = None
+    if rt.export_pages_fn is not None:
+        pages = list(st.pages)
+        rows = np.asarray(jax.jit(rt.export_pages_fn)(
+            ex.state, jnp.asarray(pages, jnp.int32)))
     snap = None
     if rt.slot_export_fn is not None:
         slot = ex._slot(item.request_id)
@@ -67,7 +70,7 @@ def prefill_and_export(ex, item: PrefillStepItem) -> HandoffPayload:
         request_id=item.request_id,
         prompt_len=prompt_len,
         first_token=res.requests[0].first_token,
-        kv_rows=np.asarray(rows),
+        kv_rows=rows,
         state_snap=snap,
     )
     ex.release_request(item.request_id)
@@ -81,16 +84,17 @@ def import_request(ex, payload: HandoffPayload) -> None:
     it had prefilled here (feed ``payload.first_token`` as the first
     decode input)."""
     rt = ex.rt
-    if rt.import_pages_fn is None:
-        raise ValueError("model provides no import_pages_fn (no PD support)")
+    if payload.kv_rows is not None and rt.import_pages_fn is None:
+        raise ValueError("payload has pages but model lacks import_pages_fn")
     st = ex.acct.state(payload.request_id)
     if st.length or st.pages:
         raise ValueError(f"request {payload.request_id} already present")
     st.ensure_capacity(ex.acct.pool, payload.prompt_len)
-    n_pages = -(-payload.prompt_len // ex.rt.page_size)
-    ids = jnp.asarray(st.pages[:n_pages], jnp.int32)
-    imp = jax.jit(rt.import_pages_fn, donate_argnums=0)
-    ex.state = imp(ex.state, jnp.asarray(payload.kv_rows), ids)
+    if payload.kv_rows is not None:
+        n_pages = -(-payload.prompt_len // ex.rt.page_size)
+        ids = jnp.asarray(st.pages[:n_pages], jnp.int32)
+        imp = jax.jit(rt.import_pages_fn, donate_argnums=0)
+        ex.state = imp(ex.state, jnp.asarray(payload.kv_rows), ids)
     st.advance(payload.prompt_len)
     if payload.state_snap is not None:
         if rt.slot_import_fn is None:

@@ -853,6 +853,29 @@ def ungroup_state(cfg: DSv4Config, gstate):
     return {"layers": layers}
 
 
+def slot_export(gstate, slot):
+    """One slot's decode-cache rows across all layers/segments — the whole
+    PD-handoff payload for DSv4 (no paged KV: the window ring + compressed
+    rows + running compressor stats ARE the request's attention state;
+    reference design doc: prefix-paged-kv-pd-handoff.md). Every grouped
+    leaf is [n_layers_seg, S, ...] with slot axis 1."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, slot, axis=1, keepdims=False),
+        gstate,
+    )
+
+
+def slot_import(gstate, snap, slot):
+    """Seed ``slot`` from an exported snapshot (in-place dus on donated
+    buffers)."""
+    def put(full, one):
+        return jax.lax.dynamic_update_slice_in_dim(
+            full, one[:, None].astype(full.dtype), slot, axis=1
+        )
+
+    return jax.tree.map(put, gstate, snap)
+
+
 def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
                     seq_len=None):
     """prefill() over segment-scanned layers; with gstate+slot, seeds the

@@ -81,6 +81,10 @@ def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
         max_model_len=max_model_len,
         vocab_size=cfg.vocab_size,
         max_slots=max_slots,
+        # PD handoff (engine/pd.py): DSv4 has no pages — the slot rows are
+        # the whole payload
+        slot_export_fn=dsv4.slot_export,
+        slot_import_fn=dsv4.slot_import,
     )
 
 

@@ -171,9 +171,68 @@ def test_pd_qwen35_state_rides_payload():
     assert abs(lp_ok - lp_broken) > 1e-6
 
 
+def _make_dsv4():
+    from pegainfer_tpu.models import dsv4, dsv4_engine
+
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=32, moe_inter_dim=16, n_layers=2,
+        num_attention_heads=8, head_dim=16, q_lora_rank=16,
+        qk_rope_head_dim=8, o_groups=8, o_lora_rank=4, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=16, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.init_random_params(cfg, seed=11, dtype=jnp.float32,
+                                     scale=0.08)
+
+    def make():
+        runtime = dsv4_engine.make_runtime(cfg, params, max_model_len=64,
+                                           max_slots=2,
+                                           state_dtype=jnp.float32)
+        return JaxExecutor(runtime, EngineLoadOptions(
+            enable_prefix_cache=False))
+
+    return make
+
+
+def test_pd_dsv4_slot_payload():
+    """DSv4 has no paged KV — the slot snapshot (window ring + compressed
+    rows + running compressor stats) is the whole payload. Token parity +
+    a negative control proving the rows are load-bearing."""
+    make = _make_dsv4()
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(2, 127, 21).tolist()
+    single = run_single(make, prompt, 6)
+    moved = run_handoff(make, prompt, 6)
+    assert moved == single
+
+    def first_logprob(with_state):
+        ex_a = make()
+        ex_b = make()
+        item = PrefillStepItem(request_id=5, prompt_tokens=list(prompt),
+                               params=SamplingParams(ignore_eos=True))
+        payload = pd.prefill_and_export(ex_a, item)
+        assert payload.kv_rows is None and payload.state_snap is not None
+        if not with_state:
+            payload.state_snap = None
+        pd.import_request(ex_b, payload)
+        res = ex_b.execute_decode(DecodePlan(requests=[
+            DecodeStepItem(request_id=5, token_id=payload.first_token,
+                           params=SamplingParams(ignore_eos=True),
+                           logprobs=1)
+        ]))
+        return res.requests[0].logprob.logprob
+
+    lp_ok, lp_broken = first_logprob(True), first_logprob(False)
+    assert abs(lp_ok - lp_broken) > 1e-6
+
+
 def test_pd_unsupported_model_raises():
     class Rt:
         export_pages_fn = None
+        slot_export_fn = None
 
     class Ex:
         rt = Rt()
