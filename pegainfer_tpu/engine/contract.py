@@ -65,6 +65,11 @@ class EngineLoadOptions:
     # Prompts longer than this prefill in fixed-size chunks (bounded compile
     # sizes + tighter padding); models without a chunk path ignore it.
     prefill_chunk: int = 2048
+    # Chunk size while OTHER requests are actively decoding (adaptive
+    # chunking): decode blocks interleave between prefill chunks, so a
+    # smaller mixed-load chunk bounds the decode stall tighter at a small
+    # prefill-throughput cost. Set equal to prefill_chunk to disable.
+    prefill_chunk_mixed: int = 1024
     # Weight quantization mode: None (checkpoint dtype — for DSv4 this
     # means FP8/FP4 quantized-resident in HBM), "int8" (weight-only int8,
     # Qwen families), or "bf16" (dequantize a quantized checkpoint at load)

@@ -196,6 +196,13 @@ class JaxExecutor:
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
         self.decode_block = max(1, opts.decode_block)
         self.prefill_chunk = max(self.rt.page_size, opts.prefill_chunk)
+        # adaptive chunk size under decode load (contract.py): the scheduler
+        # flips decode_active around stepper drives; page-size-aligned
+        mixed = min(getattr(opts, "prefill_chunk_mixed", opts.prefill_chunk),
+                    self.prefill_chunk)
+        self.prefill_chunk_mixed = max(
+            self.rt.page_size, mixed - mixed % self.rt.page_size)
+        self.decode_active = False
         # request → persistent state slot (hybrid models' recurrent state)
         self._slots: Dict[int, int] = {}
         self._free_slots = list(range(runtime.max_slots - 1, -1, -1))
@@ -538,28 +545,30 @@ class JaxExecutor:
         fine_tail = (self._hybrid_cache and small < chunk
                      and self.rt.prefill_chunk_wa_fn is not None)
 
-        # Piece schedule: [(Tc, end)] — Tc is the compile-size bucket
+        # Piece planning: (Tc, end) — Tc is the compile-size bucket
         # (tokens padded, `valid` = end - start real); `end` positions are
         # page-aligned except the final T. A mid-schedule short piece's
         # padding pages get garbage rows transiently; the next piece's own
         # rows overwrite them at its flush, and attention masks past
         # `start_pos + valid`, so they are never read.
-        pieces = []
-        pos = start0
-        if fine_tail and T - pos > small:
-            b = -(-(T - small) // ps) * ps  # penultimate boundary
-            while b - pos > chunk:
-                pieces.append((chunk, pos + chunk))
-                pos += chunk
-            if b > pos:
-                pieces.append((small if b - pos <= small else chunk, b))
-                pos = b
-            pieces.append((small if T - pos <= small else chunk, T))
-        else:
-            while pos < T:
-                Tc = small if T - pos <= small else chunk
-                pieces.append((Tc, min(pos + Tc, T)))
-                pos = min(pos + Tc, T)
+        #
+        # Planned ONE PIECE AT A TIME (adaptive chunking): while other
+        # requests are actively decoding (`self.decode_active`, flipped by
+        # the scheduler around stepper drives), pieces use the smaller
+        # `prefill_chunk_mixed` bucket so the interleaved decode stall is
+        # bounded tighter; a solo prefill keeps the full chunk for
+        # throughput. Compile sizes stay bounded: {chunk, mixed, small}.
+        def plan_piece(pos):
+            c = self.prefill_chunk_mixed if self.decode_active else chunk
+            if fine_tail and T - pos > small:
+                b = -(-(T - small) // ps) * ps  # penultimate boundary
+                if b - pos > c:
+                    return (c, pos + c)
+                if b > pos:
+                    return (small if b - pos <= small else c, b)
+                return (small if T - pos <= small else c, T)
+            Tc = small if T - pos <= small else c
+            return (Tc, min(pos + Tc, T))
 
         # Tables must cover each chunk's FULL page span (the model
         # dynamic-slices chunk_len/ps entries from first_page; an
@@ -574,7 +583,8 @@ class JaxExecutor:
         # snapshots for future prompts sharing this prefix.
         snaps = []  # [(pos, snapshot)]
         start = start0
-        for Tc, end in pieces:
+        while start < T:
+            Tc, end = plan_piece(start)
             need_entries = -(-(start + Tc) // ps)
             P = bucket_pow2(max(len(pages), need_entries), 8, self._table_cap)
             table_dev = table_cache.get(P)

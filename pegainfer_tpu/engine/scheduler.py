@@ -296,14 +296,21 @@ class Scheduler:
             item = self._prefill_items([req])[0]
             if chunkable and ex.supports_chunked_prefill(item) and self.active:
                 gen = ex.prefill_stepper(item)
-                while True:
-                    try:
-                        next(gen)
-                    except StopIteration as s:
-                        done_results.append(s.value)
-                        done_reqs.append(req)
-                        break
-                    self._decode_block_once()
+                try:
+                    while True:
+                        # adaptive chunking: the stepper sizes its next
+                        # chunk down while streams are actively decoding
+                        # (executor.prefill_chunk_mixed, contract.py)
+                        ex.decode_active = bool(self.active)
+                        try:
+                            next(gen)
+                        except StopIteration as s:
+                            done_results.append(s.value)
+                            done_reqs.append(req)
+                            break
+                        self._decode_block_once()
+                finally:
+                    ex.decode_active = False
             elif chunkable and self.active:
                 # Non-chunkable prefill (e.g. echo+logprobs needs all-
                 # position logits in one pass): run it ALONE and give the

@@ -144,3 +144,47 @@ def test_qwen35_chunked_matches_whole():
     finally:
         whole.shutdown()
         chunked.shutdown()
+
+
+def test_adaptive_chunking_under_decode_load():
+    """With decode_active set, the stepper plans smaller (mixed) chunks —
+    more yields, same final tokens (adaptive chunking, contract.py
+    prefill_chunk_mixed)."""
+    from pegainfer_tpu.engine.executor import PrefillStepItem
+
+    cfg = q3.Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=True, eos_token_id=1, stop_token_ids=(1,),
+        max_position_embeddings=1024,
+    )
+    params = q3.init_random_params(cfg, seed=3, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(2, 127, 64).tolist()
+
+    def run(decode_active):
+        runtime = q3.make_runtime(cfg, params, num_pages=128, page_size=4,
+                                  kv_dtype=jnp.float32)
+        ex = JaxExecutor(runtime, EngineLoadOptions(
+            prefill_chunk=32, prefill_chunk_mixed=16,
+            enable_prefix_cache=False))
+        ex.decode_active = decode_active
+        item = PrefillStepItem(request_id=1, prompt_tokens=list(prompt),
+                               params=SamplingParams(ignore_eos=True))
+        gen_ = ex.prefill_stepper(item)
+        yields = 0
+        while True:
+            try:
+                next(gen_)
+                yields += 1
+            except StopIteration as s:
+                return yields, s.value.first_token
+
+    y_solo, tok_solo = run(False)
+    y_mixed, tok_mixed = run(True)
+    assert y_solo == 1      # 32+32: 2 pieces, 1 interior yield
+    # mixed: 16+16, then the 32-wide tail bucket (small == chunk at this
+    # tiny scale) -> 3 pieces, 2 interior yields
+    assert y_mixed == 2
+    assert tok_solo == tok_mixed
