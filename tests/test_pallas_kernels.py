@@ -186,3 +186,30 @@ def test_flash_attention_chunk_continuation():
                 np.testing.assert_allclose(
                     np.asarray(out)[t, h * 2 + g], ref, rtol=2e-5, atol=2e-5
                 )
+
+
+def test_paged_decode_pool_layout_bf16():
+    """Production numerics: bf16 pool -> the kernel's MXU dots run on bf16
+    inputs with f32 accumulation (flash numerics). Compare against the f32
+    XLA oracle at bf16-scale tolerance, and require argmax-over-head
+    agreement (what sampling consumes downstream is logits built from o)."""
+    B, Hq, Hkv, hd, ps, P = 2, 8, 2, 64, 8, 8
+    L = 3
+    q, kp, vp, tables, sl = _paged_setup(21, B, Hq, Hkv, hd, 32, ps, P, [40, 21])
+    q = q.astype(jnp.bfloat16)
+    cur_k = rand(22, (B, Hkv, hd), jnp.bfloat16)
+    cur_v = rand(23, (B, Hkv, hd), jnp.bfloat16)
+    scale = hd ** -0.5
+    pool = jnp.zeros((L, Hkv, 32, 2, ps, hd), jnp.bfloat16)
+    pool = pool.at[1, :, :, 0].set(kp.astype(jnp.bfloat16))
+    pool = pool.at[1, :, :, 1].set(vp.astype(jnp.bfloat16))
+    ref = np.asarray(att.paged_attention_decode(
+        q.astype(jnp.float32), kp, vp, tables, sl, scale,
+        cur_k=cur_k.astype(jnp.float32), cur_v=cur_v.astype(jnp.float32)),
+        np.float32)
+    out = np.asarray(paged_attention_decode(
+        q, pool, pool, tables, sl, scale, chunk_pages=4, interpret=True,
+        cur_k=cur_k, cur_v=cur_v, layer_id=jnp.int32(1)), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(out.reshape(B * Hq, hd).argmax(-1),
+                                  ref.reshape(B * Hq, hd).argmax(-1))
