@@ -40,6 +40,8 @@ def build_engine_and_tokenizer(args):
         max_batch_size=args.max_batch_size,
         quantize=args.quantize,
         enable_prefix_cache=not args.no_prefix_cache,
+        prefill_chunk=args.prefill_chunk,
+        prefill_chunk_mixed=args.prefill_chunk_mixed,
     )
     if args.sim:
         from pegainfer_tpu.server.tokenizer import SimTokenizer
@@ -86,6 +88,12 @@ def main(argv=None):
                         "resident in HBM)")
     p.add_argument("--no-prefix-cache", action="store_true",
                    help="disable shared-prompt-prefix page caching")
+    p.add_argument("--prefill-chunk", type=int, default=2048,
+                   help="chunk size for long-prompt prefill (tokens)")
+    p.add_argument("--prefill-chunk-mixed", type=int, default=1024,
+                   help="chunk size while other requests are decoding "
+                        "(adaptive chunking — bounds decode stalls; set "
+                        "equal to --prefill-chunk to disable)")
     p.add_argument("--no-precompile", action="store_true",
                    help="skip decode-bucket precompilation (reference: --cuda-graph off)")
     p.add_argument("--profile-dir", default=None,
