@@ -114,6 +114,12 @@ def main(argv=None):
     from pegainfer_tpu.utils.compile_cache import enable as enable_cache
 
     enable_cache()
+    if not args.sim:
+        # multi-host: join the coordinator when PEGAINFER_COORD/_NUM_PROCS/
+        # _PROC_ID are set (parallel/multihost.py); no-op single-process
+        from pegainfer_tpu.parallel import multihost
+
+        multihost.initialize()
     engine, tokenizer, model_name = build_engine_and_tokenizer(args)
 
     from aiohttp import web
