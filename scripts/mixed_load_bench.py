@@ -39,7 +39,14 @@ print("backend:", jax.default_backend(), flush=True)
 cfg = bench.qwen3_4b_config()
 params = q3.init_bench_params(cfg)
 rt = q3.make_runtime(cfg, params, num_pages=384, page_size=64)
-handle = start_scheduler(JaxExecutor(rt, EngineLoadOptions()))
+# PEGAINFER_MIXED_CHUNK: adaptive-chunking ablation knob (2048 = disabled,
+# the pre-adaptive fixed-chunk policy; default 1024 = contract.py default)
+import os
+
+mixed_chunk = int(os.environ.get("PEGAINFER_MIXED_CHUNK", "1024"))
+handle = start_scheduler(JaxExecutor(rt, EngineLoadOptions(
+    prefill_chunk_mixed=mixed_chunk)))
+print("prefill_chunk_mixed:", mixed_chunk, flush=True)
 rng = np.random.default_rng(0)
 t0 = time.time()
 
