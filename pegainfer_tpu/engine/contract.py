@@ -71,10 +71,11 @@ class EngineLoadOptions:
     # prefill-throughput cost. Set equal to prefill_chunk to disable.
     prefill_chunk_mixed: int = 1024
     # Weight quantization mode: None (checkpoint dtype — for DSv4 this
-    # means FP8/FP4 quantized-resident in HBM), "int8" (weight-only int8,
-    # Qwen families), or "bf16" (dequantize a quantized checkpoint at load)
-    # (weight-only per-channel — approximate serving, halves decode HBM
-    # traffic; models without support ignore it).
+    # means FP8/FP4 quantized-resident in HBM), "int8" (weight-only
+    # per-output-channel int8 for the Qwen families — approximate serving,
+    # halves decode HBM traffic), or "bf16" (dequantize a quantized
+    # checkpoint at load — the DSv4 numerics oracle). Models without
+    # support ignore it.
     quantize: Optional[str] = None
     # Shared-prompt-prefix page cache (docs/prefix-cache-design.md): repeat
     # prompts skip prefilling their cached page-aligned prefix. Active for

@@ -195,9 +195,12 @@ class JaxExecutor:
             self.prefix_cache = None
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
         self.decode_block = max(1, opts.decode_block)
-        self.prefill_chunk = max(self.rt.page_size, opts.prefill_chunk)
+        # chunk sizes must be page-size multiples (prefill_chunk_wa reshapes
+        # its chunk into whole pages) — align whatever the CLI passed
+        pc = max(self.rt.page_size, opts.prefill_chunk)
+        self.prefill_chunk = pc - pc % self.rt.page_size
         # adaptive chunk size under decode load (contract.py): the scheduler
-        # flips decode_active around stepper drives; page-size-aligned
+        # flips decode_active around stepper drives
         mixed = min(getattr(opts, "prefill_chunk_mixed", opts.prefill_chunk),
                     self.prefill_chunk)
         self.prefill_chunk_mixed = max(
@@ -626,10 +629,15 @@ class JaxExecutor:
                     jnp.int32(len(part)), table_dev, slot,
                 )
             start = end
-            if self._hybrid_cache and use_wa and (end < T or T % ps == 0):
+            if (self._hybrid_cache and use_wa
+                    and ((end < T and T - end <= chunk) or
+                         (end == T and T % ps == 0))):
                 # state after exactly `end` tokens; keep the deepest
                 # interior boundary plus (when page-aligned) the prompt
-                # end — the end snapshot serves extended prompts (multi-turn)
+                # end — the end snapshot serves extended prompts (multi-turn).
+                # Only boundaries within one max-size piece of the prompt end
+                # can be the deepest, so earlier ones skip the device copy
+                # (each snapshot copies tens of MB of rec/conv state).
                 if snaps and snaps[-1][0] < T and end < T:
                     snaps.pop()
                 snaps.append((end, self.rt.cpend_snapshot_fn(cpend)))

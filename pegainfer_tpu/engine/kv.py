@@ -160,6 +160,14 @@ class KvAccounting:
 
 # ── Prefix cache ─────────────────────────────────────────────────────────
 
+# Hybrid-state snapshot cap (LRU). Shared constant: engines that reserve
+# HBM for snapshots (qwen35_engine._compute_num_pages) must use the same
+# number or the KV-pool sizing silently diverges from the cache's actual
+# HBM use. Each prompt family holds up to TWO entries (deepest interior
+# boundary + aligned end), so the cap must be ≥ 2x the concurrently-warm
+# prompt families or reuse thrashes.
+DEFAULT_MAX_SNAPSHOTS = 8
+
 
 class PrefixCache:
     """Shared-prompt-prefix page cache over the refcounted PagePool.
@@ -176,7 +184,7 @@ class PrefixCache:
     """
 
     def __init__(self, pool: PagePool, page_size: int,
-                 max_snapshots: int = 8) -> None:
+                 max_snapshots: int = DEFAULT_MAX_SNAPSHOTS) -> None:
         self.pool = pool
         self.page_size = page_size
         self._pages: Dict[int, int] = {}  # chain key -> page id

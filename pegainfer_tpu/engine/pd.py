@@ -32,6 +32,20 @@ import numpy as np
 
 from pegainfer_tpu.engine.executor import PrefillPlan, PrefillStepItem
 
+# jit wrappers are cached per hook function: a fresh jax.jit(...) per call
+# would re-trace and re-lower on every handoff (jit caches executables per
+# wrapper object), putting a compile on the handoff latency path.
+_JIT: dict = {}
+
+
+def _jitted(fn, donate_first: bool = False):
+    key = (fn, donate_first)
+    w = _JIT.get(key)
+    if w is None:
+        w = jax.jit(fn, donate_argnums=(0,) if donate_first else ())
+        _JIT[key] = w
+    return w
+
 
 @dataclass
 class HandoffPayload:
@@ -57,14 +71,14 @@ def prefill_and_export(ex, item: PrefillStepItem) -> HandoffPayload:
     rows = None
     if rt.export_pages_fn is not None:
         pages = list(st.pages)
-        rows = np.asarray(jax.jit(rt.export_pages_fn)(
+        rows = np.asarray(_jitted(rt.export_pages_fn)(
             ex.state, jnp.asarray(pages, jnp.int32)))
     snap = None
     if rt.slot_export_fn is not None:
         slot = ex._slot(item.request_id)
         snap = jax.tree.map(
             np.asarray,
-            jax.jit(rt.slot_export_fn)(ex.state, jnp.int32(slot)),
+            _jitted(rt.slot_export_fn)(ex.state, jnp.int32(slot)),
         )
     payload = HandoffPayload(
         request_id=item.request_id,
@@ -93,13 +107,13 @@ def import_request(ex, payload: HandoffPayload) -> None:
     if payload.kv_rows is not None:
         n_pages = -(-payload.prompt_len // ex.rt.page_size)
         ids = jnp.asarray(st.pages[:n_pages], jnp.int32)
-        imp = jax.jit(rt.import_pages_fn, donate_argnums=0)
+        imp = _jitted(rt.import_pages_fn, donate_first=True)
         ex.state = imp(ex.state, jnp.asarray(payload.kv_rows), ids)
     st.advance(payload.prompt_len)
     if payload.state_snap is not None:
         if rt.slot_import_fn is None:
             raise ValueError("payload has state but model lacks slot_import_fn")
         slot = ex._slot(payload.request_id)
-        ex.state = jax.jit(rt.slot_import_fn, donate_argnums=0)(
+        ex.state = _jitted(rt.slot_import_fn, donate_first=True)(
             ex.state, jax.tree.map(jnp.asarray, payload.state_snap),
             jnp.int32(slot))

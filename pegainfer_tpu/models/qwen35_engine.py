@@ -86,9 +86,11 @@ def _compute_num_pages(cfg, page_size, opts, params) -> int:
            * cfg.linear_value_head_dim + cfg.linear_conv_kernel_dim * cfg.conv_dim)
         * 4
     )
-    # hybrid prefix-cache snapshots are HBM too: cap (8) x one slot's
-    # rec+conv bytes (engine/kv.py PrefixCache.max_snapshots)
-    snap_bytes = 8 * (
+    # hybrid prefix-cache snapshots are HBM too: the cache's cap x one
+    # slot's rec+conv bytes (shared constant — engine/kv.py)
+    from pegainfer_tpu.engine.kv import DEFAULT_MAX_SNAPSHOTS
+
+    snap_bytes = DEFAULT_MAX_SNAPSHOTS * (
         cfg.num_groups * (cfg.period - 1)
         * (cfg.linear_num_value_heads * cfg.linear_key_head_dim
            * cfg.linear_value_head_dim

@@ -70,7 +70,10 @@ def _kernel(
         q = q_ref[0].reshape(g * tq, hd)
         k = k_ref[0]  # [TK, hd]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            # dot_general rejects mixed input dtypes — follow the KV dtype
+            # when the caller mixes (e.g. bf16 activations, f32 debug pool)
+            q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) * scale  # [G*TQ, TK] f32
 
         row_t = jax.lax.broadcasted_iota(jnp.int32, (g * tq, tk), 0) % tq
