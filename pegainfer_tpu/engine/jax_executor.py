@@ -111,6 +111,11 @@ class ModelRuntime:
     # prefill_chunk_wa_fn(params, state, cpend, tokens[Tc], start_pos,
     #     valid, page_table[P], slot) -> (state, cpend, last_logits[V])
     prefill_chunk_wa_fn: Optional[Callable] = None
+    # Same, plus a fourth result all_logits[Tc, V] f32 (chunk-local) —
+    # lets echo+logprobs requests ride the chunked path: the executor
+    # reduces each chunk's logits to per-prompt-token logprobs ON DEVICE,
+    # so decode stalls stay bounded by one chunk even for echo requests.
+    prefill_chunk_wa_all_fn: Optional[Callable] = None
     make_chunk_pend_fn: Optional[Callable] = None  # (n_pages) -> cpend
     flush_chunk_pend_fn: Optional[Callable] = None  # (state, cpend) -> state
     # True when prompt prefixes are reusable across requests
@@ -517,7 +522,8 @@ class JaxExecutor:
         return (
             self.rt.prefill_chunk_fn is not None
             and len(item.prompt_tokens) > self.prefill_chunk
-            and not (item.echo and item.logprobs > 0)
+            and not (item.echo and item.logprobs > 0
+                     and self.rt.prefill_chunk_wa_all_fn is None)
         )
 
     def prefill_stepper(self, item):
@@ -578,6 +584,14 @@ class JaxExecutor:
         # out-of-range slice start would CLAMP in XLA and silently write
         # the wrong pages) — compute per-chunk since tail chunks differ.
         use_wa = self.rt.prefill_chunk_wa_fn is not None
+        # echo+logprobs: use the all-logits chunk variant and reduce each
+        # chunk's [Tc, V] logits to prompt-token logprobs ON DEVICE (only
+        # [Tc] floats cross the link per chunk) — echo requests then ride
+        # the chunked path and never stall decodes beyond one chunk
+        want_all = (item.echo and item.logprobs > 0
+                    and self.rt.prefill_chunk_wa_all_fn is not None)
+        use_wa = use_wa or want_all
+        prompt_lps: list = []
         cpend = None
         table_cache = {}
         last_logits = None
@@ -610,18 +624,38 @@ class JaxExecutor:
                         )
                         st.prefix_snap = None
                 nP_in = cpend["rows"].shape[0]
-                key = ("chunk_wa", Tc, P, nP_in)
+                key = ("chunk_wa_all" if want_all else "chunk_wa",
+                       Tc, P, nP_in)
                 fn = self._jit_prefill.get(key)
                 if fn is None:
-                    fn = jax.jit(self.rt.prefill_chunk_wa_fn,
-                                 donate_argnums=(1, 2))
+                    base = (self.rt.prefill_chunk_wa_all_fn if want_all
+                            else self.rt.prefill_chunk_wa_fn)
+                    fn = jax.jit(base, donate_argnums=(1, 2))
                     self._jit_prefill[key] = fn
-                    log.info("compiling wa prefill chunk Tc=%d P=%d nP=%d",
-                             Tc, P, nP_in)
-                self.state, cpend, last_logits = fn(
-                    self.params, self.state, cpend, jnp.asarray(toks),
-                    jnp.int32(start), jnp.int32(len(part)), table_dev, slot,
-                )
+                    log.info("compiling wa prefill chunk Tc=%d P=%d nP=%d "
+                             "all=%s", Tc, P, nP_in, want_all)
+                if want_all:
+                    self.state, cpend, last_logits, chunk_logits = fn(
+                        self.params, self.state, cpend, jnp.asarray(toks),
+                        jnp.int32(start), jnp.int32(len(part)), table_dev,
+                        slot,
+                    )
+                    # logprob of prompt token p given tokens < p: chunk row
+                    # i predicts global position start+i+1. Full-Tc padded
+                    # targets keep the jitted reduction at one shape per
+                    # chunk bucket; the real rows are sliced host-side.
+                    tgt = np.zeros(Tc, dtype=np.int32)
+                    real = item.prompt_tokens[start + 1: min(end + 1, T)]
+                    tgt[: len(real)] = real
+                    lp_chunk = np.asarray(self._jit_token_logprob(
+                        chunk_logits, jnp.asarray(tgt)))
+                    prompt_lps.extend(float(x) for x in lp_chunk[: len(real)])
+                else:
+                    self.state, cpend, last_logits = fn(
+                        self.params, self.state, cpend, jnp.asarray(toks),
+                        jnp.int32(start), jnp.int32(len(part)), table_dev,
+                        slot,
+                    )
             else:
                 fn = self._prefill_chunk_jit(Tc, P)
                 self.state, last_logits = fn(
@@ -661,10 +695,17 @@ class JaxExecutor:
         logits_b = last_logits[None, :]
         host_toks, dev_toks = self._sample(logits_b, [item])
         lp = self._maybe_logprobs(logits_b, dev_toks, [item])[0]
+        prompt_logprobs = None
+        if want_all:
+            # first prompt token has no conditioning context
+            prompt_logprobs = [None] + [
+                TokenLogprob(logprob=x) for x in prompt_lps
+            ]
         return PrefillRequestResult(
             request_id=item.request_id,
             first_token=int(host_toks[0]),
             first_token_logprob=lp,
+            prompt_logprobs=prompt_logprobs,
         )
 
     def _prefill_chunked(self, item, st) -> PrefillRequestResult:
@@ -683,7 +724,8 @@ class JaxExecutor:
         if (
             self.rt.prefill_chunk_fn is not None
             and (T > self.prefill_chunk or getattr(st, "prefix_len", 0) > 0)
-            and not (item.echo and item.logprobs > 0)
+            and not (item.echo and item.logprobs > 0
+                     and self.rt.prefill_chunk_wa_all_fn is None)
         ):
             return self._prefill_chunked(item, st)
         Tp = bucket_pow2(-(-T // ps) * ps, ps * 4, 1 << 30)

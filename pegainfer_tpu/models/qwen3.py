@@ -438,6 +438,9 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
         ),
         prefill_chunk_wa_fn=lambda w, kv, cpend, t, sp, va, pt, slot:
             prefill_chunk_wa(cfg, w, kv, cpend, t, sp, va, pt, use_pallas=up),
+        prefill_chunk_wa_all_fn=lambda w, kv, cpend, t, sp, va, pt, slot:
+            prefill_chunk_wa(cfg, w, kv, cpend, t, sp, va, pt, use_pallas=up,
+                             return_all_logits=True),
         make_chunk_pend_fn=lambda nP: make_chunk_pend(cfg, nP, page_size, kv_dtype),
         flush_chunk_pend_fn=flush_chunk_pend,
         params=params,
@@ -583,7 +586,8 @@ def flush_chunk_pend(kv_pages, cpend):
 
 
 def prefill_chunk_wa(cfg: Qwen3Config, params, kv_pages, cpend, tokens,
-                     start_pos, valid, page_table, use_pallas: bool = False):
+                     start_pos, valid, page_table, use_pallas: bool = False,
+                     return_all_logits: bool = False):
     """WRITE-AHEAD prefill continuation: the pool is written exactly once,
     at the start (landing the PREVIOUS chunk via ``cpend``), and only read
     after — attention gathers the past from pages and splices the chunk's
@@ -651,6 +655,11 @@ def prefill_chunk_wa(cfg: Qwen3Config, params, kv_pages, cpend, tokens,
     )
     cpend = {"rows": rows, "pages": chunk_table}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if return_all_logits:
+        # echo+logprobs chunking: the executor reduces these to per-token
+        # logprobs on device, so only [Tc] floats ever cross the link
+        all_logits = _proj(params, "lm_head", x).astype(jnp.float32)
+        return kv_pages, cpend, all_logits[valid - 1], all_logits
     last = _proj(params, "lm_head", x[valid - 1][None, :])[0].astype(jnp.float32)
     return kv_pages, cpend, last
 

@@ -632,7 +632,8 @@ def flush_chunk_pend(state, cpend):
 
 def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
                      start_pos, valid, page_table, slot,
-                     gdn_chunk_size: int = 64, use_pallas: bool = False):
+                     gdn_chunk_size: int = 64, use_pallas: bool = False,
+                     return_all_logits: bool = False):
     """WRITE-AHEAD prefill continuation (see qwen3.prefill_chunk_wa): state
     written once at the start (landing the previous chunk's cpend), then
     only read; attention splices the chunk's in-flight k/v over the gathered
@@ -720,6 +721,9 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
     cpend = {"rows": rows, "pages": chunk_table, "rec": S_all,
              "conv": conv_all, "slot": slot}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if return_all_logits:
+        all_logits = _proj(params, "lm_head", x).astype(jnp.float32)
+        return state, cpend, all_logits[valid - 1], all_logits
     last = _proj(params, "lm_head", x[valid - 1][None, :])[0].astype(jnp.float32)
     return state, cpend, last
 
@@ -966,6 +970,9 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         prefill_chunk_wa_fn=lambda w, s, cpend, t, sp, va, pt, slot:
             prefill_chunk_wa(cfg, w, s, cpend, t, sp, va, pt, slot,
                              use_pallas=up),
+        prefill_chunk_wa_all_fn=lambda w, s, cpend, t, sp, va, pt, slot:
+            prefill_chunk_wa(cfg, w, s, cpend, t, sp, va, pt, slot,
+                             use_pallas=up, return_all_logits=True),
         make_chunk_pend_fn=lambda nP: make_chunk_pend(cfg, nP, page_size,
                                                       max_slots, kv_dtype),
         flush_chunk_pend_fn=flush_chunk_pend,

@@ -188,3 +188,47 @@ def test_adaptive_chunking_under_decode_load():
     # tiny scale) -> 3 pieces, 2 interior yields
     assert y_mixed == 2
     assert tok_solo == tok_mixed
+
+
+def test_echo_logprobs_chunked_matches_whole():
+    """echo+logprobs rides the chunked path (prefill_chunk_wa_all_fn):
+    per-prompt-token logprobs from chunked prefill equal the whole-prompt
+    all-logits path."""
+    from pegainfer_tpu.engine.executor import PrefillPlan, PrefillStepItem
+
+    from pegainfer_tpu.engine.jax_executor import JaxExecutor as JE
+
+    cfg = q3.Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=True, eos_token_id=1, stop_token_ids=(1,),
+        max_position_embeddings=1024,
+    )
+    params = q3.init_random_params(cfg, seed=3, dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(2, 127, 53).tolist()
+
+    def echo_prefill(chunk):
+        runtime = q3.make_runtime(cfg, params, num_pages=128, page_size=4,
+                                  kv_dtype=jnp.float32)
+        ex = JE(runtime, EngineLoadOptions(prefill_chunk=chunk,
+                                           enable_prefix_cache=False))
+        item = PrefillStepItem(request_id=1, prompt_tokens=list(prompt),
+                               params=SamplingParams(ignore_eos=True),
+                               logprobs=2, echo=True)
+        res = ex.execute_prefill(PrefillPlan(requests=[item], echo=True))
+        return res.requests[0]
+
+    whole = echo_prefill(chunk=4096)
+    chunked = echo_prefill(chunk=16)  # forces 16-token chunks
+    assert whole.prompt_logprobs is not None
+    assert chunked.prompt_logprobs is not None
+    assert whole.prompt_logprobs[0] is None and chunked.prompt_logprobs[0] is None
+    assert len(chunked.prompt_logprobs) == len(whole.prompt_logprobs) == len(prompt)
+    got = [t.logprob for t in chunked.prompt_logprobs[1:]]
+    ref = [t.logprob for t in whole.prompt_logprobs[1:]]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    assert chunked.first_token == whole.first_token
+    assert chunked.first_token_logprob.logprob == pytest.approx(
+        whole.first_token_logprob.logprob, rel=1e-4)
