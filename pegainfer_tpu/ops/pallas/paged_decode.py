@@ -32,10 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 # pages per double-buffered DMA chunk (tuning knob; larger chunks amortize
-# per-chunk control overhead at long context — measured on-chip: 32 beats
-# 8/16 at 8k-16k ctx with page_size 64, scripts/decode_context_sweep.py +
-# scripts/paged_decode_probe.py; VMEM cost = 2 x cp x 2*ps x hd x dtype)
-DEFAULT_CHUNK_PAGES = int(os.environ.get("PEGAINFER_CHUNK_PAGES", "32"))
+# per-chunk control overhead at long context — measured on-chip at ps=64:
+# 16k-ctx step 18.4 ms at cp=16 vs 18.1 at cp=32 vs 20.1 at cp=8
+# (scripts/decode_context_sweep.py + scripts/paged_decode_probe.py).
+# Default 16: within 1.6% of cp=32 at 16k while halving the masked-tail
+# compute a too-wide last chunk pays at SHORT context (the last chunk
+# always computes cp*ps positions; only `past` of them are live).
+# VMEM cost = 2 x cp x 2*ps x hd x dtype.
+DEFAULT_CHUNK_PAGES = int(os.environ.get("PEGAINFER_CHUNK_PAGES", "16"))
 
 
 def _kernel(
