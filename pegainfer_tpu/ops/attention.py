@@ -4,7 +4,10 @@ Device KV layout (per layer): ``k_pages, v_pages: [num_kv_heads, num_pages,
 page_size, head_dim]`` — *head-major*, so (a) one TP shard owns whole kv
 heads and pages stay contiguous per shard, and (b) the Pallas decode kernel's
 per-(request, head) page DMAs are contiguous ``[page_size, head_dim]``
-blocks. Page id 0 is the null page (padding rows write there). A request's
+blocks. The engines' FULL pool form is additionally *k/v-adjacent*:
+``[L, Hkv, pages, 2, page_size, head_dim]`` (qwen3.make_kv_pages), so one
+DMA fetches a page's k AND v. Page id 0 is the null page (padding rows
+write there). A request's
 pages are listed in its page table row; token ``t`` of a request lives at
 page ``table[t // page_size]``, slot ``t % page_size``.
 
