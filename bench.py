@@ -79,6 +79,25 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS", "") == "axon":
+        # fail FAST when the host-side axon relay is down — jax.devices()
+        # would otherwise hang forever (scripts/tpu_probe.py)
+        import socket
+
+        def _open(port):
+            s = socket.socket()
+            s.settimeout(2)
+            try:
+                s.connect(("127.0.0.1", port))
+                return True
+            except OSError:
+                return False
+            finally:
+                s.close()
+
+        if not any(_open(p) for p in (8083, 3333, 9966, 55664, 55666)):
+            note("TPU relay DOWN (no tunnel ports open) — cannot bench")
+            sys.exit(3)
 
     import numpy as np
 
