@@ -232,3 +232,59 @@ def test_echo_logprobs_chunked_matches_whole():
     assert chunked.first_token == whole.first_token
     assert chunked.first_token_logprob.logprob == pytest.approx(
         whole.first_token_logprob.logprob, rel=1e-4)
+
+
+def test_adaptive_piece_plan_fuzz():
+    """Randomized decode_active flips BETWEEN chunks + random prompt
+    lengths: every schedule must cover [start0, T) with page-aligned
+    interior ends and produce the same first token as the whole-prompt
+    path (plan_piece edge cases: fine-tail boundaries, mixed/small
+    buckets, flips mid-prompt)."""
+    from pegainfer_tpu.engine.executor import PrefillStepItem
+
+    cfg = q3.Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=True, eos_token_id=1, stop_token_ids=(1,),
+        max_position_embeddings=1024,
+    )
+    params = q3.init_random_params(cfg, seed=3, dtype=jnp.float32)
+    rng = np.random.default_rng(123)
+
+    def whole_first_token(prompt):
+        runtime = q3.make_runtime(cfg, params, num_pages=256, page_size=4,
+                                  kv_dtype=jnp.float32)
+        ex = JaxExecutor(runtime, EngineLoadOptions(
+            prefill_chunk=4096, enable_prefix_cache=False))
+        from pegainfer_tpu.engine.executor import PrefillPlan
+
+        item = PrefillStepItem(request_id=1, prompt_tokens=list(prompt),
+                               params=SamplingParams(ignore_eos=True))
+        return ex.execute_prefill(PrefillPlan(requests=[item])) \
+                 .requests[0].first_token
+
+    for trial in range(4):
+        T = int(rng.integers(40, 200))
+        prompt = rng.integers(2, 127, T).tolist()
+        want = whole_first_token(prompt)
+        runtime = q3.make_runtime(cfg, params, num_pages=256, page_size=4,
+                                  kv_dtype=jnp.float32)
+        ex = JaxExecutor(runtime, EngineLoadOptions(
+            prefill_chunk=32, prefill_chunk_mixed=16,
+            enable_prefix_cache=False))
+        item = PrefillStepItem(request_id=1, prompt_tokens=list(prompt),
+                               params=SamplingParams(ignore_eos=True))
+        gen_ = ex.prefill_stepper(item)
+        ends = []
+        while True:
+            ex.decode_active = bool(rng.integers(0, 2))
+            try:
+                ends.append(next(gen_))
+            except StopIteration as s:
+                got = s.value.first_token
+                break
+        # interior ends strictly increasing, page-aligned, < T
+        assert all(e % 4 == 0 and e < T for e in ends), (T, ends)
+        assert ends == sorted(set(ends)), (T, ends)
+        assert got == want, (T, ends)
