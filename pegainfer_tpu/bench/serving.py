@@ -356,6 +356,20 @@ def main(argv=None):
     cur.add_argument("--out", default=None)
     cur.add_argument("--max-num-pages", type=int, default=None)
 
+    req = sub.add_parser(
+        "request", help="one ad-hoc case: TTFT/TPOT for a single "
+                        "prompt-len/output-len (reference: bench_serving "
+                        "request)")
+    req.add_argument("--model-path")
+    req.add_argument("--sim", action="store_true")
+    req.add_argument("--random-qwen35-4b", action="store_true")
+    req.add_argument("--random-qwen3-8b", action="store_true")
+    req.add_argument("--random-qwen3-4b", action="store_true")
+    req.add_argument("--prompt-len", type=int, default=512)
+    req.add_argument("--output-len", type=int, default=64)
+    req.add_argument("--iters", type=int, default=3)
+    req.add_argument("--max-num-pages", type=int, default=None)
+
     mat = sub.add_parser("matrix", help="sweep a (prompt x output) grid")
     mat.add_argument("--model-path")
     mat.add_argument("--sim", action="store_true")
@@ -369,6 +383,14 @@ def main(argv=None):
     mat.add_argument("--max-num-pages", type=int, default=None)
 
     args = p.parse_args(argv)
+    if args.cmd == "request":
+        engine, vocab, model = _build_engine(args)
+        case = CaseConfig("request", args.prompt_len, args.output_len,
+                          iters=args.iters, warmup=1)
+        data = run_case(engine, case, vocab)
+        engine.shutdown()
+        print(json.dumps({"model": model, **data}, indent=2))
+        return 0
     if args.cmd == "curve":
         engine, vocab, model = _build_engine(args)
         rows = [
