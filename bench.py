@@ -81,23 +81,25 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     elif os.environ.get("JAX_PLATFORMS", "") == "axon":
         # fail FAST when the host-side axon relay is down — jax.devices()
-        # would otherwise hang forever (scripts/tpu_probe.py)
-        import socket
+        # would otherwise hang forever (utils/tpu_health, scripts/tpu_probe)
+        from pegainfer_tpu.utils.tpu_health import relay_up
 
-        def _open(port):
-            s = socket.socket()
-            s.settimeout(2)
-            try:
-                s.connect(("127.0.0.1", port))
-                return True
-            except OSError:
-                return False
-            finally:
-                s.close()
-
-        if not any(_open(p) for p in (8083, 3333, 9966, 55664, 55666)):
+        if not relay_up():
             note("TPU relay DOWN (no tunnel ports open) — cannot bench")
             sys.exit(3)
+        # ports open but claim leg wedged: bound backend init too
+        import signal
+
+        def _init_timeout(signum, frame):
+            note("TPU backend init wedged (>180s) — cannot bench")
+            sys.exit(3)
+
+        signal.signal(signal.SIGALRM, _init_timeout)
+        signal.alarm(180)
+        import jax
+
+        jax.devices()
+        signal.alarm(0)
 
     import numpy as np
 

@@ -643,13 +643,17 @@ class JaxExecutor:
                     # logprob of prompt token p given tokens < p: chunk row
                     # i predicts global position start+i+1. Full-Tc padded
                     # targets keep the jitted reduction at one shape per
-                    # chunk bucket; the real rows are sliced host-side.
+                    # chunk bucket. Keep the [Tc] results ON DEVICE here —
+                    # materializing inside the loop would add a host sync
+                    # per chunk and defeat the stepper's dispatch overlap;
+                    # everything is gathered once after the loop.
                     tgt = np.zeros(Tc, dtype=np.int32)
                     real = item.prompt_tokens[start + 1: min(end + 1, T)]
                     tgt[: len(real)] = real
-                    lp_chunk = np.asarray(self._jit_token_logprob(
-                        chunk_logits, jnp.asarray(tgt)))
-                    prompt_lps.extend(float(x) for x in lp_chunk[: len(real)])
+                    prompt_lps.append(
+                        (len(real),
+                         self._jit_token_logprob(chunk_logits,
+                                                 jnp.asarray(tgt))))
                 else:
                     self.state, cpend, last_logits = fn(
                         self.params, self.state, cpend, jnp.asarray(toks),
@@ -698,9 +702,12 @@ class JaxExecutor:
         prompt_logprobs = None
         if want_all:
             # first prompt token has no conditioning context
-            prompt_logprobs = [None] + [
-                TokenLogprob(logprob=x) for x in prompt_lps
-            ]
+            prompt_logprobs = [None]
+            for n_real, lp_dev in prompt_lps:
+                lp_host = np.asarray(lp_dev)
+                prompt_logprobs.extend(
+                    TokenLogprob(logprob=float(x)) for x in lp_host[:n_real]
+                )
         return PrefillRequestResult(
             request_id=item.request_id,
             first_token=int(host_toks[0]),

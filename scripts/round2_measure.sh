@@ -14,10 +14,13 @@ run() { # name, cmd...
   local name=$1; shift
   echo "=== $name ==="
   probe
+  # the probe itself claimed the chip — respect the single-client cooldown
+  # (~75-90 s; starting sooner wedges the next client silently)
+  sleep 95
   "$@" > "/tmp/r2m/$name.log" 2>&1
   echo "--- $name exit=$? tail:"
   tail -5 "/tmp/r2m/$name.log"
-  sleep 60
+  sleep 95
 }
 
 # 1. headline bf16 decode TPOT (the BENCH_r02 metric)

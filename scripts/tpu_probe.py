@@ -8,27 +8,17 @@ open, with a hard alarm. Exit 0 = chip reachable and a tiny op ran.
 Use before launching any long TPU run: ``python scripts/tpu_probe.py``.
 """
 
+import pathlib
 import signal
-import socket
 import sys
 
-PORTS = (8083, 3333, 9966, 55664, 55666)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-
-def port_open(port: int) -> bool:
-    s = socket.socket()
-    s.settimeout(2)
-    try:
-        s.connect(("127.0.0.1", port))
-        return True
-    except OSError:
-        return False
-    finally:
-        s.close()
+from pegainfer_tpu.utils.tpu_health import RELAY_PORTS, port_open  # noqa: E402
 
 
 def main() -> int:
-    open_ports = [p for p in PORTS if port_open(p)]
+    open_ports = [p for p in RELAY_PORTS if port_open(p)]
     if not open_ports:
         print("tpu_probe: relay DOWN (no ports open) — infra outage, "
               "nothing in-container can restart it", flush=True)
