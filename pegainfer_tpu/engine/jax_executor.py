@@ -146,6 +146,12 @@ class ModelRuntime:
     import_pages_fn: Optional[Callable] = None
     slot_export_fn: Optional[Callable] = None
     slot_import_fn: Optional[Callable] = None
+    # Slot prefix cache (page-less models — DSv4): resume a prompt from an
+    # imported slot snapshot by scanning the suffix through the decode
+    # recurrence (dsv4.prefill_resume_grouped). Requires slot_export/import.
+    # prefill_resume_fn(params, state, tokens[Sc], start_pos, valid, slot)
+    #     -> (state, last_logits[V] f32)
+    prefill_resume_fn: Optional[Callable] = None
 
 
 @dataclass
@@ -198,6 +204,21 @@ class JaxExecutor:
         else:
             self.acct = kvmod.make_accounting(runtime.num_pages, runtime.page_size)
             self.prefix_cache = None
+        # Page-less models (DSv4) cache whole-slot state snapshots instead
+        # of pages; mutually exclusive with the page cache.
+        use_slot_cache = (
+            opts.enable_prefix_cache
+            and not use_prefix_cache
+            and runtime.prefill_resume_fn is not None
+            and runtime.slot_export_fn is not None
+            and runtime.slot_import_fn is not None
+        )
+        self.slot_prefix_cache = (
+            kvmod.SlotPrefixCache() if use_slot_cache else None
+        )
+        self._jit_slot_export = None
+        self._jit_slot_import = None
+        self._jit_resume: Dict[int, Callable] = {}
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
         self.decode_block = max(1, opts.decode_block)
         # chunk sizes must be page-size multiples (prefill_chunk_wa reshapes
@@ -518,6 +539,69 @@ class JaxExecutor:
             st.pages = list(pages)
             st.prefix_len = n_tok
 
+    def _slot_cache_insert(self, item, slot: int, logits=None) -> None:
+        """Export ``slot``'s state rows and cache them keyed by the full
+        prompt (kv.SlotPrefixCache). One device gather per prefill;
+        LRU-capped by entry count."""
+        if self._jit_slot_export is None:
+            self._jit_slot_export = jax.jit(self.rt.slot_export_fn)
+        snap = self._jit_slot_export(self.state, jnp.int32(slot))
+        self.slot_prefix_cache.insert(item.prompt_tokens, snap, logits)
+
+    def _maybe_prefill_resume(self, item, st):
+        """Serve a prompt from the slot prefix cache: import the longest
+        cached snapshot into the request's slot and scan the remaining
+        suffix through the decode recurrence (rt.prefill_resume_fn). An
+        identical prompt with stored logits skips the forward entirely.
+        Returns PrefillRequestResult, or None when there is no usable hit
+        (caller prefills from scratch)."""
+        T = len(item.prompt_tokens)
+        hit = self.slot_prefix_cache.match(item.prompt_tokens)
+        if hit is None:
+            return None
+        pos, snap, logits = hit
+        suffix = T - pos
+        # The resume scan runs at decode rate — far slower per token than a
+        # bulk MXU prefill — so it only pays for a SHORT suffix on a long
+        # cached prefix (shared-system-prompt shape). Past the threshold a
+        # fresh prefill is faster.
+        if suffix > max(32, T // 16):
+            return None
+        st.ensure_capacity(self.acct.pool, T)
+        slot = self._slot(item.request_id)
+        if self._jit_slot_import is None:
+            self._jit_slot_import = jax.jit(
+                self.rt.slot_import_fn, donate_argnums=0
+            )
+        self.state = self._jit_slot_import(self.state, snap, jnp.int32(slot))
+        if suffix == 0:
+            last = logits
+        else:
+            Sc = bucket_pow2(suffix, 8, 1 << 30)
+            fn = self._jit_resume.get(Sc)
+            if fn is None:
+                fn = jax.jit(self.rt.prefill_resume_fn, donate_argnums=1)
+                self._jit_resume[Sc] = fn
+                log.info("compiling slot-cache resume Sc=%d", Sc)
+            toks = np.zeros(Sc, dtype=np.int32)
+            toks[:suffix] = item.prompt_tokens[pos:]
+            self.state, last = fn(
+                self.params, self.state, jnp.asarray(toks), jnp.int32(pos),
+                jnp.int32(suffix), jnp.int32(slot),
+            )
+        st.advance(T)
+        if suffix:
+            # the extended prompt is itself a likely future prefix
+            self._slot_cache_insert(item, slot, last)
+        logits_b = last[None, :]
+        host_toks, dev_toks = self._sample(logits_b, [item])
+        lp = self._maybe_logprobs(logits_b, dev_toks, [item])[0]
+        return PrefillRequestResult(
+            request_id=item.request_id,
+            first_token=int(host_toks[0]),
+            first_token_logprob=lp,
+        )
+
     def supports_chunked_prefill(self, item) -> bool:
         return (
             self.rt.prefill_chunk_fn is not None
@@ -727,6 +811,14 @@ class JaxExecutor:
         ps = self.rt.page_size
         T = len(item.prompt_tokens)
         st = self.acct.state(item.request_id)
+        if (
+            self.slot_prefix_cache is not None
+            and st.length == 0
+            and not (item.echo and item.logprobs > 0)
+        ):
+            res = self._maybe_prefill_resume(item, st)
+            if res is not None:
+                return res
         self._maybe_seed_prefix(item, st)  # cache hits route via the stepper
         if (
             self.rt.prefill_chunk_fn is not None
@@ -766,6 +858,9 @@ class JaxExecutor:
             st.advance(T)
             if self.prefix_cache is not None:
                 self.prefix_cache.insert(item.prompt_tokens, st.pages[: T // ps])
+            if self.slot_prefix_cache is not None:
+                # fused prefill+sample keeps no logits — extension-only entry
+                self._slot_cache_insert(item, slot)
             return PrefillRequestResult(
                 request_id=item.request_id, first_token=int(np.asarray(tok_dev))
             )
@@ -777,6 +872,8 @@ class JaxExecutor:
         st.advance(T)
         if self.prefix_cache is not None:
             self.prefix_cache.insert(item.prompt_tokens, st.pages[: T // ps])
+        if self.slot_prefix_cache is not None:
+            self._slot_cache_insert(item, slot, last_logits)
 
         logits_b = last_logits[None, :]
         host_toks, dev_toks = self._sample(logits_b, [item])

@@ -325,6 +325,70 @@ class PrefixCache:
         self._evict(len(self._pages))
 
 
+class SlotPrefixCache:
+    """Prefix cache for PAGE-LESS models (DSv4: fixed per-slot window ring
+    + compressed rows, no paged KV — dsv4_engine degenerates page_size=1).
+
+    A cached entry is the FULL prompt's token tuple plus the slot-state
+    snapshot taken after prefilling exactly those tokens (dsv4.slot_export
+    — the same payload PD handoff ships), optionally with the prompt-end
+    logits. A later prompt extending a cached one imports the snapshot and
+    runs only the suffix through the scanned decode recurrence
+    (dsv4.prefill_resume_grouped); an IDENTICAL prompt with stored logits
+    skips the forward entirely. Reference analog: design-doc-only
+    (docs/models/deepseek-v4/prefix-paged-kv-pd-handoff.md).
+
+    Snapshots are whole-slot state rows (MBs of HBM each at real scale),
+    so the cache is LRU-capped by entry count, not bytes.
+    """
+
+    def __init__(self, max_entries: int = 4) -> None:
+        # key: prompt token tuple -> (snap pytree, logits [V] f32 | None);
+        # dict insertion order = LRU order (refreshed on hit)
+        self._entries: Dict[tuple, tuple] = {}
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def match(self, tokens: Sequence[int]) -> Optional[tuple]:
+        """Longest cached prompt that is a prefix of ``tokens``. Returns
+        (pos, snap, logits) — ``pos == len(tokens)`` only when the entry
+        stored logits (there is no forward left to produce them). None on
+        miss."""
+        t = tuple(tokens)
+        best = None
+        for key, (snap, logits) in self._entries.items():
+            n = len(key)
+            if n > len(t) or (n == len(t) and logits is None):
+                continue
+            if best is not None and n <= best[0]:
+                continue
+            if t[:n] == key:
+                best = (n, key, snap, logits)
+        if best is None:
+            self.misses += 1
+            return None
+        n, key, snap, logits = best
+        entry = self._entries.pop(key)
+        self._entries[key] = entry  # refresh LRU order
+        self.hits += 1
+        return n, snap, logits
+
+    def insert(self, tokens: Sequence[int], snap, logits=None) -> None:
+        key = tuple(tokens)
+        if not key:
+            return
+        old = self._entries.pop(key, None)
+        if old is not None and logits is None:
+            logits = old[1]  # keep better information on re-insert
+        self._entries[key] = (snap, logits)
+        while len(self._entries) > self.max_entries:
+            self._entries.pop(next(iter(self._entries)))
+
+    def clear(self) -> None:
+        self._entries.clear()
+
+
 # ── Native backend ───────────────────────────────────────────────────────
 
 

@@ -921,6 +921,44 @@ def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
     return logits, {"segments": new_segs}
 
 
+def prefill_resume_grouped(cfg: DSv4Config, gparams, gstate, tokens,
+                           start_pos, valid, slot, dead_slot: int):
+    """Continue a prompt from a cached prefix snapshot (slot prefix cache,
+    docs/prefix-cache-design.md): feed ``tokens`` [Sc] (right-padded,
+    ``valid`` real) one at a time through the decode recurrence for
+    ``slot``, starting at absolute position ``start_pos``. DSv4 state is
+    position-dependent (window ring + running compressor stats), so a
+    suffix continuation is exactly a sequence of decode steps — proven
+    token-exact by the PD-handoff path (tests/test_pd_handoff.py).
+
+    Padding steps (i >= valid) route their writes to ``dead_slot`` (the
+    state's extra row, make_state) so the live slot is untouched. One
+    lax.scan = one dispatch for the whole suffix (the per-step host
+    dispatch overhead would otherwise dominate short suffixes).
+
+    Returns (gstate, last_valid_logits [V] f32).
+    """
+    Sc = tokens.shape[0]
+    start_pos = jnp.asarray(start_pos, jnp.int32)
+    valid = jnp.asarray(valid, jnp.int32)
+    slot = jnp.asarray(slot, jnp.int32)
+
+    def body(carry, i):
+        gs, last = carry
+        live = i < valid
+        s = jnp.where(live, slot, jnp.int32(dead_slot))[None]
+        pos = (start_pos + i)[None]
+        gs, logits = decode_grouped(cfg, gparams, gs, tokens[i][None], pos, s)
+        last = jnp.where(live, logits[0], last)
+        return (gs, last), None
+
+    init_last = jnp.zeros((cfg.vocab_size,), jnp.float32)
+    (gstate, last), _ = jax.lax.scan(
+        body, (gstate, init_last), jnp.arange(Sc, dtype=jnp.int32)
+    )
+    return gstate, last
+
+
 def decode_grouped(cfg: DSv4Config, gparams, gstate, tokens, positions, slots):
     """decode() over segment-scanned layers — identical math, one traced
     layer body per segment instead of per layer."""

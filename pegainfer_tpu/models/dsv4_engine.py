@@ -69,6 +69,14 @@ def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
     def decode_fn(params_, state_, tokens, positions, tables, seq_lens, slots):
         return dsv4.decode_grouped(cfg, params_, state_, tokens, positions, slots)
 
+    def prefill_resume_fn(params_, state_, tokens, start_pos, valid, slot):
+        # slot prefix cache: suffix continuation through the decode
+        # recurrence; dead slot = row max_slots (dsv4.make_state)
+        return dsv4.prefill_resume_grouped(
+            cfg, params_, state_, tokens, start_pos, valid, slot,
+            dead_slot=max_slots,
+        )
+
     return ModelRuntime(
         prefill_fn=prefill_fn,
         prefill_all_logits_fn=prefill_all_fn,
@@ -82,9 +90,11 @@ def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
         vocab_size=cfg.vocab_size,
         max_slots=max_slots,
         # PD handoff (engine/pd.py): DSv4 has no pages — the slot rows are
-        # the whole payload
+        # the whole payload. The same export/import powers the slot prefix
+        # cache (kv.SlotPrefixCache + prefill_resume_fn).
         slot_export_fn=dsv4.slot_export,
         slot_import_fn=dsv4.slot_import,
+        prefill_resume_fn=prefill_resume_fn,
     )
 
 

@@ -187,12 +187,12 @@ def _make_dsv4():
     params = dsv4.init_random_params(cfg, seed=11, dtype=jnp.float32,
                                      scale=0.08)
 
-    def make():
+    def make(enable_prefix_cache=False):
         runtime = dsv4_engine.make_runtime(cfg, params, max_model_len=64,
                                            max_slots=2,
                                            state_dtype=jnp.float32)
         return JaxExecutor(runtime, EngineLoadOptions(
-            enable_prefix_cache=False))
+            enable_prefix_cache=enable_prefix_cache))
 
     return make
 

@@ -488,3 +488,118 @@ def test_differential_random_stream_cache_vs_nocache():
         return outs
 
     assert run(True) == run(False)
+
+
+# ── DSv4 slot prefix cache (page-less models) ────────────────────────────
+# DSv4 has no paged KV: a cached prefix is a whole-slot state snapshot
+# (kv.SlotPrefixCache) and a hit resumes the suffix through the scanned
+# decode recurrence (dsv4.prefill_resume_grouped). See
+# docs/prefix-cache-design.md.
+
+
+def test_slot_prefix_cache_match_insert_evict():
+    from pegainfer_tpu.engine.kv import SlotPrefixCache
+
+    c = SlotPrefixCache(max_entries=2)
+    assert c.match([1, 2, 3]) is None
+    c.insert([1, 2], snap="s12", logits=None)
+    # extension hit
+    pos, snap, logits = c.match([1, 2, 9])
+    assert (pos, snap, logits) == (2, "s12", None)
+    # identical prompt without logits is unusable (no forward left)
+    assert c.match([1, 2]) is None
+    # logits upgrade on re-insert keeps the entry usable for exact hits
+    c.insert([1, 2], snap="s12b", logits="L")
+    assert c.match([1, 2]) == (2, "s12b", "L")
+    # longest prefix wins
+    c.insert([1, 2, 9], snap="s129", logits=None)
+    assert c.match([1, 2, 9, 4])[0] == 3
+    # LRU eviction at cap (cap 2: [1,2,9] was refreshed by the match above,
+    # so the stale [1,2] entry is the one dropped)
+    c.insert([7, 7, 7], snap="s777", logits=None)
+    assert c.match([1, 2]) is None  # evicted (oldest)
+    assert c.match([1, 2, 9, 4])[0] == 3
+    assert c.match([7, 7, 7, 1])[0] == 3
+
+
+def _dsv4_prefill(ex, rid, prompt):
+    from pegainfer_tpu.engine.executor import PrefillPlan
+    from pegainfer_tpu.engine.executor import PrefillStepItem
+
+    item = PrefillStepItem(request_id=rid, prompt_tokens=list(prompt),
+                           params=SamplingParams(ignore_eos=True))
+    return ex.execute_prefill(PrefillPlan(requests=[item])).requests[0]
+
+
+def test_dsv4_slot_prefix_token_parity():
+    """A prompt extending a cached one resumes from the snapshot and
+    produces the exact cold-path token stream."""
+    from tests.test_pd_handoff import _make_dsv4, decode_n
+
+    make = _make_dsv4()
+    rng = np.random.default_rng(9)
+    base = rng.integers(2, 127, 24).tolist()
+    full = base + rng.integers(2, 127, 4).tolist()
+
+    cold = make(enable_prefix_cache=False)
+    r = _dsv4_prefill(cold, 1, full)
+    want = decode_n(cold, 1, r.first_token, 6)
+
+    warm = make(enable_prefix_cache=True)
+    assert warm.slot_prefix_cache is not None
+    _dsv4_prefill(warm, 1, base)  # populates the cache
+    warm.release_request(1)
+    r2 = _dsv4_prefill(warm, 2, full)
+    assert warm.slot_prefix_cache.hits == 1  # served via resume
+    got = decode_n(warm, 2, r2.first_token, 6)
+    assert got == want
+
+
+def test_dsv4_identical_prompt_skips_forward():
+    """An exact repeat of a cached prompt reuses the stored prompt-end
+    logits (no forward at all) and still decodes identically."""
+    from tests.test_pd_handoff import _make_dsv4, decode_n
+
+    make = _make_dsv4()
+    rng = np.random.default_rng(10)
+    prompt = rng.integers(2, 127, 20).tolist()
+
+    ex = make(enable_prefix_cache=True)
+    # logprobs>0 routes through the logits (non-fused) prefill path, which
+    # stores the prompt-end logits alongside the snapshot
+    from pegainfer_tpu.engine.executor import PrefillPlan
+    from pegainfer_tpu.engine.executor import PrefillStepItem
+
+    item = PrefillStepItem(request_id=1, prompt_tokens=list(prompt),
+                           params=SamplingParams(ignore_eos=True), logprobs=1)
+    r1 = ex.execute_prefill(PrefillPlan(requests=[item])).requests[0]
+    want = decode_n(ex, 1, r1.first_token, 5)
+    ex.release_request(1)
+
+    r2 = _dsv4_prefill(ex, 2, prompt)
+    assert ex.slot_prefix_cache.hits == 1
+    got = decode_n(ex, 2, r2.first_token, 5)
+    assert got == want
+
+
+def test_dsv4_long_suffix_falls_back_to_prefill():
+    """A suffix past the resume threshold is NOT served at decode rate —
+    the request prefills from scratch (and re-caches its own prompt)."""
+    from tests.test_pd_handoff import _make_dsv4
+
+    make = _make_dsv4()
+    rng = np.random.default_rng(11)
+    base = rng.integers(2, 127, 8).tolist()
+    # suffix 40 > max(32, 48 // 16) — beyond the resume threshold
+    full = base + rng.integers(2, 127, 40).tolist()
+
+    ex = make(enable_prefix_cache=True)
+    _dsv4_prefill(ex, 1, base)
+    ex.release_request(1)
+    r = _dsv4_prefill(ex, 2, full)
+    assert ex.slot_prefix_cache.hits == 1  # matched ...
+    assert r.first_token is not None  # ... but served by the normal path
+
+    cold = make(enable_prefix_cache=False)
+    r_cold = _dsv4_prefill(cold, 1, full)
+    assert r.first_token == r_cold.first_token
