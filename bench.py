@@ -70,6 +70,45 @@ def smoke_config():
     )
 
 
+def dsv4_smoke_config():
+    from pegainfer_tpu.models import dsv4
+
+    return dsv4.DSv4Config(
+        vocab_size=128, dim=32, moe_inter_dim=16, n_layers=3,
+        num_attention_heads=4, head_dim=16, q_lora_rank=16,
+        qk_rope_head_dim=8, o_groups=2, o_lora_rank=8,
+        sliding_window=8, n_routed_experts=8, n_shared_experts=1,
+        n_activated_experts=2, n_hash_layers=1,
+        routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=2, index_head_dim=8,
+        index_topk=4, max_position_embeddings=4096,
+        rope_theta=10000.0, compress_rope_theta=10000.0,
+        compress_ratios=(0, 8, 4), yarn_original_seq_len=256,
+        yarn_factor=4.0,
+    )
+
+
+def dsv4_scaled_config():
+    """Scaled DSv4 (full 671B needs an MP8 pod slice, not one chip):
+    functional on-TPU evidence for the sparse-attention / hyper-connection
+    / MoE decode path, NOT a parity-size perf number."""
+    from pegainfer_tpu.models import dsv4
+
+    return dsv4.DSv4Config(
+        vocab_size=32768, dim=2048, moe_inter_dim=1024, n_layers=12,
+        num_attention_heads=16, head_dim=128, q_lora_rank=512,
+        qk_rope_head_dim=64, o_groups=4, o_lora_rank=256,
+        sliding_window=512, n_routed_experts=32, n_shared_experts=1,
+        n_activated_experts=6, n_hash_layers=4,
+        routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=4, index_head_dim=128,
+        index_topk=64, max_position_embeddings=8192,
+        rope_theta=10000.0, compress_rope_theta=10000.0,
+        compress_ratios=(0, 8, 4) * 4, yarn_original_seq_len=4096,
+        yarn_factor=2.0,
+    )
+
+
 def main():
     smoke = os.environ.get("PEGAINFER_BENCH_SMOKE") == "1"
     prompt_len = 128 if smoke else 1024
@@ -151,40 +190,10 @@ def main():
         metric_base = "qwen35_4b"
         baseline = BASELINE_TPOT_MS_QWEN35
     elif model == "dsv4":
-        # Scaled DSv4 config (full 671B needs an MP8 pod slice, not one
-        # chip): functional on-TPU evidence for the sparse-attention /
-        # hyper-connection / MoE decode path, NOT a parity-size perf number.
         from pegainfer_tpu.models import dsv4
         from pegainfer_tpu.models.dsv4_engine import make_runtime as mk_dsv4
 
-        if smoke:
-            cfg = dsv4.DSv4Config(
-                vocab_size=128, dim=32, moe_inter_dim=16, n_layers=3,
-                num_attention_heads=4, head_dim=16, q_lora_rank=16,
-                qk_rope_head_dim=8, o_groups=2, o_lora_rank=8,
-                sliding_window=8, n_routed_experts=8, n_shared_experts=1,
-                n_activated_experts=2, n_hash_layers=1,
-                routed_scaling_factor=1.5, swiglu_limit=7.0,
-                rms_norm_eps=1e-6, index_n_heads=2, index_head_dim=8,
-                index_topk=4, max_position_embeddings=4096,
-                rope_theta=10000.0, compress_rope_theta=10000.0,
-                compress_ratios=(0, 8, 4), yarn_original_seq_len=256,
-                yarn_factor=4.0,
-            )
-        else:
-            cfg = dsv4.DSv4Config(
-                vocab_size=32768, dim=2048, moe_inter_dim=1024, n_layers=12,
-                num_attention_heads=16, head_dim=128, q_lora_rank=512,
-                qk_rope_head_dim=64, o_groups=4, o_lora_rank=256,
-                sliding_window=512, n_routed_experts=32, n_shared_experts=1,
-                n_activated_experts=6, n_hash_layers=4,
-                routed_scaling_factor=1.5, swiglu_limit=7.0,
-                rms_norm_eps=1e-6, index_n_heads=4, index_head_dim=128,
-                index_topk=64, max_position_embeddings=8192,
-                rope_theta=10000.0, compress_rope_theta=10000.0,
-                compress_ratios=(0, 8, 4) * 4, yarn_original_seq_len=4096,
-                yarn_factor=2.0,
-            )
+        cfg = dsv4_smoke_config() if smoke else dsv4_scaled_config()
         params = dsv4.init_random_params(cfg, seed=0)
         runtime = mk_dsv4(cfg, params, max_model_len=2048, max_slots=2)
         metric_base = "dsv4_scaled"
