@@ -152,6 +152,12 @@ class ModelRuntime:
     # prefill_resume_fn(params, state, tokens[Sc], start_pos, valid, slot)
     #     -> (state, last_logits[V] f32)
     prefill_resume_fn: Optional[Callable] = None
+    # Device bytes of ONE slot-cache snapshot (slot_export_fn payload).
+    # Engines fill this so the executor can budget the SlotPrefixCache cap
+    # against free HBM instead of holding unaccounted whole-slot rows
+    # (hundreds of MB each at DSv4 real scale) — the same invariant the
+    # hybrid page-pool sizing applies (qwen35_engine._compute_num_pages).
+    slot_snapshot_bytes: int = 0
 
 
 @dataclass
@@ -213,8 +219,10 @@ class JaxExecutor:
             and runtime.slot_export_fn is not None
             and runtime.slot_import_fn is not None
         )
+        slot_cache_cap = self._slot_cache_cap(runtime) if use_slot_cache else 0
         self.slot_prefix_cache = (
-            kvmod.SlotPrefixCache() if use_slot_cache else None
+            kvmod.SlotPrefixCache(max_entries=slot_cache_cap)
+            if slot_cache_cap > 0 else None
         )
         self._jit_slot_export = None
         self._jit_slot_import = None
@@ -262,6 +270,35 @@ class JaxExecutor:
         self._jit_top_logprobs = jax.jit(smp.top_logprobs, static_argnums=1)
 
     # ── scheduler-facing accounting ──────────────────────────────────
+
+    @staticmethod
+    def _slot_cache_cap(runtime: ModelRuntime,
+                        fraction: float = 0.2) -> int:
+        """Slot-snapshot cache cap, budgeted against free device HBM.
+
+        Snapshot entries are whole-slot state rows OUTSIDE the pool
+        arithmetic; without this cap a real-scale DSv4 (hundreds of MB per
+        snapshot) silently eats the HBM the step program needs. At most
+        ``fraction`` of the currently-free bytes may go to snapshots. Hosts
+        without memory_stats (CPU tests) keep the default cap."""
+        default = 4
+        per = runtime.slot_snapshot_bytes
+        if not per:
+            return default
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)() or {}
+        limit = stats.get("bytes_limit")
+        if not limit:
+            return default
+        free = max(0, limit - stats.get("bytes_in_use", 0))
+        cap = min(default, int(free * fraction) // per)
+        if cap < default:
+            log.warning(
+                "slot prefix cache capped at %d entries "
+                "(%.1f MB/snapshot, %.1f MB free)",
+                cap, per / 2**20, free / 2**20,
+            )
+        return cap
 
     def page_size(self) -> int:
         return self.rt.page_size

@@ -13,6 +13,8 @@ from __future__ import annotations
 import json
 import logging
 import os
+
+import jax
 from typing import Optional
 
 import jax.numpy as jnp
@@ -42,17 +44,33 @@ def max_blocks_for(cfg: dsv4.DSv4Config, max_model_len: int) -> int:
 
 
 def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
-                 max_slots: int = 2, state_dtype=jnp.bfloat16) -> ModelRuntime:
+                 max_slots: int = 2, state_dtype=jnp.bfloat16,
+                 mesh=None) -> ModelRuntime:
     """DSv4 runtime over the generic executor contract. Page args are
     ignored (no paged KV); slot args select the per-request caches.
 
     Layers run segment-scanned (dsv4.decode_grouped/prefill_grouped): one
     traced layer body per same-signature run instead of 43 unrolled layers.
+
+    ``params`` may be per-layer (grouped here) or already grouped —
+    the shard-wise loader (dsv4_weights.load_params_sharded) returns the
+    grouped layout directly so no leaf ever materializes unsharded. With
+    ``mesh``, the decode caches are placed replicated over it (MQA: every
+    shard holds the joint KV, like each reference rank does).
     """
-    gparams = dsv4.group_params(cfg, params)
+    gparams = (params if "segments" in params
+               else dsv4.group_params(cfg, params))
     gstate = dsv4.group_state(cfg, dsv4.make_state(
         cfg, max_slots, max_blocks_for(cfg, max_model_len), dtype=state_dtype
     ))
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from pegainfer_tpu.parallel.sharding import place_tree
+
+        gstate = place_tree(mesh, gstate, {"segments": [
+            {k: P() for k in seg} for seg in gstate["segments"]
+        ]})
 
     def prefill_fn(params_, state_, tokens, seq_len, page_table, slot):
         logits, state_ = dsv4.prefill_grouped(cfg, params_, tokens,
@@ -77,12 +95,21 @@ def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
             dead_slot=max_slots,
         )
 
+    # one slot-cache snapshot = one slot's rows across every grouped leaf
+    # (dsv4.slot_export slices axis 1 of [n_layers_seg, S, ...]) — the
+    # executor budgets the SlotPrefixCache cap against free HBM with this
+    snap_bytes = sum(
+        leaf.size // leaf.shape[1] * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(gstate)
+    )
+
     return ModelRuntime(
         prefill_fn=prefill_fn,
         prefill_all_logits_fn=prefill_all_fn,
         decode_fn=decode_fn,
         params=gparams,
         state=gstate,
+        slot_snapshot_bytes=snap_bytes,
         page_size=1,
         num_pages=max_model_len * max_slots + 2,
         stop_token_ids=frozenset({cfg.eos_token_id}),
@@ -98,37 +125,72 @@ def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
     )
 
 
+def resolve_tp_size(tp_size: Optional[int], n_devices: int) -> int:
+    """MP8 world sizing: honor an explicit --tp-size; default to the
+    largest divisor of 8 the host's devices allow (the reference is a
+    fixed world_size=8, deepseek-v4/src/config.rs:23-80 — sub-8 worlds
+    here fold 8/n checkpoint ranks per device)."""
+    if tp_size and tp_size > 0:
+        if tp_size not in (1, 2, 4, 8):
+            raise ValueError(f"DSv4 tp_size must divide mp8 world 8, got {tp_size}")
+        if tp_size > n_devices:
+            raise ValueError(f"tp_size={tp_size} but only {n_devices} devices")
+        return tp_size
+    for n in (8, 4, 2):
+        if n_devices >= n:
+            return n
+    return 1
+
+
 def start_engine(
     model_path: str,
     options: Optional[EngineLoadOptions] = None,
-    tp_size: int = 1,
+    tp_size: Optional[int] = None,
 ) -> EngineHandle:
     opts = options or EngineLoadOptions()
     cfg = dsv4.DSv4Config.from_model_path(model_path)
     log.info("loading DeepSeek-V4 (%d layers, dim %d)", cfg.n_layers, cfg.dim)
-    from pegainfer_tpu.models.dsv4_weights import load_params
 
     # quantize=None serves the checkpoint's own dtypes — FP8/FP4 resident in
     # HBM with on-the-fly dequant, like the reference (model.rs fp8_linear/
     # fp4_linear). quantize="bf16" dequantizes at load (numerics oracle).
     resident = opts.quantize != "bf16"
-    params = load_params(cfg, model_path, tp_size=tp_size, resident=resident)
-    log.info("DSv4 params HBM footprint: %.2f GiB (%s)",
-             dsv4.params_hbm_bytes(params) / 2**30,
+    tp = resolve_tp_size(tp_size, len(jax.devices()))
+    mesh = None
+    if tp > 1:
+        # MP8 GSPMD mesh (reference: 8 persistent rank workers,
+        # direct/worker.rs:38-110). Shard-wise load: each tensor is read
+        # per rank file and committed straight at its mesh position — a
+        # real 671B (~0.7 TB resident) loads at ≈ total/tp per device.
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from pegainfer_tpu.models.dsv4_weights import load_params_sharded
+
+        mesh = Mesh(np.asarray(jax.devices()[:tp]), ("tp",))
+        params = load_params_sharded(cfg, model_path, mesh,
+                                     resident=resident)
+    else:
+        from pegainfer_tpu.models.dsv4_weights import load_params
+
+        params = load_params(cfg, model_path, resident=resident)
+    log.info("DSv4 params HBM footprint: %.2f GiB total over %d devices (%s)",
+             dsv4.params_hbm_bytes(params) / 2**30, tp,
              "fp8/fp4 resident" if resident else "bf16")
     max_slots = min(opts.max_batch_size, 2)  # reference serves bs<=2
     runtime = make_runtime(
         cfg, params,
         max_model_len=opts.max_model_len or 4096,
         max_slots=max_slots,
+        mesh=mesh,
     )
-    maybe_enable_moe_ep(cfg, runtime)
+    maybe_enable_moe_ep(cfg, runtime, mesh=mesh)
     executor = JaxExecutor(runtime, opts)
     return start_scheduler(executor, seed=opts.seed)
 
 
 def maybe_enable_moe_ep(cfg: dsv4.DSv4Config, runtime: ModelRuntime,
-                        mode: Optional[str] = None) -> bool:
+                        mode: Optional[str] = None, mesh=None) -> bool:
     """Expert-parallel MoE behind a flag (reference: PEGAINFER_DSV4_PPLX
     env enabling the pplx-ep RDMA a2a path, direct/pplx_bootstrap.rs).
 
@@ -147,18 +209,22 @@ def maybe_enable_moe_ep(cfg: dsv4.DSv4Config, runtime: ModelRuntime,
 
     from pegainfer_tpu.parallel.sharding import shard_dsv4_grouped
 
-    devs = np.asarray(jax.devices())
-    if cfg.n_routed_experts % len(devs):
+    place = mesh is None  # engine-built mesh → params already shard-wise
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs, ("tp",))
+    n = mesh.shape["tp"]
+    if cfg.n_routed_experts % n:
         raise ValueError(
             f"PEGAINFER_DSV4_EP: {cfg.n_routed_experts} experts not "
-            f"divisible by {len(devs)} devices"
+            f"divisible by {n} devices"
         )
-    mesh = Mesh(devs, ("tp",))
     transport = "dense" if mode == "dense" else "ragged"
     dsv4.set_moe_ep(mesh, "tp", transport)
-    runtime.params, runtime.state = shard_dsv4_grouped(
-        mesh, runtime.params, runtime.state
-    )
+    if place:
+        runtime.params, runtime.state = shard_dsv4_grouped(
+            mesh, runtime.params, runtime.state
+        )
     log.info("DSv4 expert-parallel MoE on %d devices (%s transport)",
-             len(devs), transport)
+             n, transport)
     return True

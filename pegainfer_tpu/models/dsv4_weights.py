@@ -80,6 +80,14 @@ class SafetensorsReader:
     def keys(self):
         return self._header.keys()
 
+    def shape(self, name: str) -> tuple:
+        """Header-only shape lookup (no data read). Packed-F4 tensors
+        report their LOGICAL (unpacked) shape, matching __getitem__."""
+        return tuple(self._header[name]["shape"])
+
+    def stored_dtype(self, name: str) -> str:
+        return self._header[name]["dtype"]
+
     def __contains__(self, name: str) -> bool:
         return name in self._header
 
@@ -305,4 +313,303 @@ def load_params(cfg: DSv4Config, model_path: str, tp_size: int = 1,
         "hc_head_base": cast(rep("hc_head_base"), True),
         "hc_head_scale": cast(rep("hc_head_scale"), True),
         "layers": layers,
+    }
+
+
+def load_params_sharded(cfg: DSv4Config, model_path: str, mesh,
+                        axis: str = "tp", dtype=jnp.bfloat16,
+                        resident: bool = True,
+                        validate: bool = True) -> Dict[str, Any]:
+    """Shard-wise mp8 load: reads each mesh shard's rank files and places
+    the bytes directly at that shard's mesh position — **no leaf ever
+    materializes unsharded on one device**, so a real 671B checkpoint
+    (~0.7 TB quantized-resident) loads with per-device HBM ≈ total/8.
+
+    Returns params in the GROUPED serving layout (dsv4.group_params's
+    {"segments": [...]} form) because stacking per-layer sharded arrays on
+    device would double peak HBM; here each grouped leaf is assembled
+    host-side per shard (peak host = one shard of one grouped leaf) and
+    committed via jax.make_array_from_callback.
+
+    Reference analog: each mp8 rank loads its own file straight onto its
+    own GPU (deepseek-v4/src/weights.rs:17-100, direct/worker.rs:38-110).
+    Mesh sizes 1/2/4/8 are supported (a device holds 8/n contiguous ranks;
+    the shard axes are the reference's, parallel/sharding.py
+    DSV4_LAYER_SHARDED), so the same checkpoint serves any sub-MP8 world.
+    """
+    import jax
+    import ml_dtypes
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pegainfer_tpu.models.dsv4 import segments
+
+    if validate:
+        from pegainfer_tpu.models.dsv4_manifest import validate_checkpoint
+
+        problems = validate_checkpoint(cfg, model_path)
+        if problems:
+            head = "; ".join(problems[:5])
+            raise ValueError(
+                f"mp8 checkpoint fails manifest validation "
+                f"({len(problems)} problems): {head}"
+            )
+    n = mesh.shape[axis]
+    if WORLD % n:
+        raise ValueError(f"mesh {axis}={n} must divide mp8 world {WORLD}")
+    rpd = WORLD // n  # contiguous checkpoint ranks per mesh shard
+    ranks = [SafetensorsReader(p) for p in _rank_files(model_path)]
+    BF = ml_dtypes.bfloat16
+    SC = ml_dtypes.bfloat16  # quant.SCALE_DTYPE host-side (pow2-exact)
+
+    def build(spec_t, shape, cb, weak_cache: bool = True):
+        """Global array with PartitionSpec(*spec_t); cb(d) -> np shard for
+        tp-position d (the full array when the spec is replicated)."""
+        spec_t = tuple(spec_t)
+        sharding = NamedSharding(mesh, P(*spec_t))
+        dim = next((i for i, s in enumerate(spec_t) if s == axis), None)
+        cache: Dict[int, np.ndarray] = {}
+
+        def make(index):
+            d = 0
+            if dim is not None:
+                sl = index[dim]
+                d = (sl.start or 0) // (shape[dim] // n)
+            if d not in cache:
+                cache[d] = np.ascontiguousarray(cb(d))
+            return cache[d]
+
+        arr = jax.make_array_from_callback(tuple(shape), sharding, make)
+        cache.clear()
+        return arr
+
+    def drs(d):  # the readers whose ranks live on mesh shard d
+        return ranks[d * rpd:(d + 1) * rpd]
+
+    # ── top-level ────────────────────────────────────────────────────────
+    def cat_bf16(name, spec_t):
+        per = ranks[0].shape(name)
+        shape = (WORLD * per[0],) + per[1:]
+        return build(spec_t, shape,
+                     lambda d: np.concatenate(
+                         [np.asarray(r[name], np.float32) for r in drs(d)]
+                     ).astype(BF))
+
+    def rep_arr(name, np_dtype):
+        shape = ranks[0].shape(name)
+        return build((None,) * len(shape), shape,
+                     lambda d: np.asarray(ranks[0][name], np_dtype))
+
+    # ── per-layer piece functions (one layer, one shard) ─────────────────
+    def q4_packed_np(r, name) -> np.ndarray:
+        raw = r.read_f4_packed(name)
+        if raw is None:  # fixture E4M3 container → repack (exact)
+            raw = quant.pack_fp4(np.asarray(r[name], np.float32))
+        return raw
+
+    def fp8_deq_np(r, prefix) -> np.ndarray:
+        q = np.asarray(r[f"{prefix}.weight"], np.float32)
+        s = np.asarray(r[f"{prefix}.scale"], np.float32)
+        bo = q.shape[0] // s.shape[0]
+        bi = q.shape[1] // s.shape[1]
+        sfull = np.repeat(np.repeat(s, bo, axis=0), bi, axis=1)
+        return (q * sfull).astype(BF)
+
+    def check_grid_np(q_shape, s_shape, prefix):
+        for ax in (-2, -1):
+            assert s_shape[ax] == 1 or q_shape[ax] == 128 * s_shape[ax], \
+                (prefix, q_shape, s_shape)
+
+    def grouped(seg_layers, spec_t, per_shape, piece):
+        """Stack piece(li, d) over the segment's layers → grouped leaf."""
+        shape = (len(seg_layers),) + tuple(per_shape)
+        return build((None,) + tuple(spec_t), shape,
+                     lambda d: np.stack([piece(li, d) for li in seg_layers]))
+
+    def leaf_rep(seg_layers, name_fn, np_dtype):
+        per = ranks[0].shape(name_fn(seg_layers[0]))
+        return grouped(
+            seg_layers, (None,) * len(per), per,
+            lambda li, d: np.asarray(ranks[0][name_fn(li)], np_dtype),
+        )
+
+    def leaf_cat(seg_layers, name_fn, spec_t, np_dtype, cat_axis=0):
+        per = list(ranks[0].shape(name_fn(seg_layers[0])))
+        per[cat_axis] *= WORLD
+        return grouped(
+            seg_layers, spec_t, per,
+            lambda li, d: np.concatenate(
+                [np.asarray(r[name_fn(li)], np.float32) for r in drs(d)],
+                axis=cat_axis,
+            ).astype(np_dtype),
+        )
+
+    def leaf_fp8(seg_layers, prefix_fn, sharded: bool, cat_axis=0):
+        name0 = prefix_fn(seg_layers[0])
+        q_per = list(ranks[0].shape(f"{name0}.weight"))
+        s_per = list(ranks[0].shape(f"{name0}.scale"))
+        check_grid_np(q_per, s_per, name0)
+        if not sharded:
+            if resident:
+                return {
+                    "q": grouped(seg_layers, (None, None), q_per,
+                                 lambda li, d: np.asarray(
+                                     ranks[0][f"{prefix_fn(li)}.weight"])),
+                    "s": grouped(seg_layers, (None, None), s_per,
+                                 lambda li, d: np.asarray(
+                                     ranks[0][f"{prefix_fn(li)}.scale"],
+                                     np.float32).astype(SC)),
+                }
+            return grouped(seg_layers, (None, None), q_per,
+                           lambda li, d: fp8_deq_np(ranks[0], prefix_fn(li)))
+        spec_t = tuple(DSV4_LAYER_SHARDED_BY_AXIS[cat_axis])
+        qg = list(q_per)
+        qg[cat_axis] *= WORLD
+        if resident:
+            sg = list(s_per)
+            sg[cat_axis] *= WORLD
+            return {
+                "q": grouped(
+                    seg_layers, spec_t, qg,
+                    lambda li, d: np.concatenate(
+                        [np.asarray(r[f"{prefix_fn(li)}.weight"])
+                         for r in drs(d)], axis=cat_axis)),
+                # scale grid axes are replicated (parallel/sharding.py
+                # place_tree) — full 8-rank concat on every shard (≤1/64 of
+                # the weight bytes)
+                "s": grouped(
+                    seg_layers, (None, None), sg,
+                    lambda li, d: np.concatenate(
+                        [np.asarray(r[f"{prefix_fn(li)}.scale"], np.float32)
+                         for r in ranks], axis=cat_axis).astype(SC)),
+            }
+        return grouped(
+            seg_layers, spec_t, qg,
+            lambda li, d: np.concatenate(
+                [fp8_deq_np(r, prefix_fn(li)) for r in drs(d)],
+                axis=cat_axis))
+
+    def leaf_fp4_experts(seg_layers, pre_fn, name, E_loc):
+        """Expert stacks shard on the E axis (a device's experts = its
+        ranks' E_loc-each, contiguous)."""
+        name0 = f"{pre_fn(seg_layers[0])}.ffn.experts.0.{name}"
+        w_per = ranks[0].shape(f"{name0}.weight")  # logical [out, in]
+        out_d, in_d = w_per
+        E = WORLD * E_loc
+
+        def experts_of(d):
+            for rr in range(d * rpd, (d + 1) * rpd):
+                for le in range(E_loc):
+                    yield ranks[rr], rr * E_loc + le
+
+        if resident:
+            s_per = ranks[0].shape(f"{name0}.scale")
+
+            def q_piece(li, d):
+                return np.stack([
+                    q4_packed_np(r, f"{pre_fn(li)}.ffn.experts.{ge}.{name}.weight")
+                    for r, ge in experts_of(d)
+                ])
+
+            def s_piece(li, d):
+                return np.stack([
+                    np.asarray(
+                        r[f"{pre_fn(li)}.ffn.experts.{ge}.{name}.scale"],
+                        np.float32).astype(SC)
+                    for r, ge in experts_of(d)
+                ])
+
+            assert s_per[-1] == 1 or in_d == 32 * s_per[-1], (name0, s_per)
+            return {
+                "q": grouped(seg_layers, (axis, None, None),
+                             (E, out_d, in_d // 2), q_piece),
+                "s": grouped(seg_layers, (axis, None, None),
+                             (E,) + tuple(s_per), s_piece),
+            }
+
+        def deq_piece(li, d):
+            outs = []
+            for r, ge in experts_of(d):
+                q = np.asarray(
+                    r[f"{pre_fn(li)}.ffn.experts.{ge}.{name}.weight"],
+                    np.float32)
+                s = np.asarray(
+                    r[f"{pre_fn(li)}.ffn.experts.{ge}.{name}.scale"],
+                    np.float32)
+                g = q.shape[-1] // s.shape[-1]
+                outs.append((q * np.repeat(s, g, axis=-1)).astype(BF))
+            return np.stack(outs)
+
+        return grouped(seg_layers, (axis, None, None), (E, out_d, in_d),
+                       deq_piece)
+
+    # axis map for fp8 leaves sharded on output (0) vs input (1) dims
+    DSV4_LAYER_SHARDED_BY_AXIS = {0: (axis, None), 1: (None, axis)}
+
+    E_loc = cfg.n_routed_experts // WORLD
+    segs = []
+    for (a, b, ratio, is_hash) in segments(cfg):
+        L = list(range(a, b))
+        pre = lambda li: f"layers.{li}"  # noqa: E731
+        seg: Dict[str, Any] = {
+            "attn_norm": leaf_rep(L, lambda li: f"layers.{li}.attn_norm.weight", BF),
+            "ffn_norm": leaf_rep(L, lambda li: f"layers.{li}.ffn_norm.weight", BF),
+            "hc_attn_fn": leaf_rep(L, lambda li: f"layers.{li}.hc_attn_fn", np.float32),
+            "hc_attn_base": leaf_rep(L, lambda li: f"layers.{li}.hc_attn_base", np.float32),
+            "hc_attn_scale": leaf_rep(L, lambda li: f"layers.{li}.hc_attn_scale", np.float32),
+            "hc_ffn_fn": leaf_rep(L, lambda li: f"layers.{li}.hc_ffn_fn", np.float32),
+            "hc_ffn_base": leaf_rep(L, lambda li: f"layers.{li}.hc_ffn_base", np.float32),
+            "hc_ffn_scale": leaf_rep(L, lambda li: f"layers.{li}.hc_ffn_scale", np.float32),
+            "attn_sink": leaf_cat(L, lambda li: f"layers.{li}.attn.attn_sink",
+                                  (axis,), np.float32),
+            "q_norm": leaf_rep(L, lambda li: f"layers.{li}.attn.q_norm.weight", BF),
+            "kv_norm": leaf_rep(L, lambda li: f"layers.{li}.attn.kv_norm.weight", BF),
+            "wq_a": leaf_fp8(L, lambda li: f"layers.{li}.attn.wq_a", False),
+            "wq_b": leaf_fp8(L, lambda li: f"layers.{li}.attn.wq_b", True),
+            "wkv": leaf_fp8(L, lambda li: f"layers.{li}.attn.wkv", False),
+            "wo_a": leaf_cat(L, lambda li: f"layers.{li}.attn.wo_a.weight",
+                             (axis, None), BF),
+            "wo_b": leaf_fp8(L, lambda li: f"layers.{li}.attn.wo_b", True,
+                             cat_axis=1),
+            "gate_weight": leaf_rep(L, lambda li: f"layers.{li}.ffn.gate.weight", BF),
+            "shared_w1": leaf_fp8(L, lambda li: f"layers.{li}.ffn.shared_experts.w1", False),
+            "shared_w2": leaf_fp8(L, lambda li: f"layers.{li}.ffn.shared_experts.w2", False),
+            "shared_w3": leaf_fp8(L, lambda li: f"layers.{li}.ffn.shared_experts.w3", False),
+        }
+        if is_hash:
+            seg["gate_tid2eid"] = leaf_rep(
+                L, lambda li: f"layers.{li}.ffn.gate.tid2eid", np.int32)
+        else:
+            seg["gate_bias"] = leaf_rep(
+                L, lambda li: f"layers.{li}.ffn.gate.bias", np.float32)
+        for nm in ("w1", "w2", "w3"):
+            seg[f"experts_{nm}"] = leaf_fp4_experts(L, pre, nm, E_loc)
+        if ratio > 0:
+            seg["comp"] = {
+                "ape": leaf_rep(L, lambda li: f"layers.{li}.attn.compressor.ape", np.float32),
+                "wkv": leaf_rep(L, lambda li: f"layers.{li}.attn.compressor.wkv.weight", BF),
+                "wgate": leaf_rep(L, lambda li: f"layers.{li}.attn.compressor.wgate.weight", BF),
+                "norm": leaf_rep(L, lambda li: f"layers.{li}.attn.compressor.norm.weight", BF),
+            }
+        if ratio == 4:
+            seg["idx_wq_b"] = leaf_fp8(
+                L, lambda li: f"layers.{li}.attn.indexer.wq_b", True)
+            seg["idx_weights_proj"] = leaf_cat(
+                L, lambda li: f"layers.{li}.attn.indexer.weights_proj.weight",
+                (axis, None), BF)
+            seg["idx_comp"] = {
+                "ape": leaf_rep(L, lambda li: f"layers.{li}.attn.indexer.compressor.ape", np.float32),
+                "wkv": leaf_rep(L, lambda li: f"layers.{li}.attn.indexer.compressor.wkv.weight", BF),
+                "wgate": leaf_rep(L, lambda li: f"layers.{li}.attn.indexer.compressor.wgate.weight", BF),
+                "norm": leaf_rep(L, lambda li: f"layers.{li}.attn.indexer.compressor.norm.weight", BF),
+            }
+        segs.append(seg)
+
+    return {
+        "embed": cat_bf16("embed.weight", (axis, None)),
+        "head": cat_bf16("head.weight", (axis, None)),
+        "norm": rep_arr("norm.weight", BF),
+        "hc_head_fn": rep_arr("hc_head_fn", np.float32),
+        "hc_head_base": rep_arr("hc_head_base", np.float32),
+        "hc_head_scale": rep_arr("hc_head_scale", np.float32),
+        "segments": segs,
     }

@@ -40,6 +40,7 @@ def start_engine(
     options: Optional[EngineLoadOptions] = None,
     tp_size: int = 1,
 ) -> EngineHandle:
+    tp_size = tp_size or 1  # 0 = CLI auto default -> single device
     opts = options or EngineLoadOptions()
     cfg = q35.Qwen35Config.from_model_path(model_path)
     log.info(

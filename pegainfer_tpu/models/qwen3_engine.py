@@ -67,6 +67,7 @@ def start_engine(
     options: Optional[EngineLoadOptions] = None,
     tp_size: int = 1,
 ) -> EngineHandle:
+    tp_size = tp_size or 1  # 0 = CLI auto default -> single device
     opts = options or EngineLoadOptions()
     cfg = q3.Qwen3Config.from_model_path(model_path)
     log.info("loading %s (%d layers, hidden %d)", model_path, cfg.num_hidden_layers, cfg.hidden_size)

@@ -222,18 +222,24 @@ def shard_qwen35(mesh: Mesh, cfg, params, state):
 # become XLA psum/all-gather inside the jitted step.
 
 
+# Per-layer shard axes = the reference's mp8 rank split (single source of
+# truth for dsv4_layer_specs AND the shard-wise loader,
+# models/dsv4_weights.load_params_sharded).
+DSV4_LAYER_SHARDED = {
+    "attn_sink": P("tp"),
+    "wq_b": P("tp", None),
+    "wo_a": P("tp", None),
+    "wo_b": P(None, "tp"),
+    "idx_wq_b": P("tp", None),
+    "idx_weights_proj": P("tp", None),
+    "experts_w1": P("tp", None, None),
+    "experts_w2": P("tp", None, None),
+    "experts_w3": P("tp", None, None),
+}
+
+
 def dsv4_layer_specs(lw: dict) -> dict:
-    sharded = {
-        "attn_sink": P("tp"),
-        "wq_b": P("tp", None),
-        "wo_a": P("tp", None),
-        "wo_b": P(None, "tp"),
-        "idx_wq_b": P("tp", None),
-        "idx_weights_proj": P("tp", None),
-        "experts_w1": P("tp", None, None),
-        "experts_w2": P("tp", None, None),
-        "experts_w3": P("tp", None, None),
-    }
+    sharded = DSV4_LAYER_SHARDED
     out = {}
     for k, v in lw.items():
         if isinstance(v, dict) and set(v.keys()) == {"q", "s"}:

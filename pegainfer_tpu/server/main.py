@@ -76,7 +76,9 @@ def main(argv=None):
     p.add_argument("--model-path", help="HF checkpoint dir (config.json + safetensors)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--tp-size", type=int, default=0,
+                   help="TP world (0 = auto: DSv4 picks the largest divisor "
+                        "of 8 the devices allow; Qwen families use 1)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-num-pages", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=64)
