@@ -399,6 +399,31 @@ def clear_moe_ep() -> None:
     _MOE_EP = None
 
 
+# Fused FP4 dequant-GEMV for the decode routed experts (ops/pallas/
+# fp4_gemm.py — the reference's TileLang moe_fp4_grouped analog): packed
+# nibbles stream straight into the kernel, so expert weight traffic stays
+# ∝ 0.5 B/param instead of the gather+dequant chain's materialized bf16.
+# Engine-set (single-device serving, TPU backend, resident weights); the
+# GSPMD multi-chip path keeps the XLA form until the kernel is shard_mapped.
+_FP4_KERNEL = False
+
+
+def set_fp4_kernel(on) -> None:
+    """on: False | True | "interpret" (CPU-test mode)."""
+    global _FP4_KERNEL
+    _FP4_KERNEL = on
+
+
+def _fp4_kernel_ok(lw) -> bool:
+    from pegainfer_tpu.ops.pallas.fp4_gemm import fp4_gemv_supported
+
+    return all(
+        quant.is_quantized(lw[k])
+        and fp4_gemv_supported(lw[k]["q"], lw[k]["s"])
+        for k in ("experts_w1", "experts_w2", "experts_w3")
+    )
+
+
 def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
     """x: [T, D] → MoE output [T, D] (shared + routed experts)."""
     T = x.shape[0]
@@ -493,13 +518,39 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
         # combine would stream every expert per token; reference analog:
         # moe_local_mapping route compaction, deepseek_moe.cu).
         xs = xf32[flat_t]  # [M, D]
-        w1g = quant.gather_dequant(lw["experts_w1"], flat_e)  # [M, I, D]
-        w3g = quant.gather_dequant(lw["experts_w3"], flat_e)
-        ge = jnp.einsum("md,mid->mi", xs, w1g)
-        ue = jnp.einsum("md,mid->mi", xs, w3g)
-        act = swiglu(ge, ue)  # [M, I]
-        w2g = quant.gather_dequant(lw["experts_w2"], flat_e)  # [M, D, I]
-        per = jnp.einsum("mi,mdi->md", act, w2g) * flat_w[:, None]
+        if _FP4_KERNEL and _fp4_kernel_ok(lw):
+            # fused dequant-GEMV: weight bytes stream as packed fp4
+            from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+            interp = _FP4_KERNEL == "interpret"
+            ge = pfp4.moe_fp4_gemv(
+                xs, lw["experts_w1"]["q"], lw["experts_w1"]["s"], flat_e,
+                interpret=interp)
+            ue = pfp4.moe_fp4_gemv(
+                xs, lw["experts_w3"]["q"], lw["experts_w3"]["s"], flat_e,
+                interpret=interp)
+            act = swiglu(ge, ue)  # [M, I] f32
+            per = pfp4.moe_fp4_gemv(
+                act, lw["experts_w2"]["q"], lw["experts_w2"]["s"], flat_e,
+                interpret=interp)
+        else:
+            # XLA fallback: bf16 gathers (exact — E2M1 x pow2 values are
+            # bf16-representable; f32 would double the materialized bytes)
+            w1g = quant.gather_dequant(lw["experts_w1"], flat_e,
+                                       jnp.bfloat16)  # [M, I, D]
+            w3g = quant.gather_dequant(lw["experts_w3"], flat_e,
+                                       jnp.bfloat16)
+            xb = xs.astype(jnp.bfloat16)
+            ge = jnp.einsum("md,mid->mi", xb, w1g,
+                            preferred_element_type=jnp.float32)
+            ue = jnp.einsum("md,mid->mi", xb, w3g,
+                            preferred_element_type=jnp.float32)
+            act = swiglu(ge, ue)  # [M, I]
+            w2g = quant.gather_dequant(lw["experts_w2"], flat_e,
+                                       jnp.bfloat16)  # [M, D, I]
+            per = jnp.einsum("mi,mdi->md", act.astype(jnp.bfloat16), w2g,
+                             preferred_element_type=jnp.float32)
+        per = per * flat_w[:, None]
         routed = jnp.zeros((T, x.shape[1]), jnp.float32).at[flat_t].add(per)
 
     return (routed + shared.astype(jnp.float32)).astype(x.dtype)

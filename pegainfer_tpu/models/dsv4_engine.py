@@ -177,6 +177,19 @@ def start_engine(
     log.info("DSv4 params HBM footprint: %.2f GiB total over %d devices (%s)",
              dsv4.params_hbm_bytes(params) / 2**30, tp,
              "fp8/fp4 resident" if resident else "bf16")
+    # Fused FP4 dequant-GEMV for the decode routed experts (ops/pallas/
+    # fp4_gemm.py): single-device TPU serving with resident weights.
+    # PEGAINFER_DSV4_FP4_KERNEL=0/1 overrides for A/B measurement.
+    env_k = os.environ.get("PEGAINFER_DSV4_FP4_KERNEL")
+    use_fp4_kernel = (
+        env_k == "1" or (
+            env_k != "0" and mesh is None and resident
+            and jax.default_backend() == "tpu"
+        )
+    )
+    dsv4.set_fp4_kernel(use_fp4_kernel)
+    if use_fp4_kernel:
+        log.info("DSv4 decode MoE: fused Pallas FP4 dequant-GEMV enabled")
     max_slots = min(opts.max_batch_size, 2)  # reference serves bs<=2
     runtime = make_runtime(
         cfg, params,

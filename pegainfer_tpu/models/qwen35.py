@@ -341,6 +341,32 @@ def init_bench_params(cfg: Qwen35Config, dtype=jnp.bfloat16, fill: float = 0.01)
     }
 
 
+def init_random_params(cfg: Qwen35Config, seed: int = 0,
+                       dtype=jnp.bfloat16, scale: float = 0.02):
+    """Random params in the serving layout (same leaves as
+    init_bench_params). Constant-filled weights make greedy argmax
+    degenerate (every logit equal → token 0), which lets a broken sharded
+    forward pass a token-count check — correctness dryruns/tests need
+    non-degenerate logits."""
+    bench = init_bench_params(cfg, dtype=dtype)
+    rng = np.random.default_rng(seed)
+
+    def rand_like(path, leaf):
+        name = path[-1]
+        if name.endswith("_ln") or name.startswith(("q_norm", "k_norm")) \
+                or name in ("norm_w", "final_ln"):
+            return leaf  # keep norms at 1
+        arr = rng.standard_normal(leaf.shape).astype(np.float32) * scale
+        return jnp.asarray(arr, leaf.dtype)
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return rand_like(path, tree)
+
+    return walk(bench)
+
+
 def fuse_params(params):
     """Optional fused-projection layout (one GEMM per site, mirroring the
     HF checkpoint's in_proj_qkvz / q_proj). MEASURED NEUTRAL-TO-WORSE on

@@ -71,7 +71,9 @@ def moe_ep(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
 
 def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
                swiglu_limit: float, axis: str = "tp",
-               transport: str = "ragged"):
+               transport: str = "ragged",
+               capacity_factor: float = None,
+               return_dropped: bool = False):
     """Token-shipping expert-parallel MoE (4-step dispatch/combine).
 
     x: [T, D] sharded over ``axis`` on T (T % n_shards == 0); w1/w3:
@@ -91,6 +93,17 @@ def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
     exercised on the virtual CPU mesh). "dense" ships fixed worst-case
     blocks via ``lax.all_to_all`` — same routing/offset/grouping logic,
     runs everywhere; it is the CPU-test oracle for this function.
+
+    ``capacity_factor`` bounds the per-shard receive scratch (the
+    reference's EpTopology.max_recv_tokens contract, ep_backend.rs:25-51):
+    cap = ceil(cf * M) rows instead of the exact worst case M * n. On
+    overflow each receiver ACCEPTS only a prefix of each peer's block
+    (acceptance sizes travel back in one extra tiny all_to_all so both
+    sides agree); dropped slots contribute ZERO to their token (standard
+    capacity-factor MoE semantics) — balanced routing with cf ≥ ~1.25
+    never drops. None = exact worst-case buffers (the default: the engine
+    path stays bit-exact vs non-EP). ``return_dropped`` additionally
+    returns the per-shard dropped-slot count [n] (for tests/telemetry).
     """
     E = w1.shape[0]
     n = mesh.shape[axis]
@@ -100,7 +113,10 @@ def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
     def local(xs, w1s, w2s, w3s, idx, wts):
         T_loc, D = xs.shape
         M = T_loc * K
-        cap = M * n  # worst case: every shard routes all slots here
+        if capacity_factor is None:
+            cap = M * n  # exact: every shard routes all slots here
+        else:
+            cap = min(M * n, max(8, -(-int(capacity_factor * M) // 8) * 8))
 
         flat_e = idx.reshape(M)
         dest = flat_e // E_loc  # destination shard per slot
@@ -118,9 +134,26 @@ def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
             [jnp.zeros(1, jnp.int32), jnp.cumsum(send_sizes)[:-1].astype(jnp.int32)]
         )
         # size exchange: how much each peer sends me
-        recv_sizes = jax.lax.all_to_all(
+        want_sizes = jax.lax.all_to_all(
             send_sizes.reshape(n, 1), axis, 0, 0, tiled=False
         ).reshape(n)
+        if capacity_factor is None:
+            recv_sizes = want_sizes
+            acc_for_me = send_sizes
+            dropped = jnp.zeros((1,), jnp.int32)  # [1] per shard -> [n] global
+        else:
+            # acceptance clamp: take each peer's prefix until cap is full,
+            # then ship the accepted sizes back so senders truncate the
+            # same rows (both sides stay consistent)
+            before = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32),
+                 jnp.cumsum(want_sizes)[:-1].astype(jnp.int32)]
+            )
+            recv_sizes = jnp.clip(cap - before, 0, want_sizes)
+            acc_for_me = jax.lax.all_to_all(
+                recv_sizes.reshape(n, 1), axis, 0, 0, tiled=False
+            ).reshape(n)
+            dropped = jnp.sum(send_sizes - acc_for_me).reshape(1)
 
         if transport == "ragged":
             # where my data lands in each peer's receive buffer
@@ -131,26 +164,33 @@ def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
             output_offsets = jax.lax.all_to_all(
                 recv_offsets.reshape(n, 1), axis, 0, 0, tiled=False
             ).reshape(n)
-            # (1) dispatch: rows from peer j land at recv_offsets[j]
+            # (1) dispatch: rows from peer j land at recv_offsets[j];
+            # I ship only the prefixes my peers accept (acc_for_me)
             rx = jax.lax.ragged_all_to_all(
                 send_rows,
                 jnp.zeros((cap, D + 1), jnp.float32),
-                input_offsets, send_sizes, output_offsets, recv_sizes,
+                input_offsets, acc_for_me, output_offsets, recv_sizes,
                 axis_name=axis,
             )
             rx_valid = jnp.arange(cap) < jnp.sum(recv_sizes)
         else:
-            # (1) dispatch, dense blocks: slot for dest d, k-th row = d*M + k
-            buf = jnp.zeros((cap, D + 1), jnp.float32)
+            # (1) dispatch, dense blocks: slot for dest d, k-th row = d*M + k.
+            # The dense wire is inherently worst-case (n fixed M-row blocks),
+            # so its buffers do NOT shrink with the capacity factor — it is
+            # the CPU semantics-oracle: acceptance shows up as recv_sizes
+            # (clamped prefixes), making rows past the acceptance invalid
+            # exactly like the bounded ragged path.
+            capD = M * n
+            buf = jnp.zeros((capD, D + 1), jnp.float32)
             pos = dest[order] * M + (
                 jnp.arange(M, dtype=jnp.int32) - input_offsets[dest[order]]
             )
             buf = buf.at[pos].set(send_rows)
             rx = jax.lax.all_to_all(
                 buf.reshape(n, M, D + 1), axis, 0, 0, tiled=False
-            ).reshape(cap, D + 1)
-            # block j holds recv_sizes[j] valid rows
-            rx_valid = (jnp.arange(cap, dtype=jnp.int32) % M) < jnp.repeat(
+            ).reshape(capD, D + 1)
+            # block j holds recv_sizes[j] ACCEPTED rows
+            rx_valid = (jnp.arange(capD, dtype=jnp.int32) % M) < jnp.repeat(
                 recv_sizes, M)
 
         rx_e = jnp.where(rx_valid, rx[:, D].astype(jnp.int32), E_loc)
@@ -177,7 +217,7 @@ def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
         y = jnp.zeros_like(y).at[e_order].set(y)  # back to received order
 
         # (3) combine: reverse shipment — I return to shard i the rows I
-        # received from it; they land where i originally sent them from.
+        # ACCEPTED from it; they land where i originally sent them from.
         if transport == "ragged":
             rev_output_offsets = jax.lax.all_to_all(
                 input_offsets.reshape(n, 1), axis, 0, 0, tiled=False
@@ -185,25 +225,34 @@ def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
             back = jax.lax.ragged_all_to_all(
                 y,
                 jnp.zeros((M, D), jnp.float32),
-                recv_offsets, recv_sizes, rev_output_offsets, send_sizes,
+                recv_offsets, recv_sizes, rev_output_offsets, acc_for_me,
                 axis_name=axis,
             )  # [M, D] aligned with send_rows (destination order)
         else:
             back_blocks = jax.lax.all_to_all(
                 y.reshape(n, M, D), axis, 0, 0, tiled=False
-            ).reshape(cap, D)
+            ).reshape(M * n, D)
             back = back_blocks[pos]  # undo the dispatch scatter layout
 
-        # (4) unsort + weighted combine at the origin
+        # (4) unsort + weighted combine at the origin. Slots past a peer's
+        # acceptance contribute ZERO (the ragged back-buffer never writes
+        # them; the dense oracle's garbage rows are masked explicitly).
+        dest_sorted = dest[order]
+        accepted = (
+            jnp.arange(M, dtype=jnp.int32) - input_offsets[dest_sorted]
+        ) < acc_for_me[dest_sorted]
         flat_t = jnp.repeat(jnp.arange(T_loc, dtype=jnp.int32), K)
         w_flat = wts.astype(jnp.float32).reshape(M)
         out = jnp.zeros((T_loc, D), jnp.float32).at[flat_t[order]].add(
-            back * w_flat[order][:, None]
+            back * jnp.where(accepted, w_flat[order], 0.0)[:, None]
         )
-        return out
+        return out, dropped
 
-    return shard_map(
+    out, dropped = shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
     )(x, w1, w2, w3, route_idx, route_weights)
+    if return_dropped:
+        return out, dropped
+    return out

@@ -1,0 +1,153 @@
+"""Fused FP4 dequant-GEMV for gathered MoE experts.
+
+The reference's DSv4 decode speed lives in TileLang kernels that dequantize
+INSIDE the grouped expert GEMM (pegainfer-kernels/csrc/deepseek_v4/
+deepseek_quant.cu moe_fp4_grouped_w13/w2, tools/tilelang/deepseek_v4/
+generate.py) — weights cross the memory bus once, as 4-bit packed bytes.
+The XLA form (ops/quant.gather_dequant + einsum) cannot do that: the
+unpack/LUT/scale chain materializes the gathered experts as a full-width
+array in HBM, so each expert streams ~0.5 B/param packed + 2-4 B/param
+written + re-read ≈ 8-17x the packed bytes. This kernel is the TPU answer:
+packed uint8 rows stream HBM→VMEM (grid-pipelined, double-buffered by
+Pallas), E2M1 codes decode arithmetically on the VPU, block scales apply in
+bf16 (exact: E2M1 values x pow2 E8M0 scales are bf16-representable), and
+the MXU consumes the tile immediately — weight traffic stays ∝ fp4.
+
+Packed layout (ops/quant.py): byte k of a row holds logical elements
+2k (low nibble) and 2k+1 (high nibble). Rather than re-interleaving the
+decoded halves (an expensive lane shuffle), the CALLER de-interleaves x
+once (x_pairs[m,0,:] = x[m,0::2], x_pairs[m,1,:] = x[m,1::2] — tiny) and
+the kernel computes w_lo·x_even + w_hi·x_odd, which equals w·x exactly.
+A 32-logical-element scale group = 16 contiguous bytes, so one
+repeat(s, IN2//S) serves both halves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_e2m1(code: jax.Array) -> jax.Array:
+    """E2M1 4-bit codes (int32 0..15) → f32 values.
+
+    value = sign * (e == 0 ? 0.5*m : (2+m) << e) / 4, with s=bit3,
+    e=bits1-2, m=bit0 — covers {±0, ±.5, ±1, ±1.5, ±2, ±3, ±4, ±6}.
+    Pure VPU arithmetic (a 16-entry LUT gather is a lane-crossing op)."""
+    e = (code >> 1) & 3
+    m = code & 1
+    mag = jnp.where(
+        e == 0,
+        0.5 * m.astype(jnp.float32),
+        0.25 * ((2 + m) << e).astype(jnp.float32),
+    )
+    sign = 1.0 - 2.0 * (code >> 3).astype(jnp.float32)
+    return mag * sign
+
+
+def _kernel(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, *, rep: int):
+    m = pl.program_id(1)
+    qb = q_ref[0].astype(jnp.int32)  # [TO, IN2] packed bytes
+    # element-repeat each scale over its group's packed bytes via a one-hot
+    # expansion MATMUL: srep = s @ G with G[g, j] = (j // rep == g). Exact
+    # (0/1 x bf16 pow2 scales) and Mosaic-friendly — pltpu.repeat has tile
+    # semantics, and both the broadcast-reshape and minor-dim-insertion
+    # forms of element-repeat are rejected by the vector-layout inference.
+    sb = s_ref[0]  # [TO, S] bf16
+    to, s_cols = sb.shape
+    in2 = q_ref.shape[-1]
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (s_cols, in2), 0)
+    j_grp = jax.lax.broadcasted_iota(jnp.int32, (s_cols, in2), 1) // rep
+    expand = (g_ids == j_grp).astype(jnp.bfloat16)  # [S, IN2]
+    srep = jax.lax.dot_general(
+        sb, expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TO, IN2] f32
+    w_lo = (_decode_e2m1(qb & 0xF) * srep).astype(jnp.bfloat16)
+    w_hi = (_decode_e2m1(qb >> 4) * srep).astype(jnp.bfloat16)
+    # standard [TO, K] @ [K, 1] matmuls (the [1, K]-rhs and vector-rhs
+    # GEMV forms are rejected by the Mosaic matmul lowering)
+    acc = jax.lax.dot_general(
+        w_lo, xlo_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        w_hi, xhi_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TO, 1] f32
+    # out block [1, M_pad, TO] is revisited across the m-inner grid axis
+    # (one row lands per program; pad rows are never written)
+    o_ref[0, m, :] = acc[:, 0]
+
+
+def fp4_gemv_supported(q: jax.Array, s: jax.Array, out_tile: int = 256) -> bool:
+    """Shape gate: packed container with MXU/VPU-aligned tiles."""
+    if q.dtype != jnp.uint8 or q.ndim != 3:
+        return False
+    E, OUT, IN2 = q.shape
+    if s.shape[:2] != (E, OUT):
+        return False
+    return (
+        IN2 % 128 == 0
+        and OUT % min(out_tile, OUT) == 0
+        and min(out_tile, OUT) % 32 == 0
+        and IN2 % s.shape[-1] == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def moe_fp4_gemv(
+    x: jax.Array,  # [M, IN] f32/bf16 activations
+    q: jax.Array,  # [E, OUT, IN//2] uint8 packed E2M1
+    s: jax.Array,  # [E, OUT, S] bf16 scales (group = IN/S logical elems)
+    idx: jax.Array,  # [M] int32 expert per row
+    out_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """y[m] = x[m] @ dequant(q[idx[m]], s[idx[m]]).T — [M, OUT] f32.
+
+    Weight bytes streamed = M * OUT * IN/2 packed uint8 (+ scales/64), the
+    fp4 speed-of-light; the gather rides the scalar-prefetched index_map
+    (no [M, OUT, IN] materialization anywhere).
+    """
+    M, IN = x.shape
+    E, OUT, IN2 = q.shape
+    assert IN == 2 * IN2, (x.shape, q.shape)
+    S = s.shape[-1]
+    rep = IN2 // S
+    TO = min(out_tile, OUT)
+    GO = OUT // TO
+    Mp = -(-M // 8) * 8  # sublane-aligned out rows (pad rows never written)
+
+    # de-interleave x to match the packed nibble halves (see module doc);
+    # [M, IN2, 1] column form so the kernel dot is a standard matmul
+    xb = x.astype(jnp.bfloat16)
+    x_lo = xb[:, 0::2][..., None]
+    x_hi = xb[:, 1::2][..., None]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, rep=rep),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            # o OUTER, m inner: the out block (o, *) is revisited across
+            # consecutive m-programs (legal revisit), accumulating all M
+            # rows in VMEM before one flush per o-tile
+            grid=(GO, M),
+            in_specs=[
+                pl.BlockSpec((1, IN2, 1), lambda o, m, idx_ref: (m, 0, 0)),
+                pl.BlockSpec((1, IN2, 1), lambda o, m, idx_ref: (m, 0, 0)),
+                pl.BlockSpec((1, TO, IN2),
+                             lambda o, m, idx_ref: (idx_ref[m], o, 0)),
+                pl.BlockSpec((1, TO, S),
+                             lambda o, m, idx_ref: (idx_ref[m], o, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Mp, TO),
+                                   lambda o, m, idx_ref: (o, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((GO, Mp, TO), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), x_lo, x_hi, q, s.astype(jnp.bfloat16))
+    return out.swapaxes(0, 1).reshape(Mp, OUT)[:M]

@@ -267,3 +267,103 @@ def test_engine_path_moe_ep2():
     assert ep2 == base
     digest = hashlib.sha256(",".join(map(str, ep2)).encode()).hexdigest()[:16]
     print(f"ep2 output hash: {digest}")
+
+
+# ── capacity-factor bounded a2a (VERDICT r2 #6) ──────────────────────────
+# Reference analog: EpTopology.max_recv_tokens — receive buffers are a
+# sized contract, not worst-case (pegainfer-comm/src/ep_backend.rs:25-51).
+
+
+def _a2a_setup(seed, T, D, I, E, K, route_idx=None):
+    from pegainfer_tpu.ops.moe_ep import moe_ep_a2a  # noqa: F401
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((T, D)).astype(np.float32)
+    w1 = rng.standard_normal((E, I, D)).astype(np.float32) * 0.2
+    w2 = rng.standard_normal((E, D, I)).astype(np.float32) * 0.2
+    w3 = rng.standard_normal((E, I, D)).astype(np.float32) * 0.2
+    if route_idx is None:
+        route_idx = np.stack(
+            [rng.choice(E, K, replace=False) for _ in range(T)]
+        ).astype(np.int32)
+    route_w = rng.random((T, K)).astype(np.float32)
+    mesh = make_mesh(MeshConfig(dp=1, tp=8))
+    sh = lambda a, spec: place_tree(mesh, jnp.asarray(a), spec)  # noqa: E731
+    return (mesh, x, w1, w2, w3, route_idx, route_w,
+            sh(x, P("tp")), sh(w1, P("tp")), sh(w2, P("tp")),
+            sh(w3, P("tp")), sh(route_idx, P("tp")), sh(route_w, P("tp")))
+
+
+def test_moe_ep_a2a_capacity_no_drop_when_balanced():
+    """Balanced routing under cf=2: zero drops, output == exact path."""
+    from pegainfer_tpu.ops.moe_ep import moe_ep_a2a
+
+    (mesh, x, w1, w2, w3, ri, rw,
+     xs, w1s, w2s, w3s, idxs, wtss) = _a2a_setup(7, 16, 16, 8, 16, 3)
+    out, dropped = moe_ep_a2a(mesh, xs, w1s, w2s, w3s, idxs, wtss, 7.0,
+                              transport="dense", capacity_factor=2.0,
+                              return_dropped=True)
+    assert int(np.sum(np.asarray(dropped))) == 0
+    ref = dense_reference(x, w1, w2, w3, ri, rw, 7.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_ep_a2a_capacity_overflow_drops_consistently():
+    """Adversarial all-to-one-shard routing under a small cf: overflow is
+    detected (dropped > 0) and the output equals the oracle restricted to
+    the ACCEPTED slots — dropped slots contribute exactly zero, no OOB
+    writes, no garbage rows."""
+    from pegainfer_tpu.ops.moe_ep import moe_ep_a2a
+
+    T, D, I, E, K = 16, 8, 4, 16, 2
+    # every token routes to experts 4,5 → all M*n slots target shard 2
+    route_idx = np.tile(np.array([[4, 5]], np.int32), (T, 1))
+    (mesh, x, w1, w2, w3, ri, rw,
+     xs, w1s, w2s, w3s, idxs, wtss) = _a2a_setup(8, T, D, I, E, K, route_idx)
+    n = 8
+    T_loc = T // n
+    M = T_loc * K  # 4 slots per shard
+    cf = 2.0  # cap = 8 accepted rows on shard 2 vs 32 wanted
+    out, dropped = moe_ep_a2a(mesh, xs, w1s, w2s, w3s, idxs, wtss, 7.0,
+                              transport="dense", capacity_factor=cf,
+                              return_dropped=True)
+    dropped = np.asarray(dropped)
+    cap = max(8, int(cf * M))
+    assert int(dropped.sum()) == M * n - cap, dropped
+
+    # oracle over accepted slots only: receiver (shard 2) accepts each
+    # peer's block prefix in shard order until cap rows
+    accepted_rw = rw.copy()
+    taken = 0
+    for shard in range(n):
+        for t in range(shard * T_loc, (shard + 1) * T_loc):
+            for k in range(K):
+                if taken >= cap:
+                    accepted_rw[t, k] = 0.0
+                taken += 1
+    ref = dense_reference(x, w1, w2, w3, ri, accepted_rw, 7.0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_ep_a2a_capacity_scratch_is_bounded():
+    """The ragged receive buffer is cap = ceil(cf*M) rows (∝ cf), not M*n:
+    pinned by inspecting the jaxpr's zeros-buffer shape."""
+    from pegainfer_tpu.ops.moe_ep import moe_ep_a2a
+
+    (mesh, x, w1, w2, w3, ri, rw,
+     xs, w1s, w2s, w3s, idxs, wtss) = _a2a_setup(9, 16, 16, 8, 16, 3)
+    T_loc, K, n = 2, 3, 8
+    M = T_loc * K
+
+    def shapes_of(cf):
+        jaxpr = jax.make_jaxpr(
+            lambda *a: moe_ep_a2a(mesh, *a, 7.0, transport="ragged",
+                                  capacity_factor=cf)
+        )(xs, w1s, w2s, w3s, idxs, wtss)
+        return str(jaxpr)
+
+    # exact: a (M*n, D+1) = (48, 17) buffer appears; cf=1.5: (16, 17)
+    assert "48,17" in shapes_of(None).replace(" ", "")
+    cap = max(8, -(-int(1.5 * M) // 8) * 8)
+    assert f"{cap},17" in shapes_of(1.5).replace(" ", "")
+    assert "48,17" not in shapes_of(1.5).replace(" ", "")

@@ -213,3 +213,91 @@ def test_paged_decode_pool_layout_bf16():
     np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
     np.testing.assert_array_equal(out.reshape(B * Hq, hd).argmax(-1),
                                   ref.reshape(B * Hq, hd).argmax(-1))
+
+
+# ── FP4 fused dequant-GEMV (ops/pallas/fp4_gemm.py) ──────────────────────
+# Reference analog: TileLang moe_fp4_grouped kernels
+# (deepseek_quant.cu:1-1272) — dequant inside the GEMM so expert weight
+# traffic stays ∝ 0.5 B/param.
+
+
+@pytest.mark.parametrize(
+    "E,OUT,IN,group",
+    [
+        (4, 64, 256, 32),     # standard 32-group scales
+        (4, 256, 512, 32),    # multi-tile OUT
+        (2, 32, 256, 256),    # whole-row group (S=1 after grouping)
+        (8, 64, 1024, 32),    # wide IN
+    ],
+)
+def test_fp4_gemv_matches_oracle(E, OUT, IN, group):
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas.fp4_gemm import (
+        fp4_gemv_supported, moe_fp4_gemv,
+    )
+
+    rng = np.random.default_rng(E + OUT + IN)
+    w = rng.standard_normal((E, OUT, IN)).astype(np.float32) * 0.1
+    cont = quant.quantize_fp4_stack(w, group=group)
+    assert fp4_gemv_supported(cont["q"], cont["s"])
+    M = 12
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+    idx = jnp.asarray(rng.integers(0, E, M), jnp.int32)
+
+    y = moe_fp4_gemv(jnp.asarray(x), cont["q"], cont["s"], idx,
+                     interpret=True)
+    # oracle: bf16 gather-dequant (exact values) + bf16-x dot, f32 accum —
+    # the same numerics contract the kernel implements
+    wb = quant.gather_dequant(cont, idx, jnp.bfloat16)
+    y_ref = jax.lax.dot_general(
+        jnp.asarray(x, jnp.bfloat16)[:, None, :], wb,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_fp4_gemv_unsupported_shapes():
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas.fp4_gemm import fp4_gemv_supported
+
+    w = np.ones((2, 16, 16), np.float32)  # IN2=8 < 128 lanes
+    cont = quant.quantize_fp4_stack(w, group=16)
+    assert not fp4_gemv_supported(cont["q"], cont["s"])
+
+
+def test_dsv4_decode_fp4_kernel_path():
+    """Full DSv4 decode with the fused kernel (interpret) == XLA gather
+    fallback — the engine-path equality for the kernel swap."""
+    from pegainfer_tpu.models import dsv4
+
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=256, moe_inter_dim=256, n_layers=2,
+        num_attention_heads=8, head_dim=32, q_lora_rank=32,
+        qk_rope_head_dim=16, o_groups=8, o_lora_rank=8, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=32, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.quantize_params_resident(
+        dsv4.init_random_params(cfg, seed=9, dtype=jnp.float32, scale=0.08)
+    )
+    toks = jnp.asarray([3, 17, 42, 9, 88], jnp.int32)
+    state = dsv4.make_state(cfg, 1, 16)
+    _, st = dsv4.prefill(cfg, params, toks, state=state, slot=jnp.int32(0))
+    step = jnp.asarray([7], jnp.int32)
+    pos = jnp.asarray([5], jnp.int32)
+    slots = jnp.asarray([0], jnp.int32)
+
+    try:
+        dsv4.set_fp4_kernel("interpret")
+        _, lg_k = dsv4.decode(cfg, params, st, step, pos, slots)
+    finally:
+        dsv4.set_fp4_kernel(False)
+    _, lg_x = dsv4.decode(cfg, params, st, step, pos, slots)
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
+                               rtol=0, atol=2e-2)
+    assert int(jnp.argmax(lg_k[0])) == int(jnp.argmax(lg_x[0]))
