@@ -100,3 +100,31 @@ def is_coordinator() -> bool:
     HTTP frontend, metrics, request intake). Analog of the reference's
     rank-0 host greedy loop (direct/scheduler.rs)."""
     return jax.process_index() == 0
+
+
+def broadcast_request(tokens: Optional[Sequence[int]],
+                      max_len: int = 8192) -> list:
+    """Ship a request's token ids from the coordinator to every process.
+
+    The multi-host serving design is REPLICATED-DRIVER: every process runs
+    the identical engine (scheduler + executor) so all hosts dispatch the
+    same jitted programs in lockstep and XLA's cross-host collectives
+    line up. The only host-side divergence is request intake (HTTP lives
+    on the coordinator) — this closes it: the coordinator passes the
+    prompt, followers pass None, everyone returns the same list. Rides a
+    device broadcast (multihost_utils), so it also acts as the
+    submit-order barrier that keeps schedulers step-aligned.
+    """
+    from jax.experimental import multihost_utils
+
+    buf = np.full(max_len + 1, -1, np.int32)
+    if tokens is not None:
+        if len(tokens) > max_len:
+            raise ValueError(f"request longer than broadcast cap {max_len}")
+        buf[0] = len(tokens)
+        buf[1:1 + len(tokens)] = np.asarray(tokens, np.int32)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    n = int(out[0])
+    if n < 0:
+        raise RuntimeError("broadcast_request: coordinator sent no request")
+    return [int(t) for t in out[1:1 + n]]

@@ -53,3 +53,20 @@ def test_step_over_global_mesh():
     _, out, _ = q3.prefill(cfg, params_s, kv2, toks, jnp.int32(8), table)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_two_process_engine_parity():
+    """Two OS processes (jax.distributed, 4 virtual CPU devices each) run
+    the replicated-driver engine over one 8-device global mesh; greedy
+    tokens match a single-process run (VERDICT r2 #5 / scripts/
+    multihost_two_proc.py). Reference analog: the 8-rank worker bootstrap
+    (deepseek-v4/src/direct/worker.rs:38-110)."""
+    import subprocess
+    import sys
+    import pathlib
+
+    script = pathlib.Path(__file__).resolve().parent.parent / "scripts" / "multihost_two_proc.py"
+    r = subprocess.run([sys.executable, str(script)], capture_output=True,
+                       text=True, timeout=570)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    assert "TWO-PROCESS PARITY OK" in r.stdout
