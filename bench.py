@@ -185,8 +185,10 @@ def main():
         params = q35.init_bench_params(cfg)
         if quant == "int8":
             params = q35.quantize_params_int8(params)
-        runtime = q35.make_runtime(cfg, params, num_pages=num_pages,
-                                   page_size=page_size)
+        runtime = q35.make_runtime(
+            cfg, params, num_pages=num_pages, page_size=page_size,
+            max_slots=int(os.environ.get("PEGAINFER_BENCH_MAX_BATCH", "64")),
+            flat_decode=os.environ.get("PEGAINFER_Q35_FLAT", "1") == "1")
         metric_base = "qwen35_4b"
         baseline = BASELINE_TPOT_MS_QWEN35
     elif model == "dsv4":
@@ -207,7 +209,12 @@ def main():
                                   page_size=page_size)
         metric_base = "qwen3_4b"
         baseline = BASELINE_TPOT_MS
-    ex = JaxExecutor(runtime, EngineLoadOptions())
+    okw = {}
+    if os.environ.get("PEGAINFER_BENCH_DECODE_BLOCK"):
+        okw["decode_block"] = int(os.environ["PEGAINFER_BENCH_DECODE_BLOCK"])
+    if os.environ.get("PEGAINFER_BENCH_MAX_BATCH"):
+        okw["max_batch_size"] = int(os.environ["PEGAINFER_BENCH_MAX_BATCH"])
+    ex = JaxExecutor(runtime, EngineLoadOptions(**okw))
     handle = start_scheduler(ex)
     note("params + runtime built; scheduler up")
 

@@ -62,6 +62,13 @@ class EngineLoadOptions:
     # host link's read latency is amortized over this many tokens. Token
     # events are emitted in bursts of this size.
     decode_block: int = 4
+    # Block size for PURE steady-state decode (no prefills pending): each
+    # dispatch carries a fixed ~2.5 ms device-side cost on this backend
+    # (measured: N=4→16 took the bf16 headline 11.77→11.30 ms/tok), so
+    # throughput-bound decode amortizes it over more tokens. Mixed load and
+    # near-boundary steps keep ``decode_block`` granularity (a new request
+    # waits at most one block). Set equal to decode_block to disable.
+    decode_block_max: int = 16
     # Prompts longer than this prefill in fixed-size chunks (bounded compile
     # sizes + tighter padding); models without a chunk path ignore it.
     prefill_chunk: int = 2048

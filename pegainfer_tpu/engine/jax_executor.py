@@ -229,6 +229,8 @@ class JaxExecutor:
         self._jit_resume: Dict[int, Callable] = {}
         self.max_batch = min(opts.max_batch_size, runtime.max_slots)
         self.decode_block = max(1, opts.decode_block)
+        self.decode_block_max = max(self.decode_block,
+                                    getattr(opts, 'decode_block_max', 0))
         # chunk sizes must be page-size multiples (prefill_chunk_wa reshapes
         # its chunk into whole pages) — align whatever the CLI passed
         pc = max(self.rt.page_size, opts.prefill_chunk)

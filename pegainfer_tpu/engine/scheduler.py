@@ -342,12 +342,21 @@ class Scheduler:
     def _min_remaining(self) -> int:
         return min(st.max_tokens - st.generated_count for st in self.active)
 
-    def _decode_block_size(self, after: int = 0) -> int:
+    def _decode_block_size(self, after: int = 0, steady: bool = False) -> int:
         """Tokens per dispatch: full block in steady state, single-token
         near a LENGTH boundary (so page use never exceeds the admitted
-        full-lifetime budget)."""
+        full-lifetime budget). ``steady`` (the pipelined pure-decode loop)
+        uses the larger throughput block — each dispatch carries ~2.5 ms of
+        fixed device-side cost on this backend, so pure decode amortizes it
+        over more tokens while mixed load keeps fine granularity."""
         block = getattr(self.executor, "decode_block", 1)
-        return block if (self._min_remaining() - after) >= block else 1
+        if steady:
+            block = max(block, getattr(self.executor, "decode_block_max", 0))
+        rem = self._min_remaining() - after
+        if rem >= block:
+            return block
+        small = getattr(self.executor, "decode_block", 1)
+        return small if rem >= small else 1
 
     def _rand_matrix(self, items, n_tokens: int):
         if all(it.params.is_greedy for it in items):
@@ -368,7 +377,7 @@ class Scheduler:
         discarded (their KV is released with the request).
         """
         ex = self.executor
-        N = self._decode_block_size()
+        N = self._decode_block_size(steady=True)
         pending = ex.execute_decode_async(
             items, n_tokens=N, rand_matrix=self._rand_matrix(items, N)
         )
@@ -383,7 +392,7 @@ class Scheduler:
                 # speculate only when no request can LENGTH-finish inside
                 # the pending block (EOS finishes are handled by discarding)
                 if self._min_remaining() > pending_n:
-                    n2 = self._decode_block_size(after=pending_n)
+                    n2 = self._decode_block_size(after=pending_n, steady=True)
                     next_items = self._decode_items()  # token ids unused
                     next_pending = ex.execute_decode_async(
                         next_items,

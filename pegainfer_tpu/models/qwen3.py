@@ -719,7 +719,8 @@ def flush_pend(kv_pages, pend, live):
 
 
 def decode_wa(cfg: Qwen3Config, params, kv_pages, pend, tokens, positions,
-              page_tables, seq_lens, use_pallas: bool = False):
+              page_tables, seq_lens, use_pallas: bool = False,
+              _ablate: tuple = ()):
     """One WRITE-AHEAD decode step for a padded batch.
 
     The KV pool is read-only except for ONE in-place scatter at the start,
@@ -740,7 +741,10 @@ def decode_wa(cfg: Qwen3Config, params, kv_pages, pend, tokens, positions,
     """
     B = tokens.shape[0]
     page_size = kv_pages.shape[4]
-    kv_pages = flush_pend(kv_pages, pend, jnp.ones((B,), bool))
+    # _ablate: cost-probe knobs (scripts/qwen3_step_ablation.py) — wrong
+    # numerics, never set on serving paths.
+    if "noflush" not in _ablate:
+        kv_pages = flush_pend(kv_pages, pend, jnp.ones((B,), bool))
 
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(
@@ -757,12 +761,20 @@ def decode_wa(cfg: Qwen3Config, params, kv_pages, pend, tokens, positions,
         li, lw = inputs
         h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lw, h, cos, sin)
-        if use_pallas:
+        if "noattn" in _ablate:
+            o = jnp.zeros_like(q)
+        elif use_pallas:
             from pegainfer_tpu.ops.pallas import paged_attention_decode
 
-            o = paged_attention_decode(q, kv_pages, kv_pages, page_tables,
-                                       seq_lens, scale, cur_k=k, cur_v=v,
-                                       layer_id=li)
+            # fold_heads at long context: one program per request (per-
+            # head grid programs drain their DMA pipelines separately —
+            # 16k-ctx kernel time 8.9 → 7.0 ms/36L folded; at short ctx
+            # folding serializes the head streams and loses, so gate on
+            # the static table span (scripts/paged_decode_probe.py)
+            o = paged_attention_decode(
+                q, kv_pages, kv_pages, page_tables, seq_lens, scale,
+                cur_k=k, cur_v=v, layer_id=li,
+                fold_heads=page_tables.shape[1] * page_size >= 8192)
         else:
             kp = lax.dynamic_index_in_dim(kv_pages, li, axis=0, keepdims=False)
             o = att.paged_attention_decode(q, kp[:, :, 0], kp[:, :, 1],
@@ -785,7 +797,10 @@ def decode_wa(cfg: Qwen3Config, params, kv_pages, pend, tokens, positions,
         "slots": slots,
     }
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
-    logits = _proj(params, "lm_head", x).astype(jnp.float32)
+    if "nohead" in _ablate:
+        logits = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+    else:
+        logits = _proj(params, "lm_head", x).astype(jnp.float32)
     return kv_pages, pend, logits
 
 

@@ -544,6 +544,7 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
     clamped to T for short prompts); slot: scalar int32.
     Returns (state, last_logits [V] f32, all_logits|None).
     """
+    params = _grouped_view(cfg, params)
     T = tokens.shape[0]
     x = params["embed"][tokens]
     positions = jnp.arange(T, dtype=jnp.int32)
@@ -666,6 +667,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
     past; this chunk's pages + GDN/conv state return as the new cpend.
     tokens: [Tc] (Tc % page_size == 0, start_pos % page_size == 0).
     Returns (state, cpend', last_logits [V] f32)."""
+    params = _grouped_view(cfg, params)
     Tc = tokens.shape[0]
     page_size = state["kv"].shape[4]
     chunk_sz = min(gdn_chunk_size, Tc)
@@ -819,6 +821,327 @@ def flush_pend(state, pend, live):
     return {"kv": kv, "rec": rec, "conv": conv}
 
 
+# ── Flat UNION decode layout (single-device serving) ────────────────────
+# MEASURED (round 3, docs/PERF.md): XLA's scan pipelining only prefetches
+# weights when the scan iterates PER LAYER with that layer's weights as the
+# xs slice. The grouped layout (leaves [G, p-1, ...], one scan iteration =
+# a whole period) streams at ~250 GB/s — prefetch fails on the ~400 MB
+# per-iteration slices — vs ~600 GB/s for a flat per-layer scan at the same
+# shapes; unrolling is even worse (no prefetch at all). But the hybrid's
+# depth order interleaves layer TYPES, so a flat scan needs a UNION xs: the
+# linear and full layers' big matrices pack into shared per-layer slots
+# (they happen to match: wv↔wq, wz↔wgate, out_proj↔wo, shared MLP), and a
+# lax.cond picks the branch — only the taken branch's dot reads stream.
+# TP serving keeps the grouped layout (packing would split sharded head
+# axes across pack boundaries); this layout is built once at load when
+# tp == 1 (make_runtime(flat_decode=True)).
+
+
+def _union_dims(cfg: Qwen35Config):
+    qd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_key_value_heads * cfg.head_dim
+    w1 = max(cfg.value_dim, qd)
+    w3 = max(2 * cfg.key_dim, 2 * kvd)
+    m = max(cfg.linear_value_head_dim, cfg.head_dim)
+    return qd, kvd, w1, w3, m
+
+
+def to_union(cfg: Qwen35Config, params):
+    """Grouped params → flat union layout (one-time, at load).
+
+    CONSUMES ``params``: each grouped leaf is dropped right after its
+    union slot is built, so peak device memory stays ~one leaf above the
+    steady footprint (a full second copy OOMs a 16 GB chip — measured)."""
+    if "union" in params:
+        return params
+    p, G, pl_ = cfg.period, cfg.num_groups, cfg.period - 1
+    Lt = cfg.num_hidden_layers
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    kd, vd = cfg.key_dim, cfg.value_dim
+    Hv = cfg.linear_num_value_heads
+    K, C = cfg.linear_conv_kernel_dim, cfg.conv_dim
+    qd, kvd, w1, w3, m = _union_dims(cfg)
+    lin, full = dict(params["lin"]), dict(params["full"])
+    params["lin"].clear()
+    params["full"].clear()
+    lin_rows = np.asarray([g * p + j for g in range(G) for j in range(pl_)])
+    full_rows = np.asarray([g * p + (p - 1) for g in range(G)])
+
+    def is_q(w):
+        return isinstance(w, dict)  # int8 {"q8","s"}
+
+    def pack2(lin_parts, full_parts, width, dtype=None):
+        """One [Lt, D_in, width] leaf from (col_offset, [G(,pl),in,out])
+        pieces. Handles int8 dict leaves (q8 packed per slot, s per col)."""
+        sample = lin_parts[0][1] if lin_parts else full_parts[0][1]
+        if is_q(sample):
+            q8 = pack2([(o, w["q8"]) for o, w in lin_parts],
+                       [(o, w["q8"]) for o, w in full_parts], width,
+                       jnp.int8)
+            s = jnp.zeros((Lt, width), jnp.float32)
+            for off, w in lin_parts:
+                s = s.at[lin_rows, off:off + w["s"].shape[-1]].set(
+                    w["s"].reshape(G * pl_, -1))
+            for off, w in full_parts:
+                s = s.at[full_rows, off:off + w["s"].shape[-1]].set(
+                    w["s"].reshape(G, -1))
+            return {"q8": q8, "s": s}
+        din = sample.shape[-2]
+        dt = dtype or sample.dtype
+        out = jnp.zeros((Lt, din, width), dt)
+        for off, w in lin_parts:
+            out = out.at[lin_rows, :, off:off + w.shape[-1]].set(
+                w.reshape(G * pl_, din, -1).astype(dt))
+        for off, w in full_parts:
+            out = out.at[full_rows, :, off:off + w.shape[-1]].set(
+                w.reshape(G, din, -1).astype(dt))
+        return out
+
+    def vec(lin_w, full_w, width, dtype=jnp.float32):
+        out = jnp.zeros((Lt, width), dtype)
+        if lin_w is not None:
+            for off, w in lin_w:
+                out = out.at[lin_rows, off:off + w.shape[-1]].set(
+                    w.reshape(G * pl_, -1).astype(dtype))
+        if full_w is not None:
+            for off, w in full_w:
+                out = out.at[full_rows, off:off + w.shape[-1]].set(
+                    w.reshape(G, -1).astype(dtype))
+        return out
+
+    dt_v = lin["input_ln"].dtype
+    u = {}
+    u["a1"] = pack2([(0, lin.pop("wv"))], [(0, full.pop("wq"))], w1)
+    u["a2"] = pack2([(0, lin.pop("wz"))], [(0, full.pop("wgate"))], w1)
+    u["a3"] = pack2([(0, lin.pop("wq")), (kd, lin.pop("wk"))],
+                    [(0, full.pop("wk")), (kvd, full.pop("wv"))], w3)
+    u["gu"] = pack2([(0, lin.pop("mlp_gate_up"))],
+                    [(0, full.pop("mlp_gate_up"))], 2 * I)
+    u["dn"] = pack2([(0, lin.pop("mlp_down"))],
+                    [(0, full.pop("mlp_down"))], cfg.hidden_size)
+    u["ba"] = pack2([(0, lin.pop("wb")), (Hv, lin.pop("wa"))], [], 2 * Hv)
+    u["input_ln"] = vec([(0, lin.pop("input_ln"))],
+                        [(0, full.pop("input_ln"))], D, dt_v)
+    u["post_ln"] = vec([(0, lin.pop("post_ln"))],
+                       [(0, full.pop("post_ln"))], D, dt_v)
+    u["nv"] = vec([(0, lin.pop("norm_w"))],
+                  [(0, full.pop("q_norm")), (m, full.pop("k_norm"))],
+                  2 * m, dt_v)
+    u["ad"] = vec([(0, lin.pop("A_log")), (Hv, lin.pop("dt_bias"))], None,
+                  2 * Hv)
+    u["conv_w"] = jnp.zeros((Lt, C, K), jnp.float32).at[lin_rows].set(
+        lin.pop("conv_w").reshape(G * pl_, C, K).astype(jnp.float32))
+    # a4 differs: input axis varies (lin vd-in, full qd-in), output D
+    op, wo = lin.pop("out_proj"), full.pop("wo")
+    if is_q(op):
+        q8 = jnp.zeros((Lt, w1, D), jnp.int8)
+        q8 = q8.at[lin_rows, :vd].set(op["q8"].reshape(G * pl_, vd, D))
+        q8 = q8.at[full_rows, :qd].set(wo["q8"])
+        s = jnp.zeros((Lt, D), jnp.float32)
+        s = s.at[lin_rows].set(op["s"].reshape(G * pl_, D))
+        s = s.at[full_rows].set(wo["s"].reshape(G, D))
+        u["a4"] = {"q8": q8, "s": s}
+    else:
+        a4 = jnp.zeros((Lt, w1, D), op.dtype)
+        a4 = a4.at[lin_rows, :vd].set(op.reshape(G * pl_, vd, D))
+        a4 = a4.at[full_rows, :qd].set(wo.reshape(G, qd, D))
+        del op, wo
+        u["a4"] = a4
+    return {
+        "embed": params["embed"],
+        "final_ln": params["final_ln"],
+        "lm_head": params["lm_head"],
+        "union": u,
+    }
+
+
+def _slice_w(w, in_sl=None, out_sl=None):
+    """Slice a (possibly int8-dict) weight on input/output axes."""
+    if isinstance(w, dict):
+        q8 = w["q8"]
+        s = w["s"]
+        if in_sl is not None:
+            q8 = q8[..., in_sl, :]
+        if out_sl is not None:
+            q8 = q8[..., out_sl]
+            s = s[..., out_sl]
+        return {"q8": q8, "s": s}
+    if in_sl is not None:
+        w = w[..., in_sl, :]
+    if out_sl is not None:
+        w = w[..., out_sl]
+    return w
+
+
+def _union_lw(cfg: Qwen35Config, u):
+    """Per-layer union slice → linear-layer weight dict (trace-time views)."""
+    kd, vd = cfg.key_dim, cfg.value_dim
+    Hv, dv = cfg.linear_num_value_heads, cfg.linear_value_head_dim
+    return {
+        "input_ln": u["input_ln"], "post_ln": u["post_ln"],
+        "wq": _slice_w(u["a3"], out_sl=slice(0, kd)),
+        "wk": _slice_w(u["a3"], out_sl=slice(kd, 2 * kd)),
+        "wv": _slice_w(u["a1"], out_sl=slice(0, vd)),
+        "wz": _slice_w(u["a2"], out_sl=slice(0, vd)),
+        "wb": _slice_w(u["ba"], out_sl=slice(0, Hv)),
+        "wa": _slice_w(u["ba"], out_sl=slice(Hv, 2 * Hv)),
+        "A_log": u["ad"][..., :Hv], "dt_bias": u["ad"][..., Hv:2 * Hv],
+        "conv_w": u["conv_w"],
+        "norm_w": u["nv"][..., :dv],
+        "out_proj": _slice_w(u["a4"], in_sl=slice(0, vd)),
+        "mlp_gate_up": u["gu"], "mlp_down": u["dn"],
+    }
+
+
+def _union_fw(cfg: Qwen35Config, u):
+    """Per-layer union slice → full-attention weight dict."""
+    qd, kvd, w1, w3, m = _union_dims(cfg)
+    return {
+        "input_ln": u["input_ln"], "post_ln": u["post_ln"],
+        "wq": _slice_w(u["a1"], out_sl=slice(0, qd)),
+        "wgate": _slice_w(u["a2"], out_sl=slice(0, qd)),
+        "wk": _slice_w(u["a3"], out_sl=slice(0, kvd)),
+        "wv": _slice_w(u["a3"], out_sl=slice(kvd, 2 * kvd)),
+        "q_norm": u["nv"][..., :cfg.head_dim],
+        "k_norm": u["nv"][..., m:m + cfg.head_dim],
+        "wo": _slice_w(u["a4"], in_sl=slice(0, qd)),
+        "mlp_gate_up": u["gu"], "mlp_down": u["dn"],
+    }
+
+
+def _grouped_view(cfg: Qwen35Config, params):
+    """Union params → the grouped pytree the prefill paths consume.
+
+    Pure reshapes + row/column slices of the union leaves (zero-copy until
+    consumed; prefill amortizes any residual materialization over its
+    chunk). Lets every non-decode path keep its existing grouped code."""
+    if "union" not in params:
+        return params
+    p, G = cfg.period, cfg.num_groups
+
+    def rows_lin(a):
+        if isinstance(a, dict):
+            return {k: rows_lin(v) for k, v in a.items()}
+        return a.reshape(G, p, *a.shape[1:])[:, :p - 1]
+
+    def rows_full(a):
+        if isinstance(a, dict):
+            return {k: rows_full(v) for k, v in a.items()}
+        return a.reshape(G, p, *a.shape[1:])[:, p - 1]
+
+    u = params["union"]
+    ulin = {k: rows_lin(v) for k, v in u.items()}
+    ufull = {k: rows_full(v) for k, v in u.items()}
+    lin = _union_lw(cfg, ulin)
+    full = _union_fw(cfg, ufull)
+    return {
+        "embed": params["embed"],
+        "lin": lin,
+        "full": full,
+        "final_ln": params["final_ln"],
+        "lm_head": params["lm_head"],
+    }
+
+
+def decode_wa_flat(cfg: Qwen35Config, params, state, pend, tokens, positions,
+                   page_tables, seq_lens, slots, use_pallas: bool = False):
+    """Write-ahead decode over the flat union layout: ONE scan over all
+    ``num_hidden_layers`` iterations, per-layer union slice as the xs (the
+    structure XLA's scan prefetch pipelines — see the section comment),
+    lax.cond dispatching the layer type. Semantics identical to the
+    grouped ``decode_wa`` (pinned by tests)."""
+    B = tokens.shape[0]
+    p = cfg.period
+    pl_ = p - 1
+    Lt = cfg.num_hidden_layers
+    page_size = state["kv"].shape[4]
+    state = flush_pend(state, pend, jnp.ones((B,), bool))
+    x = params["embed"][tokens]
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    page_ids = jnp.take_along_axis(
+        page_tables, (positions // page_size)[:, None], axis=1
+    )[:, 0]
+    pslots = positions % page_size
+    kv0, rec0, conv0 = state["kv"], state["rec"], state["conv"]
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    Hv, dk, dv = (cfg.linear_num_value_heads, cfg.linear_key_head_dim,
+                  cfg.linear_value_head_dim)
+    K, C = cfg.linear_conv_kernel_dim, cfg.conv_dim
+
+    def layer(x, xs):
+        li, u = xs
+        gi = li // p
+        j = jnp.minimum(li % p, pl_ - 1)  # clipped: full rows never read it
+        is_full = (li % p) == pl_
+
+        def lin_fn(x):
+            lw = _union_lw(cfg, u)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)
+            conv_rows = conv0[gi, j, slots]
+            y, conv_rows = gdn.causal_conv1d_step(mixed, lw["conv_w"], conv_rows)
+            q, k, v = _gdn_split_heads(cfg, y)
+            rec_rows = rec0[gi, j, slots]
+            out, rec_rows = gdn.gdn_step(q, k, v, g, beta, rec_rows)
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x = x + _proj(lw, "out_proj", out.reshape(B, -1))
+            kv_row = jnp.zeros((B, Hkv, 2, hd), kv0.dtype)
+            return x, kv_row, rec_rows, conv_rows
+
+        def full_fn(x):
+            fw = _union_fw(cfg, u)
+            h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+            q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+            if use_pallas:
+                from pegainfer_tpu.ops.pallas import paged_attention_decode
+
+                o = paged_attention_decode(
+                    q, kv0, kv0, page_tables, seq_lens, scale,
+                    cur_k=k, cur_v=v, layer_id=gi,
+                    fold_heads=page_tables.shape[1] * page_size >= 8192)
+            else:
+                layer_kv = lax.dynamic_index_in_dim(kv0, gi, axis=0,
+                                                    keepdims=False)
+                o = att.paged_attention_decode(
+                    q, layer_kv[:, :, 0], layer_kv[:, :, 1],
+                    page_tables, seq_lens, scale, cur_k=k, cur_v=v)
+            o = o.reshape(B, -1) * jax.nn.sigmoid(
+                gate.astype(jnp.float32)).astype(x.dtype)
+            x = x + _proj(fw, "wo", o)
+            kv_row = jnp.stack([k, v], axis=2).astype(kv0.dtype)
+            rec_rows = jnp.zeros((B, Hv, dk, dv), jnp.float32)
+            conv_rows = jnp.zeros((B, K, C), jnp.float32)
+            return x, kv_row, rec_rows, conv_rows
+
+        x, kv_row, rec_rows, conv_rows = lax.cond(is_full, full_fn, lin_fn, x)
+        # shared MLP (identical shapes both types — hoisted out of the cond)
+        h = rms_norm(x, u["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp({"mlp_gate_up": u["gu"], "mlp_down": u["dn"]}, h)
+        return x, (kv_row, rec_rows, conv_rows)
+
+    x, (kv_rows, rec_all, conv_all) = lax.scan(
+        layer, x,
+        (jnp.arange(Lt, dtype=jnp.int32), params["union"]),
+    )
+    G = cfg.num_groups
+    # re-slice the flat ys into the grouped pend format (flush unchanged)
+    pend = {
+        # full rows: [G, B, Hkv, 2, hd] → [B, G, Hkv, 2, hd]
+        "rows": kv_rows.reshape(G, p, B, Hkv, 2, hd)[:, p - 1]
+                .transpose(1, 0, 2, 3, 4),
+        "page_ids": page_ids,
+        "pslots": pslots,
+        "rec": rec_all.reshape(G, p, B, Hv, dk, dv)[:, :p - 1],
+        "conv": conv_all.reshape(G, p, B, K, C)[:, :p - 1],
+        "state_slots": slots,
+    }
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    logits = _proj(params, "lm_head", x).astype(jnp.float32)
+    return state, pend, logits
+
+
 def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
               page_tables, seq_lens, slots, use_pallas: bool = False):
     """One WRITE-AHEAD decode step (see qwen3.decode_wa for the rationale —
@@ -826,6 +1149,10 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
     scan only reads; this step's new rows return as ``pend``). Padding rows:
     seq_lens == 0 and slots == dead slot.
     Returns (state, pend', logits [B, V] f32)."""
+    if "union" in params:
+        return decode_wa_flat(cfg, params, state, pend, tokens, positions,
+                              page_tables, seq_lens, slots,
+                              use_pallas=use_pallas)
     B = tokens.shape[0]
     page_size = state["kv"].shape[4]
     state = flush_pend(state, pend, jnp.ones((B,), bool))
@@ -867,9 +1194,12 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
             from pegainfer_tpu.ops.pallas import paged_attention_decode
 
             # full-pool form: the kernel DMAs kv0[gi, h, page] directly
-            # (one DMA per page fetches the k/v-adjacent [2, ps, hd] block)
-            o = paged_attention_decode(q, kv0, kv0, page_tables, seq_lens,
-                                       scale, cur_k=k, cur_v=v, layer_id=gi)
+            # (one DMA per page fetches the k/v-adjacent [2, ps, hd] block);
+            # fold_heads at long context (see models/qwen3.py decode_wa)
+            o = paged_attention_decode(
+                q, kv0, kv0, page_tables, seq_lens, scale, cur_k=k, cur_v=v,
+                layer_id=gi,
+                fold_heads=page_tables.shape[1] * kv0.shape[-2] >= 8192)
         else:
             layer_kv = lax.dynamic_index_in_dim(kv0, gi, axis=0, keepdims=False)
             o = att.paged_attention_decode(q, layer_kv[:, :, 0],
@@ -883,9 +1213,21 @@ def decode_wa(cfg: Qwen35Config, params, state, pend, tokens, positions,
         return x, (k, v, jnp.stack(rec_new), jnp.stack(conv_new))
 
     G = cfg.num_groups
-    x, (k_all, v_all, rec_all, conv_all) = lax.scan(
-        group, x, (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"])
-    )
+    if os.environ.get("PEGAINFER_Q35_UNROLL") == "1":
+        # perf probe: unrolled groups let XLA schedule weight prefetch
+        # across group boundaries (scan bodies are scheduling barriers)
+        ys = []
+        for gi in range(G):
+            lin_g = jax.tree.map(lambda a: a[gi], params["lin"])
+            full_g = jax.tree.map(lambda a: a[gi], params["full"])
+            x, y = group(x, (jnp.int32(gi), lin_g, full_g))
+            ys.append(y)
+        k_all, v_all, rec_all, conv_all = (
+            jnp.stack([y[i] for y in ys]) for i in range(4))
+    else:
+        x, (k_all, v_all, rec_all, conv_all) = lax.scan(
+            group, x, (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"])
+        )
     # this step's new rows ride out as the pend record (value layouts:
     # batch dims jump to the FRONT when the advanced indices are separated
     # by a slice — kv case — and stay in place when adjacent — rec/conv)
@@ -971,10 +1313,16 @@ def cpend_restore(cpend, snap, slot: int):
 
 def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
                  max_slots: int = 64, kv_dtype=jnp.bfloat16,
-                 use_pallas=None):
+                 use_pallas=None, flat_decode: bool = False):
+    """``flat_decode``: convert params to the flat UNION layout once (the
+    single-device serving layout; decode streams ~2.4x faster — see the
+    union section). TP callers must keep the grouped layout (default):
+    the packed slots would split sharded head axes."""
     from pegainfer_tpu.engine.jax_executor import ModelRuntime
     from pegainfer_tpu.models.qwen3 import use_pallas_default
 
+    if flat_decode:
+        params = to_union(cfg, params)
     up = use_pallas_default() if use_pallas is None else use_pallas
     # Mosaic wants the DMA'd [page, head_dim] blocks lane-aligned
     up = up and cfg.head_dim % 128 == 0

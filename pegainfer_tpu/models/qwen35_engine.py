@@ -59,7 +59,10 @@ def start_engine(
     log.info("KV pool: %d pages x %d tokens", num_pages, page_size)
 
     runtime = q35.make_runtime(
-        cfg, params, num_pages, page_size, max_slots=opts.max_batch_size
+        cfg, params, num_pages, page_size, max_slots=opts.max_batch_size,
+        # flat UNION decode layout: 2.4x faster weight streaming on one
+        # device; TP must keep the grouped layout (models/qwen35.py)
+        flat_decode=(tp_size == 1),
     )
     if tp_size > 1:
         from pegainfer_tpu.parallel.sharding import MeshConfig, make_mesh, shard_qwen35

@@ -55,18 +55,43 @@ def _kernel(
     ps: int,
     has_cur: bool,
     pool_layout: bool,
+    fold_heads: bool = False,
 ):
     if pool_layout:
         q_ref, kv_hbm, cur_k_ref, cur_v_ref, o_ref, kv_buf, sem = refs
     else:
         q_ref, k_hbm, v_hbm, cur_k_ref, cur_v_ref, o_ref, k_buf, v_buf, sem = refs
     b = pl.program_id(0)
-    h = pl.program_id(1)
     seq_len = seq_lens_ref[b]
     past = jnp.maximum(seq_len - 1, 0) if has_cur else seq_len
     num_pages = jnp.maximum(pl.cdiv(past, ps), 0)
     num_chunks = pl.cdiv(num_pages, cp)
     li = layer_ref[0]
+
+    if fold_heads:
+        # ONE program per request: loop kv heads statically inside (on a
+        # single-tensor-core chip per-head grid programs buy no parallelism
+        # and each costs ~14 us of fixed program overhead — x8 heads x36
+        # layers ≈ 4 ms/step of pure overhead at short context, measured
+        # via scripts/paged_decode_probe.py; docs/PERF.md round 3)
+        for h in range(q_ref.shape[1]):
+            _head(tables_ref, seq_len, past, num_pages, num_chunks, li, b, h,
+                  refs, cp=cp, ps=ps, has_cur=has_cur,
+                  pool_layout=pool_layout, fold_heads=True)
+    else:
+        _head(tables_ref, seq_len, past, num_pages, num_chunks, li, b,
+              pl.program_id(1), refs, cp=cp, ps=ps, has_cur=has_cur,
+              pool_layout=pool_layout, fold_heads=False)
+
+
+def _head(tables_ref, seq_len, past, num_pages, num_chunks, li, b, h, refs, *,
+          cp: int, ps: int, has_cur: bool, pool_layout: bool,
+          fold_heads: bool):
+    if pool_layout:
+        q_ref, kv_hbm, cur_k_ref, cur_v_ref, o_ref, kv_buf, sem = refs
+    else:
+        q_ref, k_hbm, v_hbm, cur_k_ref, cur_v_ref, o_ref, k_buf, v_buf, sem = refs
+    hq = h if fold_heads else 0  # block index of this head in q/cur/o
 
     def start_chunk(ci, slot):
         base = ci * cp
@@ -121,7 +146,7 @@ def _kernel(
 
     start_chunk(0, 0)  # no-op when num_pages == 0 (guards inside)
 
-    q = q_ref[0, 0]  # [G, hd] f32
+    q = q_ref[0, hq]  # [G, hd] f32
     g, hd = q.shape
 
     def chunk_update(ci, slot, carry):
@@ -201,8 +226,8 @@ def _kernel(
         # current token's key/value from the in-flight tensors (one more
         # online-softmax update; live rows only)
         live = seq_len > 0
-        k_cur = cur_k_ref[0, 0, 0].astype(jnp.float32)  # [hd]
-        v_cur = cur_v_ref[0, 0, 0].astype(jnp.float32)
+        k_cur = cur_k_ref[0, hq, 0].astype(jnp.float32)  # [hd]
+        v_cur = cur_v_ref[0, hq, 0].astype(jnp.float32)
         s_cur = jnp.sum(q * k_cur[None, :], axis=1, keepdims=True)  # [G, 1]
         s_cur = jnp.where(live, s_cur, NEG_INF)
         m_new = jnp.maximum(m, s_cur)
@@ -213,11 +238,12 @@ def _kernel(
         acc = acc * corr + p_cur * v_cur[None, :]
 
     safe_l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = acc / safe_l
+    o_ref[0, hq] = acc / safe_l
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "chunk_pages", "interpret")
+    jax.jit,
+    static_argnames=("scale", "chunk_pages", "interpret", "fold_heads"),
 )
 def paged_attention_decode(
     q: jax.Array,  # [B, Hq, hd]
@@ -228,6 +254,9 @@ def paged_attention_decode(
     scale: float,
     chunk_pages: int = DEFAULT_CHUNK_PAGES,
     interpret: bool = False,
+    fold_heads: bool = False,  # ONE program per request, kv heads looped
+                               # inside — kills the ~14 us/program fixed
+                               # cost that dominates short-context decode
     cur_k=None,  # [B, Hkv, hd] — current token's k/v from the in-flight
     cur_v=None,  # tensors (pages then hold only the first seq_len-1 tokens)
     layer_id=None,  # int32 scalar: k/v_pages are the full k/v-adjacent pool
@@ -264,8 +293,16 @@ def paged_attention_decode(
         cur_k = cur_k[:, :, None, :]
         cur_v = cur_v[:, :, None, :]
 
-    cur_spec = pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0))
-    q_spec = pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0))
+    if fold_heads:
+        cur_spec = pl.BlockSpec((1, Hkv, 1, hd), lambda b, *_: (b, 0, 0, 0))
+        q_spec = pl.BlockSpec((1, Hkv, G, hd), lambda b, *_: (b, 0, 0, 0))
+        grid = (B,)
+        out_spec = pl.BlockSpec((1, Hkv, G, hd), lambda b, *_: (b, 0, 0, 0))
+    else:
+        cur_spec = pl.BlockSpec((1, 1, 1, hd), lambda b, h, *_: (b, h, 0, 0))
+        q_spec = pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0))
+        grid = (B, Hkv)
+        out_spec = pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0))
     if pool_layout:
         # pass the pool ONCE (duplicating one buffer across two operands can
         # force XLA to materialize a second copy of the multi-GB pool)
@@ -291,12 +328,12 @@ def paged_attention_decode(
         ]
     out = pl.pallas_call(
         functools.partial(_kernel, cp=cp, ps=ps, has_cur=has_cur,
-                          pool_layout=pool_layout),
+                          pool_layout=pool_layout, fold_heads=fold_heads),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, Hkv),
+            grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, h, *_: (b, h, 0, 0)),
+            out_specs=out_spec,
             scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, hd), jnp.float32),

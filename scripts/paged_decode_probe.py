@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--hd", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--chunk-pages", type=int, default=8)
+    ap.add_argument("--fold-heads", action="store_true")
     args = ap.parse_args()
 
     B, Hq, Hkv, hd, ps, L = (args.batch, args.hq, args.hkv, args.hd,
@@ -53,7 +54,8 @@ def main() -> None:
             li, ql = inputs
             o = paged_attention_decode(
                 ql, pool, pool, tables, seq_lens, scale,
-                chunk_pages=args.chunk_pages, layer_id=li)
+                chunk_pages=args.chunk_pages, layer_id=li,
+                fold_heads=args.fold_heads)
             return acc + o.astype(jnp.float32).sum(), None
 
         acc, _ = jax.lax.scan(
@@ -68,7 +70,7 @@ def main() -> None:
     _ = np.asarray(out)
     ms = (time.perf_counter() - t0) / args.iters * 1e3
     gb = args.ctx * L * Hkv * hd * 2 * 2 * B / 1e9
-    print(f"ctx={args.ctx} ps={ps} cp={args.chunk_pages} B={B}: "
+    print(f"ctx={args.ctx} ps={ps} cp={args.chunk_pages} B={B} fold={args.fold_heads}: "
           f"{ms:.2f} ms for {L} layers  ({gb:.2f} GB -> {gb / ms * 1e3:.0f} GB/s)",
           flush=True)
 
