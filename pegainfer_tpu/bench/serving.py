@@ -282,7 +282,7 @@ def _build_engine(args):
             params = q35.quantize_params_int8(params)
         runtime = q35.make_runtime(cfg, params,
                                    num_pages=args.max_num_pages or 192,
-                                   page_size=64)
+                                   page_size=64, flat_decode=True)
         return (
             start_scheduler(JaxExecutor(runtime, opts)),
             cfg.vocab_size,

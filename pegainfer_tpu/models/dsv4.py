@@ -499,17 +499,31 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
 
         order = jnp.argsort(flat_e)
         src_t = flat_t[order]
-        xs = x.astype(jnp.float32)[src_t]  # [M, D] in expert order
         group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
         dn = lax.RaggedDotDimensionNumbers(
             dot_dimension_numbers=(((1,), (2,)), ((), ())),
             lhs_ragged_dimensions=[0],
             rhs_group_dimensions=[0],
         )
-        ge = lax.ragged_dot_general(xs, w_f32(lw["experts_w1"]), group_sizes, dn)
-        ue = lax.ragged_dot_general(xs, w_f32(lw["experts_w3"]), group_sizes, dn)
-        act = swiglu(ge, ue)  # [M, I]
-        per = lax.ragged_dot_general(act, w_f32(lw["experts_w2"]), group_sizes, dn)
+
+        # bf16 dequant (exact: E2M1/E4M3 values x pow2 scales are bf16-
+        # representable) — an f32 materialization of the full expert stacks
+        # doubles the per-layer HBM bytes at real 256-expert scale
+        def w_bf16(w):
+            return (quant.dequant_any(w, jnp.bfloat16)
+                    if quant.is_quantized(w) else w.astype(jnp.bfloat16))
+
+        xs = x.astype(jnp.bfloat16)[src_t]  # [M, D] in expert order
+        ge = lax.ragged_dot_general(
+            xs, w_bf16(lw["experts_w1"]), group_sizes, dn,
+            preferred_element_type=jnp.float32)
+        ue = lax.ragged_dot_general(
+            xs, w_bf16(lw["experts_w3"]), group_sizes, dn,
+            preferred_element_type=jnp.float32)
+        act = swiglu(ge, ue)  # [M, I] f32
+        per = lax.ragged_dot_general(
+            act.astype(jnp.bfloat16), w_bf16(lw["experts_w2"]),
+            group_sizes, dn, preferred_element_type=jnp.float32)
         per = per * flat_w[order][:, None]
         routed = jnp.zeros((T, x.shape[1]), jnp.float32).at[src_t].add(per)
     else:

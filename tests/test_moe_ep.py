@@ -189,8 +189,9 @@ def test_engine_path_moe_ep_a2a():
 
 
 def test_engine_path_moe_ep_prefill_logits_close():
-    """Runtime-level: prefill logits with EP on vs off agree to f32
-    reduction-order tolerance."""
+    """Runtime-level: prefill logits with EP on vs off agree to bf16
+    tolerance (the non-EP grouped path dequantizes/computes routed experts
+    in bf16 — round 3; the EP shard_map path keeps f32 GEMMs)."""
     from pegainfer_tpu.models import dsv4, dsv4_engine
 
     cfg = _tiny_dsv4_cfg()
@@ -211,7 +212,7 @@ def test_engine_path_moe_ep_prefill_logits_close():
             dsv4.clear_moe_ep()
 
     np.testing.assert_allclose(logits(True), logits(False),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=3e-2, atol=3e-2)
 
 
 def test_engine_path_moe_ep2():
