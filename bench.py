@@ -197,8 +197,15 @@ def main():
 
         cfg = dsv4_smoke_config() if smoke else dsv4_scaled_config()
         params = dsv4.init_random_params(cfg, seed=0)
-        runtime = mk_dsv4(cfg, params, max_model_len=2048, max_slots=2)
         metric_base = "dsv4_scaled"
+        if quant == "resident":
+            # quantized-resident serving (fp8 containers + packed fp4
+            # experts) with the fused Pallas dequant-GEMV on the decode
+            # routed experts — the production DSv4 mode
+            params = dsv4.quantize_params_resident(params)
+            dsv4.set_fp4_kernel(jax.default_backend() == "tpu")
+            metric_base = "dsv4_scaled_resident"
+        runtime = mk_dsv4(cfg, params, max_model_len=2048, max_slots=2)
         baseline = BASELINE_TPOT_MS  # no like-for-like reference at this scale
     else:
         cfg = smoke_config() if smoke else qwen3_4b_config()
@@ -214,6 +221,8 @@ def main():
         okw["decode_block"] = int(os.environ["PEGAINFER_BENCH_DECODE_BLOCK"])
     if os.environ.get("PEGAINFER_BENCH_MAX_BATCH"):
         okw["max_batch_size"] = int(os.environ["PEGAINFER_BENCH_MAX_BATCH"])
+    if os.environ.get("PEGAINFER_BENCH_DECODE_BLOCK_MAX"):
+        okw["decode_block_max"] = int(os.environ["PEGAINFER_BENCH_DECODE_BLOCK_MAX"])
     ex = JaxExecutor(runtime, EngineLoadOptions(**okw))
     handle = start_scheduler(ex)
     note("params + runtime built; scheduler up")
@@ -270,7 +279,8 @@ def main():
         times = [d / blocks for d in block_deltas]
     else:
         times = [tpot_p50]
-    metric = (f"{metric_base}_decode_tpot_p50_ms" if not quant
+    metric = (f"{metric_base}_decode_tpot_p50_ms"
+              if not quant or quant == "resident"
               else f"{metric_base}_{quant}_decode_tpot_p50_ms")
     result = {
         "metric": metric,
