@@ -203,7 +203,10 @@ def main():
             # experts) with the fused Pallas dequant-GEMV on the decode
             # routed experts — the production DSv4 mode
             params = dsv4.quantize_params_resident(params)
-            dsv4.set_fp4_kernel(jax.default_backend() == "tpu")
+            on_tpu = jax.default_backend() == "tpu"
+            dsv4.set_fp4_kernel(on_tpu)
+            from pegainfer_tpu.ops import quant as quant_mod
+            quant_mod.set_fp8_kernel(on_tpu)
             metric_base = "dsv4_scaled_resident"
         runtime = mk_dsv4(cfg, params, max_model_len=2048, max_slots=2)
         baseline = BASELINE_TPOT_MS  # no like-for-like reference at this scale

@@ -189,7 +189,11 @@ def start_engine(
     )
     dsv4.set_fp4_kernel(use_fp4_kernel)
     if use_fp4_kernel:
-        log.info("DSv4 decode MoE: fused Pallas FP4 dequant-GEMV enabled")
+        from pegainfer_tpu.ops import quant as quant_mod
+
+        quant_mod.set_fp8_kernel(True)  # dense fp8 linears too
+        log.info("DSv4 decode: fused Pallas FP4 expert + FP8 linear "
+                 "dequant-GEMVs enabled")
     max_slots = min(opts.max_batch_size, 2)  # reference serves bs<=2
     runtime = make_runtime(
         cfg, params,

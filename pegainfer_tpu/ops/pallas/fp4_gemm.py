@@ -98,6 +98,94 @@ def fp4_gemv_supported(q: jax.Array, s: jax.Array, out_tile: int = 256) -> bool:
     )
 
 
+# ── FP8 dense-linear GEMV ────────────────────────────────────────────────
+# The DSv4 dense projections (wq_a/wq_b/wkv/wo_b/shared experts/indexer)
+# are E4M3 with 128x128-block E8M0 scales. Through XLA the dequant does
+# not stay fused into the dot (measured 1.01x vs bf16 — the convert
+# materializes bf16 bytes); here the f8 bytes stream HBM→VMEM once and
+# convert + scale in-kernel (reference: deepseek_fp8_linear_cuda TileLang,
+# deepseek_quant.cu). Decode-shaped (small M); prefill keeps XLA (the
+# dequant amortizes over the chunk there).
+
+
+def _fp8_kernel(xcol_ref, q_ref, s_ref, o_ref, *, ri: int):
+    m = pl.program_id(1)
+    qb = q_ref[:].astype(jnp.bfloat16)  # [TO, IN] (hw convert)
+    to, in_d = qb.shape
+    sb = s_ref[:]  # [TO, Si] bf16 — rows pre-expanded by the caller
+    si = sb.shape[1]
+    # exact one-hot COLUMN expansion (see _kernel: the reshape /
+    # minor-dim element-repeat forms are rejected by Mosaic)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (si, in_d), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (si, in_d), 1) // ri
+    srep = jax.lax.dot_general(
+        sb, (gi == ji).astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TO, IN]
+    w = (qb.astype(jnp.float32) * srep).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        w, xcol_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TO, 1]
+    o_ref[0, m, :] = acc[:, 0]
+
+
+def fp8_gemv_supported(q: jax.Array, s: jax.Array, x: jax.Array,
+                       out_tile: int = 256, max_rows: int = 8) -> bool:
+    if q.ndim != 2 or x.ndim != 2 or x.shape[0] > max_rows:
+        return False
+    OUT, IN = q.shape
+    So, Si = s.shape
+    TO = min(out_tile, OUT)
+    return (
+        IN % 128 == 0 and OUT % TO == 0 and TO % 32 == 0
+        and OUT % So == 0 and IN % Si == 0 and TO % (OUT // So) == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def fp8_gemv(
+    x: jax.Array,  # [M, IN] activations (small M — decode)
+    q: jax.Array,  # [OUT, IN] float8_e4m3fn
+    s: jax.Array,  # [So, Si] bf16 block scales (OUT/So x IN/Si blocks)
+    out_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = x @ dequant(q, s).T — [M, OUT] f32; weight bytes stream as f8.
+
+    Grid is (o-tiles, M) with m inner: the o-tile's weight block is
+    fetched once and revisited for every row, so weight traffic is
+    independent of M."""
+    M, IN = x.shape
+    OUT, _ = q.shape
+    So, Si = s.shape
+    ro, ri = OUT // So, IN // Si
+    TO = min(out_tile, OUT)
+    GO = OUT // TO
+    Mp = -(-M // 8) * 8
+    xcol = x.astype(jnp.bfloat16)[..., None]  # [M, IN, 1]
+    # row-expand scales to per-row granularity OUTSIDE the kernel (tiny —
+    # ≤ weights/32 bytes; a dynamic sublane slice of the sub-8x128 scale
+    # grid inside the kernel is rejected by Mosaic)
+    s_rows = jnp.repeat(s.astype(jnp.bfloat16), ro, axis=0)  # [OUT, Si]
+
+    out = pl.pallas_call(
+        functools.partial(_fp8_kernel, ri=ri),
+        grid_spec=pl.GridSpec(
+            grid=(GO, M),
+            in_specs=[
+                pl.BlockSpec((1, IN, 1), lambda o, m: (m, 0, 0)),
+                pl.BlockSpec((TO, IN), lambda o, m: (o, 0)),
+                pl.BlockSpec((TO, Si), lambda o, m: (o, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Mp, TO), lambda o, m: (o, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((GO, Mp, TO), jnp.float32),
+        interpret=interpret,
+    )(xcol, q, s_rows)
+    return out.swapaxes(0, 1).reshape(Mp, OUT)[:M]
+
+
 @functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
 def moe_fp4_gemv(
     x: jax.Array,  # [M, IN] f32/bf16 activations

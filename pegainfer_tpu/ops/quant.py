@@ -243,10 +243,32 @@ def dequant_any(w, dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * sfull).astype(dtype)
 
 
+# Fused FP8 dequant-GEMV for decode-shaped dense linears (ops/pallas/
+# fp4_gemm.fp8_gemv): engine-set like dsv4.set_fp4_kernel — single-device
+# TPU resident serving; "interpret" for CPU tests.
+_FP8_KERNEL = False
+
+
+def set_fp8_kernel(on) -> None:
+    global _FP8_KERNEL
+    _FP8_KERNEL = on
+
+
 def qlinear(x: jax.Array, w) -> jax.Array:
     """y = x @ W.T where W is a plain [out, in] array or a {"q","s"}
-    container (dequantized on the fly in the latter case)."""
+    container (dequantized on the fly in the latter case; decode-shaped
+    fp8 containers take the fused Pallas GEMV when enabled — the XLA
+    dequant does not keep the f8 bytes fused into the dot)."""
     if is_quantized(w):
+        if _FP8_KERNEL and w["q"].dtype == F8 and x.ndim == 2:
+            from pegainfer_tpu.ops.pallas.fp4_gemm import (
+                fp8_gemv, fp8_gemv_supported,
+            )
+
+            if fp8_gemv_supported(w["q"], w["s"], x):
+                y = fp8_gemv(x, w["q"], w["s"],
+                             interpret=_FP8_KERNEL == "interpret")
+                return y.astype(x.dtype)
         return x @ dequant_any(w, x.dtype).T
     return x @ w.T
 

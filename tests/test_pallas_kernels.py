@@ -301,3 +301,61 @@ def test_dsv4_decode_fp4_kernel_path():
     np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
                                rtol=0, atol=2e-2)
     assert int(jnp.argmax(lg_k[0])) == int(jnp.argmax(lg_x[0]))
+
+
+@pytest.mark.parametrize("OUT,IN,block", [(256, 256, 128), (512, 384, 128),
+                                          (256, 256, 256)])
+def test_fp8_gemv_matches_oracle(OUT, IN, block):
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas.fp4_gemm import fp8_gemv, fp8_gemv_supported
+
+    rng = np.random.default_rng(OUT + IN)
+    w = rng.standard_normal((OUT, IN)).astype(np.float32) * 0.1
+    cont = quant.quantize_fp8_tensor(w, block=block)
+    x = jnp.asarray(rng.standard_normal((3, IN)).astype(np.float32))
+    assert fp8_gemv_supported(cont["q"], cont["s"], x)
+    y = fp8_gemv(x, cont["q"], cont["s"], interpret=True)
+    wd = quant.dequant_any(cont, jnp.bfloat16)
+    y_ref = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), wd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_dsv4_decode_fp8_kernel_path():
+    """DSv4 decode with BOTH fused kernels (fp4 experts + fp8 dense
+    linears, interpret) == the XLA fallback."""
+    from pegainfer_tpu.models import dsv4
+    from pegainfer_tpu.ops import quant
+
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=256, moe_inter_dim=256, n_layers=2,
+        num_attention_heads=8, head_dim=32, q_lora_rank=256,
+        qk_rope_head_dim=16, o_groups=8, o_lora_rank=32, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=32, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.quantize_params_resident(
+        dsv4.init_random_params(cfg, seed=9, dtype=jnp.float32, scale=0.08)
+    )
+    toks = jnp.asarray([3, 17, 42, 9, 88], jnp.int32)
+    state = dsv4.make_state(cfg, 1, 16)
+    _, st = dsv4.prefill(cfg, params, toks, state=state, slot=jnp.int32(0))
+    step = jnp.asarray([7], jnp.int32)
+    pos = jnp.asarray([5], jnp.int32)
+    slots = jnp.asarray([0], jnp.int32)
+    try:
+        dsv4.set_fp4_kernel("interpret")
+        quant.set_fp8_kernel("interpret")
+        _, lg_k = dsv4.decode(cfg, params, st, step, pos, slots)
+    finally:
+        dsv4.set_fp4_kernel(False)
+        quant.set_fp8_kernel(False)
+    _, lg_x = dsv4.decode(cfg, params, st, step, pos, slots)
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
+                               rtol=0, atol=5e-2)
+    assert int(jnp.argmax(lg_k[0])) == int(jnp.argmax(lg_x[0]))
