@@ -544,7 +544,13 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
     clamped to T for short prompts); slot: scalar int32.
     Returns (state, last_logits [V] f32, all_logits|None).
     """
-    params = _grouped_view(cfg, params)
+    if "union" in params and os.environ.get(
+            "PEGAINFER_Q35_PREFILL", "flat") == "flat":
+        return prefill_flat(cfg, params, state, tokens, seq_len, page_table,
+                            slot, return_all_logits=return_all_logits,
+                            gdn_chunk_size=gdn_chunk_size,
+                            use_pallas=use_pallas)
+    wxs, lw_at, fw_of = _group_xs(cfg, params)
     T = tokens.shape[0]
     x = params["embed"][tokens]
     positions = jnp.arange(T, dtype=jnp.int32)
@@ -557,12 +563,12 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
     # GDN starts from zero state) — keep it out of the scan; one dus chain
     # per array after (in place on donated buffers, docs/PERF.md).
     def group(x, inputs):
-        gi, lin_g, full_g = inputs
+        gi, wg = inputs
         S_new, conv_new = [], []
 
         # (p-1) linear layers
         for j in range(cfg.period - 1):
-            lw = jax.tree.map(lambda a: a[j], lin_g)
+            lw = lw_at(wg, j)
             h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
             mixed, z, g, beta = _gdn_project(cfg, lw, h)
             y, conv_state = gdn.causal_conv1d(mixed, lw["conv_w"], seq_len)
@@ -583,7 +589,7 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
             x = x + _mlp(lw, h)
 
         # full-attention layer
-        fw = full_g
+        fw = fw_of(wg)
         h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
         q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
         if use_pallas and T % 128 == 0:
@@ -600,7 +606,7 @@ def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
 
     G = cfg.num_groups
     x, (k_all, v_all, S_all, conv_all) = lax.scan(
-        group, x, (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"])
+        group, x, (jnp.arange(G, dtype=jnp.int32), wxs)
     )
     from pegainfer_tpu.models.qwen3 import _write_pages
 
@@ -667,7 +673,13 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
     past; this chunk's pages + GDN/conv state return as the new cpend.
     tokens: [Tc] (Tc % page_size == 0, start_pos % page_size == 0).
     Returns (state, cpend', last_logits [V] f32)."""
-    params = _grouped_view(cfg, params)
+    if "union" in params and os.environ.get(
+            "PEGAINFER_Q35_PREFILL", "flat") == "flat":
+        return prefill_chunk_wa_flat(
+            cfg, params, state, cpend, tokens, start_pos, valid, page_table,
+            slot, gdn_chunk_size=gdn_chunk_size, use_pallas=use_pallas,
+            return_all_logits=return_all_logits)
+    wxs, lw_at, fw_of = _group_xs(cfg, params)
     Tc = tokens.shape[0]
     page_size = state["kv"].shape[4]
     chunk_sz = min(gdn_chunk_size, Tc)
@@ -685,11 +697,11 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
     kv0, rec0, conv0 = state["kv"], state["rec"], state["conv"]
 
     def group(x, inputs):
-        gi, lin_g, full_g = inputs
+        gi, wg = inputs
         S_new, conv_new = [], []
 
         for j in range(cfg.period - 1):
-            lw = jax.tree.map(lambda a: a[j], lin_g)
+            lw = lw_at(wg, j)
             h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
             mixed, z, g, beta = _gdn_project(cfg, lw, h)
             # first chunk must not see a recycled slot's stale state
@@ -710,7 +722,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
             h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
             x = x + _mlp(lw, h)
 
-        fw = full_g
+        fw = fw_of(wg)
         h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
         q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
         hd = q.shape[2]
@@ -735,7 +747,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
 
     G = cfg.num_groups
     x, (k_all, v_all, S_all, conv_all) = lax.scan(
-        group, x, (jnp.arange(G, dtype=jnp.int32), params["lin"], params["full"])
+        group, x, (jnp.arange(G, dtype=jnp.int32), wxs)
     )
     Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
     nPc = Tc // page_size
@@ -772,6 +784,213 @@ def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
     )
     state = flush_chunk_pend(state, cpend)
     return state, last
+
+
+# ── Flat-union prefill ───────────────────────────────────────────────────
+#
+# Same structure as decode_wa_flat: ONE scan over all layers with the
+# per-layer union slice as the xs — the only form XLA's scan prefetch
+# pipelines (multi-layer xs slices, grouped OR union, measured 244-250 GB/s
+# vs 599-712 flat; docs/PERF.md round-3 union section). For prefill the
+# win is overlap: each layer's ~230 MB weight stream hides under the
+# previous layer's token-parallel GEMMs instead of serializing with them.
+
+
+def prefill_flat(cfg: Qwen35Config, params, state, tokens, seq_len,
+                 page_table, slot, return_all_logits: bool = False,
+                 gdn_chunk_size: int = 64, use_pallas: bool = False):
+    """Single-shot prefill over the flat union layout.
+
+    Semantics identical to ``prefill`` on grouped params (pinned by
+    tests/test_qwen35_flat.py); state handling unchanged — write-only,
+    landed by one dus chain per array after the scan."""
+    p, pl_ = cfg.period, cfg.period - 1
+    G, Lt = cfg.num_groups, cfg.num_hidden_layers
+    T = tokens.shape[0]
+    x = params["embed"][tokens]
+    positions = jnp.arange(T, dtype=jnp.int32)
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    valid = (positions < seq_len)[:, None]
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    Hv, dk, dv = (cfg.linear_num_value_heads, cfg.linear_key_head_dim,
+                  cfg.linear_value_head_dim)
+    K, C = cfg.linear_conv_kernel_dim, cfg.conv_dim
+
+    def layer(x, xs):
+        li, u = xs
+        is_full = (li % p) == pl_
+
+        def lin_fn(x):
+            lw = _union_lw(cfg, u)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)
+            y, conv_state = gdn.causal_conv1d(mixed, lw["conv_w"], seq_len)
+            q, k, v = _gdn_split_heads(cfg, y)
+            g = jnp.where(valid, g, 0.0)
+            beta = jnp.where(valid, beta, 0.0)
+            S0 = jnp.zeros((Hv, dk, dv), jnp.float32)
+            out, S = gdn.gdn_chunk(q, k, v, g, beta, S0,
+                                   chunk=min(gdn_chunk_size, T))
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x2 = x + _proj(lw, "out_proj", out.reshape(T, -1))
+            kv_row = jnp.zeros((T, Hkv, 2, hd), x.dtype)
+            return x2, kv_row, S, conv_state
+
+        def full_fn(x):
+            fw = _union_fw(cfg, u)
+            h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+            q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+            if use_pallas and T % 128 == 0:
+                from pegainfer_tpu.ops.pallas import flash_prefill
+
+                o = flash_prefill(q, k, v, seq_len, scale)
+            else:
+                o = att.prefill_attention(q, k, v, seq_len, scale)
+            o = o.reshape(T, -1) * jax.nn.sigmoid(
+                gate.astype(jnp.float32)).astype(x.dtype)
+            x2 = x + _proj(fw, "wo", o)
+            kv_row = jnp.stack([k, v], axis=2).astype(x.dtype)
+            S = jnp.zeros((Hv, dk, dv), jnp.float32)
+            conv_state = jnp.zeros((K, C), jnp.float32)
+            return x2, kv_row, S, conv_state
+
+        x, kv_row, S, conv_state = lax.cond(is_full, full_fn, lin_fn, x)
+        h = rms_norm(x, u["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp({"mlp_gate_up": u["gu"], "mlp_down": u["dn"]}, h)
+        return x, (kv_row, S, conv_state)
+
+    x, (kv_rows, S_flat, conv_flat) = lax.scan(
+        layer, x, (jnp.arange(Lt, dtype=jnp.int32), params["union"]))
+
+    kvr = kv_rows.reshape(G, p, T, Hkv, 2, hd)[:, p - 1]
+    k_all, v_all = kvr[..., 0, :], kvr[..., 1, :]
+    S_all = S_flat.reshape(G, p, Hv, dk, dv)[:, :pl_]
+    conv_all = conv_flat.reshape(G, p, K, C)[:, :pl_]
+
+    from pegainfer_tpu.models.qwen3 import _write_pages
+
+    kv = _write_pages(state["kv"], k_all, v_all, page_table)
+    rec = lax.dynamic_update_slice(
+        state["rec"], S_all[:, :, None], (0, 0, slot, 0, 0, 0))
+    conv = lax.dynamic_update_slice(
+        state["conv"], conv_all[:, :, None], (0, 0, slot, 0, 0))
+    state = {"kv": kv, "rec": rec, "conv": conv}
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if return_all_logits:
+        all_logits = _proj(params, "lm_head", x).astype(jnp.float32)
+        return state, all_logits[seq_len - 1], all_logits
+    last = _proj(params, "lm_head", x[seq_len - 1][None, :])[0].astype(jnp.float32)
+    return state, last, None
+
+
+def prefill_chunk_wa_flat(cfg: Qwen35Config, params, state, cpend, tokens,
+                          start_pos, valid, page_table, slot,
+                          gdn_chunk_size: int = 64, use_pallas: bool = False,
+                          return_all_logits: bool = False):
+    """Write-ahead chunked prefill over the flat union layout (see
+    ``prefill_chunk_wa`` for the protocol; structure per the section
+    comment)."""
+    p, pl_ = cfg.period, cfg.period - 1
+    G, Lt = cfg.num_groups, cfg.num_hidden_layers
+    Tc = tokens.shape[0]
+    page_size = state["kv"].shape[4]
+    chunk_sz = min(gdn_chunk_size, Tc)
+    state = flush_chunk_pend(state, cpend)
+    x = params["embed"][tokens]
+    positions = start_pos + jnp.arange(Tc, dtype=jnp.int32)
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    local = jnp.arange(Tc, dtype=jnp.int32)
+    valid_mask = (local < valid)[:, None]
+    first_page = start_pos // page_size
+    P = page_table.shape[0]
+    S_len = P * page_size
+    kv0, rec0, conv0 = state["kv"], state["rec"], state["conv"]
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    Hv, dk, dv = (cfg.linear_num_value_heads, cfg.linear_key_head_dim,
+                  cfg.linear_value_head_dim)
+    K, C = cfg.linear_conv_kernel_dim, cfg.conv_dim
+
+    def layer(x, xs):
+        li, u = xs
+        gi = li // p
+        j = jnp.minimum(li % p, pl_ - 1)  # clipped: full rows never read it
+        is_full = (li % p) == pl_
+
+        def lin_fn(x):
+            lw = _union_lw(cfg, u)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)
+            fresh = (start_pos > 0)
+            prev_conv = jnp.where(fresh, conv0[gi, j, slot], 0.0)
+            y, conv_state = gdn.causal_conv1d_cont(
+                mixed, lw["conv_w"], prev_conv, valid)
+            q, k, v = _gdn_split_heads(cfg, y)
+            g = jnp.where(valid_mask, g, 0.0)
+            beta = jnp.where(valid_mask, beta, 0.0)
+            S0 = jnp.where(fresh, rec0[gi, j, slot], 0.0)
+            out, S = gdn.gdn_chunk(q, k, v, g, beta, S0, chunk=chunk_sz)
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x2 = x + _proj(lw, "out_proj", out.reshape(Tc, -1))
+            kv_row = jnp.zeros((Tc, Hkv, 2, hd), x.dtype)
+            return x2, kv_row, S, conv_state
+
+        def full_fn(x):
+            fw = _union_fw(cfg, u)
+            h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+            q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+            kv_seq = kv0[gi, :, page_table]
+            k_seq = kv_seq[:, :, 0].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+            v_seq = kv_seq[:, :, 1].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+            k_seq = lax.dynamic_update_slice(
+                k_seq, k.astype(k_seq.dtype), (start_pos, 0, 0))
+            v_seq = lax.dynamic_update_slice(
+                v_seq, v.astype(v_seq.dtype), (start_pos, 0, 0))
+            if use_pallas:
+                from pegainfer_tpu.ops.pallas import flash_attention
+
+                o = flash_attention(q, k_seq, v_seq, start_pos + valid,
+                                    start_pos, scale)
+            else:
+                o = att.chunk_attention_seq(q, k_seq, v_seq, start_pos, scale)
+            o = o.reshape(Tc, -1) * jax.nn.sigmoid(
+                gate.astype(jnp.float32)).astype(x.dtype)
+            x2 = x + _proj(fw, "wo", o)
+            kv_row = jnp.stack([k, v], axis=2).astype(x.dtype)
+            S = jnp.zeros((Hv, dk, dv), jnp.float32)
+            conv_state = jnp.zeros((K, C), jnp.float32)
+            return x2, kv_row, S, conv_state
+
+        x, kv_row, S, conv_state = lax.cond(is_full, full_fn, lin_fn, x)
+        h = rms_norm(x, u["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp({"mlp_gate_up": u["gu"], "mlp_down": u["dn"]}, h)
+        return x, (kv_row, S, conv_state)
+
+    x, (kv_rows, S_flat, conv_flat) = lax.scan(
+        layer, x, (jnp.arange(Lt, dtype=jnp.int32), params["union"]))
+
+    kvr = kv_rows.reshape(G, p, Tc, Hkv, 2, hd)[:, p - 1]
+    S_all = S_flat.reshape(G, p, Hv, dk, dv)[:, :pl_]
+    conv_all = conv_flat.reshape(G, p, K, C)[:, :pl_]
+    nPc = Tc // page_size
+    rows = (
+        kvr.transpose(3, 0, 1, 2, 4)  # [2, G, Tc, Hkv, hd]
+        .reshape(2, G, nPc, page_size, Hkv, hd)
+        .transpose(2, 1, 4, 0, 3, 5)
+        .astype(kv0.dtype)
+    )
+    chunk_table = lax.dynamic_slice_in_dim(page_table, first_page, nPc)
+    cpend = {"rows": rows, "pages": chunk_table, "rec": S_all,
+             "conv": conv_all, "slot": slot}
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    if return_all_logits:
+        all_logits = _proj(params, "lm_head", x).astype(jnp.float32)
+        return state, cpend, all_logits[valid - 1], all_logits
+    last = _proj(params, "lm_head", x[valid - 1][None, :])[0].astype(jnp.float32)
+    return state, cpend, last
 
 
 # ── Batched decode ───────────────────────────────────────────────────────
@@ -1007,6 +1226,43 @@ def _union_fw(cfg: Qwen35Config, u):
         "wo": _slice_w(u["a4"], in_sl=slice(0, qd)),
         "mlp_gate_up": u["gu"], "mlp_down": u["dn"],
     }
+
+
+def _group_xs(cfg: Qwen35Config, params):
+    """Group-wise prefill scan inputs + per-layer weight accessors.
+
+    Union params: the xs are CONTIGUOUS ``[G, p, ...]`` reshapes of the
+    union leaves (free — no copy), and the per-layer weights are built by
+    `_union_lw`/`_union_fw` on statically-indexed slices of the scan's own
+    xs slice.  The previous path (`_grouped_view`) fed the prefill scan
+    strided ``[:, :p-1]`` slices, which XLA materializes — a ~whole-model
+    copy per prefill dispatch (TTFT 118 → 130 ms regression, docs/PERF.md
+    round-3 union section).  Grouped params pass through unchanged (TP).
+
+    Returns ``(wxs, lw_at, fw_of)`` where ``wxs`` joins ``jnp.arange(G)``
+    as scan xs and, given the scan's per-iteration slice ``wg``,
+    ``lw_at(wg, j)`` is linear-layer ``j``'s weights and ``fw_of(wg)`` the
+    full-attention layer's."""
+    G, p = cfg.num_groups, cfg.period
+    if "union" in params:
+        wxs = jax.tree.map(lambda a: a.reshape(G, p, *a.shape[1:]),
+                           params["union"])
+
+        def lw_at(wg, j):
+            return _union_lw(cfg, jax.tree.map(lambda a: a[j], wg))
+
+        def fw_of(wg):
+            return _union_fw(cfg, jax.tree.map(lambda a: a[p - 1], wg))
+
+        return wxs, lw_at, fw_of
+
+    def lw_at(wg, j):
+        return jax.tree.map(lambda a: a[j], wg[0])
+
+    def fw_of(wg):
+        return wg[1]
+
+    return (params["lin"], params["full"]), lw_at, fw_of
 
 
 def _grouped_view(cfg: Qwen35Config, params):

@@ -68,10 +68,35 @@ def test_union_roundtrip_int8():
                     err_msg=f"{part}.{k}")
 
 
+def test_flat_prefill_matches_grouped_f32():
+    """The flat prefill scan computes IDENTICAL math to the grouped path:
+    in f32 (no rounding at the differing fusion points) logits and all
+    post-prefill state are bit-exact."""
+    cfg = tiny_cfg()
+
+    def f32(p):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            p)
+
+    params = f32(q35.init_random_params(cfg, seed=3))
+    up = q35.to_union(cfg, f32(q35.init_random_params(cfg, seed=3)))
+    s1 = q35.make_state(cfg, 12, 8, max_slots=2)
+    s2 = q35.make_state(cfg, 12, 8, max_slots=2)
+    toks = jnp.asarray([3, 17, 42, 9, 88, 5, 6, 7], jnp.int32)
+    pt = jnp.asarray([1], jnp.int32)
+    s1, l1, _ = q35.prefill(cfg, params, s1, toks, jnp.int32(8), pt, jnp.int32(0))
+    s2, l2, _ = q35.prefill(cfg, up, s2, toks, jnp.int32(8), pt, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    for k in ("kv", "rec", "conv"):
+        np.testing.assert_array_equal(np.asarray(s1[k]), np.asarray(s2[k]))
+
+
 def test_flat_decode_matches_grouped():
-    """prefill (grouped-view) is bit-exact; decode agrees to bf16 rounding
-    (the flat and grouped graphs fuse differently — ulp-level divergence
-    compounds over layers; values and argmax must still agree)."""
+    """prefill and decode agree to bf16 rounding (the flat and grouped
+    graphs fuse differently — ulp-level divergence compounds over layers;
+    values and argmax must still agree; the f32 test above pins that the
+    math itself is identical)."""
     cfg = tiny_cfg()
     params = q35.init_random_params(cfg, seed=3)
     up = q35.to_union(cfg, params)
@@ -84,9 +109,19 @@ def test_flat_decode_matches_grouped():
     pt = jnp.asarray([1], jnp.int32)
     s1, l1, _ = q35.prefill(cfg, params, s1, toks, jnp.int32(8), pt, jnp.int32(0))
     s2, l2, _ = q35.prefill(cfg, up, s2, toks, jnp.int32(8), pt, jnp.int32(0))
-    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    a, b = np.asarray(l1, np.float32), np.asarray(l2, np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    assert int(np.argmax(a)) == int(np.argmax(b))
+    # State comparison is distributional: rounding at the differing fusion
+    # points compounds over layers, so a handful of bf16 KV entries land a
+    # few ulp apart (≤0.3% observed). The f32 test above pins exactness;
+    # here require ≥99% within tolerance and a hard cap on the outliers.
     for k in ("kv", "rec", "conv"):
-        np.testing.assert_array_equal(np.asarray(s1[k]), np.asarray(s2[k]))
+        va = np.asarray(s1[k], np.float32)
+        vb = np.asarray(s2[k], np.float32)
+        bad = np.abs(va - vb) > (0.05 + 0.05 * np.abs(vb))
+        assert bad.mean() < 0.01, f"{k}: {bad.mean():.4f} outside tolerance"
+        assert np.max(np.abs(va - vb)) < 0.5, f"{k} outlier too large"
 
     B = 2
     dt = jnp.asarray([7, 0], jnp.int32)
