@@ -198,17 +198,17 @@ def main():
         cfg = dsv4_smoke_config() if smoke else dsv4_scaled_config()
         params = dsv4.init_random_params(cfg, seed=0)
         metric_base = "dsv4_scaled"
+        modes = dsv4.RunModes()
         if quant == "resident":
             # quantized-resident serving (fp8 containers + packed fp4
             # experts) with the fused Pallas dequant-GEMV on the decode
             # routed experts — the production DSv4 mode
             params = dsv4.quantize_params_resident(params)
             on_tpu = jax.default_backend() == "tpu"
-            dsv4.set_fp4_kernel(on_tpu)
-            from pegainfer_tpu.ops import quant as quant_mod
-            quant_mod.set_fp8_kernel(on_tpu)
+            modes = dsv4.RunModes(fp4_kernel=on_tpu, fp8_kernel=on_tpu)
             metric_base = "dsv4_scaled_resident"
-        runtime = mk_dsv4(cfg, params, max_model_len=2048, max_slots=2)
+        runtime = mk_dsv4(cfg, params, max_model_len=2048, max_slots=2,
+                          modes=modes)
         baseline = BASELINE_TPOT_MS  # no like-for-like reference at this scale
     else:
         cfg = smoke_config() if smoke else qwen3_4b_config()

@@ -267,11 +267,11 @@ def _rms(x, wt, eps):
     return (xf * inv).astype(x.dtype) * wt
 
 
-def _attn_q(cfg: DSv4Config, lw, x, positions, inv_freq):
+def _attn_q(cfg: DSv4Config, lw, x, positions, inv_freq, fp8=False):
     """x: [T, D] → q [T, H, hd] (rope'd)."""
     T = x.shape[0]
-    qa = _rms(quant.qlinear(x, lw["wq_a"]), lw["q_norm"], cfg.rms_norm_eps)
-    q = quant.qlinear(qa, lw["wq_b"]).reshape(
+    qa = _rms(quant.qlinear(x, lw["wq_a"], fp8), lw["q_norm"], cfg.rms_norm_eps)
+    q = quant.qlinear(qa, lw["wq_b"], fp8).reshape(
         T, cfg.num_attention_heads, cfg.head_dim
     )
     return dsa.rope_interleaved(
@@ -279,14 +279,14 @@ def _attn_q(cfg: DSv4Config, lw, x, positions, inv_freq):
     ), qa
 
 
-def _attn_kv(cfg: DSv4Config, lw, x, positions, inv_freq):
+def _attn_kv(cfg: DSv4Config, lw, x, positions, inv_freq, fp8=False):
     """x: [T, D] → joint kv rows [T, hd] (rope'd + fp8 storage rounding)."""
-    kv = _rms(quant.qlinear(x, lw["wkv"]), lw["kv_norm"], cfg.rms_norm_eps)
+    kv = _rms(quant.qlinear(x, lw["wkv"], fp8), lw["kv_norm"], cfg.rms_norm_eps)
     kv = dsa.rope_interleaved(kv, positions, jnp.asarray(inv_freq), cfg.qk_rope_head_dim)
     return dsa.fp8_round_nope(kv, cfg.qk_rope_head_dim)
 
 
-def _attn_out(cfg: DSv4Config, lw, o):
+def _attn_out(cfg: DSv4Config, lw, o, fp8=False):
     """o: [T, H, hd] → [T, D] through the grouped o-LoRA."""
     T = o.shape[0]
     G = cfg.o_groups
@@ -294,7 +294,7 @@ def _attn_out(cfg: DSv4Config, lw, o):
     og = o.reshape(T, G, per_g)
     wo_a = lw["wo_a"].reshape(G, cfg.o_lora_rank, per_g)
     oa = jnp.einsum("tgp,grp->tgr", og, wo_a).reshape(T, G * cfg.o_lora_rank)
-    return quant.qlinear(oa, lw["wo_b"])
+    return quant.qlinear(oa, lw["wo_b"], fp8)
 
 
 def _compress_layer(cfg: DSv4Config, comp, x, ratio: int, head_dim: int,
@@ -352,7 +352,9 @@ def _emit_compressed_block(cfg: DSv4Config, comp, ps_rows, pv_rows, positions,
     return dsa.fp8_round_nope(block, cfg.qk_rope_head_dim)
 
 
-_sparse_attn_b = jax.vmap(dsa.sparse_attention, in_axes=(0, 0, 0, None, None))
+_sparse_attn_parts_b = jax.vmap(
+    dsa.sparse_attention_parts, in_axes=(0, 0, None, None)
+)
 
 
 def make_state(cfg: DSv4Config, max_slots: int, max_blocks: int,
@@ -379,14 +381,41 @@ def make_state(cfg: DSv4Config, max_slots: int, max_blocks: int,
     return {"layers": layers}
 
 
-# ── Expert-parallel MoE path (engine flag) ──────────────────────────────
-# When set, prefill-scale routed MoE ships tokens to their experts' shards
-# via ops/moe_ep.moe_ep_a2a (the reference's pplx-ep all-to-all analog,
-# pegainfer-comm/src/ep_backend.rs dispatch/combine; enabled there by the
-# PEGAINFER_DSV4_PPLX env). Module-level because _moe is traced deep inside
-# the jitted layer fns; engines set it before their first trace and it
-# stays for the engine's lifetime.
-_MOE_EP: Optional[tuple] = None  # (mesh, axis_name, transport)
+# ── Run modes: kernel switches + expert parallelism ─────────────────────
+# The fused Pallas FP4/FP8 dequant-GEMV switches and the expert-parallel
+# MoE transport are RUNTIME choices, not architecture: they live on a
+# RunModes carried by the engine's ModelRuntime and threaded explicitly
+# into the traced functions, so two engines with different modes coexist
+# in one process (tests/test_dsv4_engine.py::test_two_engines_different_modes).
+# The module-level default (set_* helpers) remains for scripts/tests that
+# drive the model functions directly; ``modes=None`` falls back to it at
+# trace time.
+
+
+@dataclass(frozen=True)
+class RunModes:
+    """fp4_kernel / fp8_kernel: False | True | "interpret" — route the
+    decode-shaped quantized linears through the fused Pallas dequant-GEMVs
+    (ops/pallas/fp4_gemm.py; the reference's TileLang moe_fp4_grouped /
+    fp8_linear analogs). moe_ep: (mesh, axis, transport) — ship
+    prefill-scale routed MoE tokens via ops/moe_ep.moe_ep_a2a (the
+    reference's pplx-ep all-to-all, pegainfer-comm/src/ep_backend.rs)."""
+    fp4_kernel: Any = False
+    fp8_kernel: Any = False
+    moe_ep: Optional[tuple] = None  # (mesh, axis_name, transport)
+
+
+_MOE_EP: Optional[tuple] = None  # module default (see RunModes note)
+_FP4_KERNEL = False
+
+
+def _resolve_modes(modes: Optional["RunModes"]) -> "RunModes":
+    if modes is not None:
+        return modes
+    from pegainfer_tpu.ops import quant as _q
+
+    return RunModes(fp4_kernel=_FP4_KERNEL, fp8_kernel=_q._FP8_KERNEL,
+                    moe_ep=_MOE_EP)
 
 
 def set_moe_ep(mesh, axis: str = "tp", transport: str = "ragged") -> None:
@@ -397,15 +426,6 @@ def set_moe_ep(mesh, axis: str = "tp", transport: str = "ragged") -> None:
 def clear_moe_ep() -> None:
     global _MOE_EP
     _MOE_EP = None
-
-
-# Fused FP4 dequant-GEMV for the decode routed experts (ops/pallas/
-# fp4_gemm.py — the reference's TileLang moe_fp4_grouped analog): packed
-# nibbles stream straight into the kernel, so expert weight traffic stays
-# ∝ 0.5 B/param instead of the gather+dequant chain's materialized bf16.
-# Engine-set (single-device serving, TPU backend, resident weights); the
-# GSPMD multi-chip path keeps the XLA form until the kernel is shard_mapped.
-_FP4_KERNEL = False
 
 
 def set_fp4_kernel(on) -> None:
@@ -424,30 +444,49 @@ def _fp4_kernel_ok(lw) -> bool:
     )
 
 
-def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
+def hash_gate(xf32, gate_weight, tid2eid, token_ids, topk_scale: float):
+    """Hash-layer routing (reference deepseek_moe.cu:71-168
+    deepseek_hash_gate_kernel + route_normalize): experts come from the
+    token-id table; weight = sqrt(softplus(x·gw[e])), normalized by the
+    row sum (0 when the sum is 0) then scaled."""
+    experts = tid2eid[token_ids]  # [T, K]
+    gw = gate_weight.astype(jnp.float32)
+    dots = jnp.einsum("td,tkd->tk", xf32, gw[experts])
+    w = jnp.sqrt(jax.nn.softplus(dots))
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.where(wsum > 0, w / wsum, 0.0) * topk_scale, experts
+
+
+def score_gate(xf32, gate_weight, gate_bias, k: int, topk_scale: float):
+    """Score routing (reference deepseek_moe.cu:179-271
+    deepseek_score_gate_select_kernel): score = sqrt(softplus(x·gw));
+    selection on score + bias with the 'strictly greater, else lower
+    index' tie contract (stable argsort); route weight is the UN-biased
+    score, normalized by the selected sum then scaled."""
+    raw = xf32 @ gate_weight.astype(jnp.float32).T  # [T, E]
+    score = jnp.sqrt(jax.nn.softplus(raw))
+    sel = score + gate_bias.astype(jnp.float32)
+    order = jnp.argsort(-sel, axis=-1, stable=True)[:, :k]
+    w = jnp.take_along_axis(score, order, axis=-1)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    return jnp.where(wsum > 0, w / wsum, 0.0) * topk_scale, order
+
+
+def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
+         modes: RunModes = RunModes()):
     """x: [T, D] → MoE output [T, D] (shared + routed experts)."""
     T = x.shape[0]
     E, K = cfg.n_routed_experts, cfg.n_activated_experts
     xf32 = x.astype(jnp.float32)
 
     if layer_idx < cfg.n_hash_layers:
-        experts = lw["gate_tid2eid"][token_ids]  # [T, K]
-        gw = lw["gate_weight"].astype(jnp.float32)
-        dots = jnp.einsum("td,tkd->tk", xf32, gw[experts])
-        w = jnp.sqrt(jax.nn.softplus(dots))
-        wsum = jnp.sum(w, axis=-1, keepdims=True)
-        weights = jnp.where(wsum > 0, w / wsum, 0.0) * cfg.routed_scaling_factor
-        route_idx = experts
+        weights, route_idx = hash_gate(
+            xf32, lw["gate_weight"], lw["gate_tid2eid"], token_ids,
+            cfg.routed_scaling_factor)
     else:
-        raw = xf32 @ lw["gate_weight"].astype(jnp.float32).T  # [T, E]
-        score = jnp.sqrt(jax.nn.softplus(raw))
-        sel = score + lw["gate_bias"].astype(jnp.float32)
-        # strict-> top-k, lowest index on ties (stable argsort)
-        order = jnp.argsort(-sel, axis=-1, stable=True)[:, :K]
-        w = jnp.take_along_axis(score, order, axis=-1)
-        wsum = jnp.sum(w, axis=-1, keepdims=True)
-        weights = jnp.where(wsum > 0, w / wsum, 0.0) * cfg.routed_scaling_factor
-        route_idx = order
+        weights, route_idx = score_gate(
+            xf32, lw["gate_weight"], lw["gate_bias"], K,
+            cfg.routed_scaling_factor)
 
     def swiglu(gate, up):
         limit = cfg.swiglu_limit
@@ -457,9 +496,10 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
         return jax.nn.sigmoid(gate) * gate * up
 
     # shared expert
-    g = quant.qlinear(x, lw["shared_w1"]).astype(jnp.float32)
-    u = quant.qlinear(x, lw["shared_w3"]).astype(jnp.float32)
-    shared = quant.qlinear(swiglu(g, u).astype(x.dtype), lw["shared_w2"])
+    fp8 = modes.fp8_kernel
+    g = quant.qlinear(x, lw["shared_w1"], fp8).astype(jnp.float32)
+    u = quant.qlinear(x, lw["shared_w3"], fp8).astype(jnp.float32)
+    shared = quant.qlinear(swiglu(g, u).astype(x.dtype), lw["shared_w2"], fp8)
 
     M = T * K
     flat_e = route_idx.reshape(M)
@@ -477,12 +517,12 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
             return (quant.dequant_any(w, jnp.float32)
                     if quant.is_quantized(w) else w.astype(jnp.float32))
 
-        if _MOE_EP is not None:
+        if modes.moe_ep is not None:
             # expert-parallel token shipping: dispatch rows to their
             # experts' shards and combine back (4-step a2a, moe_ep.py)
             from pegainfer_tpu.ops import moe_ep as ep
 
-            mesh, axis, transport = _MOE_EP
+            mesh, axis, transport = modes.moe_ep
             n = mesh.shape[axis]
             Tp = -(-T // n) * n
             pad = Tp - T
@@ -532,11 +572,11 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
         # combine would stream every expert per token; reference analog:
         # moe_local_mapping route compaction, deepseek_moe.cu).
         xs = xf32[flat_t]  # [M, D]
-        if _FP4_KERNEL and _fp4_kernel_ok(lw):
+        if modes.fp4_kernel and _fp4_kernel_ok(lw):
             # fused dequant-GEMV: weight bytes stream as packed fp4
             from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
 
-            interp = _FP4_KERNEL == "interpret"
+            interp = modes.fp4_kernel == "interpret"
             ge = pfp4.moe_fp4_gemv(
                 xs, lw["experts_w1"]["q"], lw["experts_w1"]["s"], flat_e,
                 interpret=interp)
@@ -574,7 +614,7 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids):
 
 
 def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None,
-            seq_len=None):
+            seq_len=None, modes: Optional[RunModes] = None):
     """Prefill over one (optionally right-padded) prompt. Returns
     (logits [T, V] f32, caches | state').
 
@@ -590,6 +630,7 @@ def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None,
     T = tokens.shape[0]
     if seq_len is None:
         seq_len = T
+    modes = _resolve_modes(modes)
     positions = jnp.arange(T, dtype=jnp.int32)
     x = params["embed"][tokens]
     streams = hc.hc_expand(x, cfg.hc_mult)
@@ -599,7 +640,7 @@ def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None,
         streams, cache = _prefill_layer(
             cfg, lw, streams, tokens, positions,
             cfg.compress_ratios[li], li < cfg.n_hash_layers,
-            cfg.rope_inv_freq(li),
+            cfg.rope_inv_freq(li), modes,
         )
         caches.append(cache)
 
@@ -610,7 +651,8 @@ def prefill(cfg: DSv4Config, params, tokens, state=None, slot=None,
 
 
 def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
-                   ratio: int, is_hash: bool, inv_freq):
+                   ratio: int, is_hash: bool, inv_freq,
+                   modes: RunModes = RunModes()):
     """One prefill layer; returns (streams, cache dict). Shared by the
     unrolled path and prefill_grouped."""
     T = tokens.shape[0]
@@ -624,8 +666,10 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
         h_in = hc.hc_pre(streams, pre)
         h_norm = _rms(h_in, lw["attn_norm"], cfg.rms_norm_eps)
 
-        q, qa = _attn_q(cfg, lw, h_norm, positions, inv_freq)
-        kv = _attn_kv(cfg, lw, h_norm, positions, inv_freq)
+        q, qa = _attn_q(cfg, lw, h_norm, positions, inv_freq,
+                        modes.fp8_kernel)
+        kv = _attn_kv(cfg, lw, h_norm, positions, inv_freq,
+                      modes.fp8_kernel)
 
         cache: Dict[str, Any] = {"kv": kv, "ckv": None, "ick": None}
         win_idx = dsa.window_indices(T, cfg.sliding_window)
@@ -642,7 +686,8 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
             kv_all = jnp.concatenate([kv, ckv], axis=0)
             if ratio == 4:
                 ihd = cfg.index_head_dim
-                iq = quant.qlinear(qa, lw["idx_wq_b"]).reshape(
+                iq = quant.qlinear(qa, lw["idx_wq_b"],
+                                   modes.fp8_kernel).reshape(
                     T, cfg.index_n_heads, ihd
                 )
                 iq = dsa.rope_interleaved(
@@ -666,7 +711,7 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
         o = dsa.sparse_attention(
             q, kv_all, idx, lw["attn_sink"], cfg.head_dim ** -0.5
         )
-        attn_out = _attn_out(cfg, lw, o)
+        attn_out = _attn_out(cfg, lw, o, modes.fp8_kernel)
         streams = hc.hc_post(attn_out, streams, post, comb)
 
         # ffn branch
@@ -677,7 +722,8 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
         )
         f_in = hc.hc_pre(streams, pre)
         f_norm = _rms(f_in, lw["ffn_norm"], cfg.rms_norm_eps)
-        ffn_out = _moe(cfg, lw, 0 if is_hash else cfg.n_hash_layers, f_norm, tokens)
+        ffn_out = _moe(cfg, lw, 0 if is_hash else cfg.n_hash_layers,
+                       f_norm, tokens, modes)
         streams = hc.hc_post(ffn_out, streams, post, comb)
     return streams, cache
 
@@ -735,7 +781,8 @@ def _seed_state(cfg: DSv4Config, state, caches, seq_len, slot,
 
 
 def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
-                  ratio: int, is_hash: bool, inv_freq):
+                  ratio: int, is_hash: bool, inv_freq,
+                  modes: RunModes = RunModes()):
     """One decode layer (attention + MoE branches). ``ls`` is this layer's
     slot-cache dict, returned updated. Shared by the unrolled path and the
     segment-scanned path (decode_grouped)."""
@@ -750,16 +797,23 @@ def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
         )
         h_norm = _rms(hc.hc_pre(streams, pre), lw["attn_norm"], cfg.rms_norm_eps)
 
-        q, qa = _attn_q(cfg, lw, h_norm, positions, inv_freq)  # [B, H, hd]
-        kv_new = _attn_kv(cfg, lw, h_norm, positions, inv_freq)  # [B, hd]
+        q, qa = _attn_q(cfg, lw, h_norm, positions, inv_freq,
+                        modes.fp8_kernel)  # [B, H, hd]
+        kv_new = _attn_kv(cfg, lw, h_norm, positions, inv_freq,
+                          modes.fp8_kernel)  # [B, hd]
         ls["kv"] = ls["kv"].at[slots, positions % W].set(
             kv_new.astype(ls["kv"].dtype)
         )
 
-        win_idx = dsa.window_ring_indices_decode(positions, W)  # [B, W]
+        # window part: attend the ring buffer itself (ring slot r is valid
+        # iff r <= pos — pos >= W means every slot holds a live token).
+        # Order differs from window_ring_indices_decode's rotation but the
+        # softmax is order-invariant; dsa.sparse_attention_parts regroups
+        # the same logits exactly.
+        win_rows = ls["kv"][slots]  # [B, W, hd]
+        win_valid = jnp.arange(W, dtype=jnp.int32)[None, :] <= positions[:, None]
         if ratio == 0:
-            kv_all = ls["kv"][slots]  # [B, W, hd]
-            idx = win_idx
+            parts = [(win_rows, win_valid)]
         else:
             R = 8 if ratio == 4 else ratio
             comp = lw["comp"]
@@ -780,9 +834,6 @@ def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
             ls["ckv"] = ls["ckv"].at[slots, c_idx].set(
                 block.astype(ls["ckv"].dtype)
             )
-            kv_all = jnp.concatenate(
-                [ls["kv"][slots], ls["ckv"][slots, :max_blocks]], axis=1
-            )
             if ratio == 4:
                 icomp = lw["idx_comp"]
                 is_new, iv_new = dsa.compress_scores_values(
@@ -798,7 +849,8 @@ def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
                     iblock.astype(ls["ick"].dtype)
                 )
                 ihd = cfg.index_head_dim
-                iq = quant.qlinear(qa, lw["idx_wq_b"]).reshape(
+                iq = quant.qlinear(qa, lw["idx_wq_b"],
+                                   modes.fp8_kernel).reshape(
                     B, cfg.index_n_heads, ihd
                 )
                 iq = dsa.rope_interleaved(
@@ -816,18 +868,27 @@ def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
                     "bh,bhc->bc", iw.astype(jnp.float32),
                     jnp.maximum(dots, 0.0),
                 ) * score_scale
-                top_idx = dsa.topk_strict(scores, cfg.index_topk, n_blocks, W)
-                idx = jnp.concatenate([win_idx, top_idx], axis=1)
+                # gather ONLY the top-k compressed rows ([B, k, hd]) —
+                # never the [B, capacity, hd] cache slab (invalid picks
+                # read the dead column, masked out of the softmax)
+                top_ids, top_valid = dsa.topk_select(
+                    scores, cfg.index_topk, n_blocks
+                )
+                safe_ids = jnp.where(top_valid, top_ids, max_blocks)
+                top_rows = ls["ckv"][slots[:, None], safe_ids]  # [B, k, hd]
+                parts = [(win_rows, win_valid), (top_rows, top_valid)]
             else:
+                # non-indexer compressed layers attend every valid block
                 cand = jnp.arange(max_blocks, dtype=jnp.int32)[None, :]
-                cb = jnp.where(cand < n_blocks[:, None], W + cand, -1)
-                idx = jnp.concatenate([win_idx, cb], axis=1)
+                crows = ls["ckv"][slots, :max_blocks]
+                parts = [(win_rows, win_valid), (crows, cand < n_blocks[:, None])]
 
-        o = _sparse_attn_b(
-            q[:, None], kv_all, idx[:, None], lw["attn_sink"],
-            cfg.head_dim ** -0.5,
+        # per-sample T=1 query axis (vmap strips the batch axis)
+        parts = [(r[:, None], v[:, None]) for r, v in parts]
+        o = _sparse_attn_parts_b(
+            q[:, None], parts, lw["attn_sink"], cfg.head_dim ** -0.5
         )[:, 0]
-        attn_out = _attn_out(cfg, lw, o)
+        attn_out = _attn_out(cfg, lw, o, modes.fp8_kernel)
         streams = hc.hc_post(attn_out, streams, post, comb)
 
         mixes = hc.hc_mixes(streams, lw["hc_ffn_fn"], cfg.rms_norm_eps)
@@ -836,7 +897,8 @@ def _decode_layer(cfg: DSv4Config, lw, ls, streams, tokens, positions, slots,
             cfg.hc_sinkhorn_iters, cfg.hc_eps,
         )
         f_norm = _rms(hc.hc_pre(streams, pre), lw["ffn_norm"], cfg.rms_norm_eps)
-        ffn_out = _moe(cfg, lw, 0 if is_hash else cfg.n_hash_layers, f_norm, tokens)
+        ffn_out = _moe(cfg, lw, 0 if is_hash else cfg.n_hash_layers,
+                       f_norm, tokens, modes)
         streams = hc.hc_post(ffn_out, streams, post, comb)
     return streams, ls
 
@@ -849,9 +911,11 @@ def _head_logits(cfg: DSv4Config, params, streams):
     return (xf @ params["head"].T).astype(jnp.float32)
 
 
-def decode(cfg: DSv4Config, params, state, tokens, positions, slots):
+def decode(cfg: DSv4Config, params, state, tokens, positions, slots,
+           modes: Optional[RunModes] = None):
     """One decode step for a batch. tokens/positions/slots: [B] int32
     (padding rows: slot = dead row, position 0). Returns (state, logits)."""
+    modes = _resolve_modes(modes)
     x = params["embed"][tokens]
     streams = hc.hc_expand(x, cfg.hc_mult)
     new_layers = []
@@ -859,7 +923,7 @@ def decode(cfg: DSv4Config, params, state, tokens, positions, slots):
         streams, ls = _decode_layer(
             cfg, lw, state["layers"][li], streams, tokens, positions, slots,
             cfg.compress_ratios[li], li < cfg.n_hash_layers,
-            cfg.rope_inv_freq(li),
+            cfg.rope_inv_freq(li), modes,
         )
         new_layers.append(ls)
     return {"layers": new_layers}, _head_logits(cfg, params, streams)
@@ -942,12 +1006,13 @@ def slot_import(gstate, snap, slot):
 
 
 def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
-                    seq_len=None):
+                    seq_len=None, modes: Optional[RunModes] = None):
     """prefill() over segment-scanned layers; with gstate+slot, seeds the
     slot's grouped decode caches."""
     T = tokens.shape[0]
     if seq_len is None:
         seq_len = T
+    modes = _resolve_modes(modes)
     positions = jnp.arange(T, dtype=jnp.int32)
     x = gparams["embed"][tokens]
     streams = hc.hc_expand(x, cfg.hc_mult)
@@ -957,7 +1022,8 @@ def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
 
         def body(carry, lw):
             carry, cache = _prefill_layer(
-                cfg, lw, carry, tokens, positions, ratio, is_hash, inv_freq
+                cfg, lw, carry, tokens, positions, ratio, is_hash, inv_freq,
+                modes,
             )
             return carry, cache
 
@@ -987,7 +1053,8 @@ def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
 
 
 def prefill_resume_grouped(cfg: DSv4Config, gparams, gstate, tokens,
-                           start_pos, valid, slot, dead_slot: int):
+                           start_pos, valid, slot, dead_slot: int,
+                           modes: Optional[RunModes] = None):
     """Continue a prompt from a cached prefix snapshot (slot prefix cache,
     docs/prefix-cache-design.md): feed ``tokens`` [Sc] (right-padded,
     ``valid`` real) one at a time through the decode recurrence for
@@ -1013,7 +1080,8 @@ def prefill_resume_grouped(cfg: DSv4Config, gparams, gstate, tokens,
         live = i < valid
         s = jnp.where(live, slot, jnp.int32(dead_slot))[None]
         pos = (start_pos + i)[None]
-        gs, logits = decode_grouped(cfg, gparams, gs, tokens[i][None], pos, s)
+        gs, logits = decode_grouped(cfg, gparams, gs, tokens[i][None], pos, s,
+                                    modes)
         last = jnp.where(live, logits[0], last)
         return (gs, last), None
 
@@ -1024,9 +1092,11 @@ def prefill_resume_grouped(cfg: DSv4Config, gparams, gstate, tokens,
     return gstate, last
 
 
-def decode_grouped(cfg: DSv4Config, gparams, gstate, tokens, positions, slots):
+def decode_grouped(cfg: DSv4Config, gparams, gstate, tokens, positions, slots,
+                   modes: Optional[RunModes] = None):
     """decode() over segment-scanned layers — identical math, one traced
     layer body per segment instead of per layer."""
+    modes = _resolve_modes(modes)
     x = gparams["embed"][tokens]
     streams = hc.hc_expand(x, cfg.hc_mult)
     new_segs = []
@@ -1037,7 +1107,7 @@ def decode_grouped(cfg: DSv4Config, gparams, gstate, tokens, positions, slots):
             lw, ls = xs
             carry, ls_new = _decode_layer(
                 cfg, lw, ls, carry, tokens, positions, slots, ratio, is_hash,
-                inv_freq,
+                inv_freq, modes,
             )
             return carry, ls_new
 

@@ -45,7 +45,8 @@ def max_blocks_for(cfg: dsv4.DSv4Config, max_model_len: int) -> int:
 
 def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
                  max_slots: int = 2, state_dtype=jnp.bfloat16,
-                 mesh=None) -> ModelRuntime:
+                 mesh=None,
+                 modes: "dsv4.RunModes | None" = None) -> ModelRuntime:
     """DSv4 runtime over the generic executor contract. Page args are
     ignored (no paged KV); slot args select the per-request caches.
 
@@ -72,27 +73,33 @@ def make_runtime(cfg: dsv4.DSv4Config, params, max_model_len: int = 4096,
             {k: P() for k in seg} for seg in gstate["segments"]
         ]})
 
+    # engine-owned run modes threaded into every traced fn (NOT the module
+    # globals — two engines with different modes coexist in one process).
+    # modes=None keeps the legacy trace-time global fallback (set_* helpers).
+    rmodes = modes
+
     def prefill_fn(params_, state_, tokens, seq_len, page_table, slot):
         logits, state_ = dsv4.prefill_grouped(cfg, params_, tokens,
                                               gstate=state_, slot=slot,
-                                              seq_len=seq_len)
+                                              seq_len=seq_len, modes=rmodes)
         return state_, logits[seq_len - 1], None
 
     def prefill_all_fn(params_, state_, tokens, seq_len, page_table, slot):
         logits, state_ = dsv4.prefill_grouped(cfg, params_, tokens,
                                               gstate=state_, slot=slot,
-                                              seq_len=seq_len)
+                                              seq_len=seq_len, modes=rmodes)
         return state_, logits[seq_len - 1], logits
 
     def decode_fn(params_, state_, tokens, positions, tables, seq_lens, slots):
-        return dsv4.decode_grouped(cfg, params_, state_, tokens, positions, slots)
+        return dsv4.decode_grouped(cfg, params_, state_, tokens, positions,
+                                   slots, modes=rmodes)
 
     def prefill_resume_fn(params_, state_, tokens, start_pos, valid, slot):
         # slot prefix cache: suffix continuation through the decode
         # recurrence; dead slot = row max_slots (dsv4.make_state)
         return dsv4.prefill_resume_grouped(
             cfg, params_, state_, tokens, start_pos, valid, slot,
-            dead_slot=max_slots,
+            dead_slot=max_slots, modes=rmodes,
         )
 
     # one slot-cache snapshot = one slot's rows across every grouped leaf
@@ -187,46 +194,49 @@ def start_engine(
             and jax.default_backend() == "tpu"
         )
     )
-    dsv4.set_fp4_kernel(use_fp4_kernel)
     if use_fp4_kernel:
-        from pegainfer_tpu.ops import quant as quant_mod
-
-        quant_mod.set_fp8_kernel(True)  # dense fp8 linears too
         log.info("DSv4 decode: fused Pallas FP4 expert + FP8 linear "
                  "dequant-GEMVs enabled")
+    ep = resolve_moe_ep(cfg, mesh=mesh)
+    modes = dsv4.RunModes(fp4_kernel=use_fp4_kernel,
+                          fp8_kernel=use_fp4_kernel, moe_ep=ep)
     max_slots = min(opts.max_batch_size, 2)  # reference serves bs<=2
     runtime = make_runtime(
         cfg, params,
         max_model_len=opts.max_model_len or 4096,
         max_slots=max_slots,
         mesh=mesh,
+        modes=modes,
     )
-    maybe_enable_moe_ep(cfg, runtime, mesh=mesh)
+    if ep is not None and mesh is None:
+        # engine didn't build a sharded mesh itself: place params/state
+        # with the MP8 shard specs over the EP mesh
+        from pegainfer_tpu.parallel.sharding import shard_dsv4_grouped
+
+        runtime.params, runtime.state = shard_dsv4_grouped(
+            ep[0], runtime.params, runtime.state
+        )
     executor = JaxExecutor(runtime, opts)
     return start_scheduler(executor, seed=opts.seed)
 
 
-def maybe_enable_moe_ep(cfg: dsv4.DSv4Config, runtime: ModelRuntime,
-                        mode: Optional[str] = None, mesh=None) -> bool:
-    """Expert-parallel MoE behind a flag (reference: PEGAINFER_DSV4_PPLX
-    env enabling the pplx-ep RDMA a2a path, direct/pplx_bootstrap.rs).
+def resolve_moe_ep(cfg: dsv4.DSv4Config, mode: Optional[str] = None,
+                   mesh=None) -> Optional[tuple]:
+    """Expert-parallel MoE config (reference: PEGAINFER_DSV4_PPLX env
+    enabling the pplx-ep RDMA a2a path, direct/pplx_bootstrap.rs).
 
     ``PEGAINFER_DSV4_EP=ragged|dense|1`` ships prefill-scale MoE tokens to
     their experts' shards over a mesh of all local devices via
     lax.ragged_all_to_all (ops/moe_ep.moe_ep_a2a); "dense" uses the fixed-
-    block lax.all_to_all transport (the CPU-testable oracle). Params/state
-    are placed with the MP8 shard specs over that mesh.
-    """
+    block lax.all_to_all transport (the CPU-testable oracle). Returns the
+    RunModes.moe_ep tuple (mesh, axis, transport), or None when unset."""
     mode = mode or os.environ.get("PEGAINFER_DSV4_EP")
     if not mode:
-        return False
+        return None
     import jax
     import numpy as np
     from jax.sharding import Mesh
 
-    from pegainfer_tpu.parallel.sharding import shard_dsv4_grouped
-
-    place = mesh is None  # engine-built mesh → params already shard-wise
     if mesh is None:
         devs = np.asarray(jax.devices())
         mesh = Mesh(devs, ("tp",))
@@ -237,11 +247,26 @@ def maybe_enable_moe_ep(cfg: dsv4.DSv4Config, runtime: ModelRuntime,
             f"divisible by {n} devices"
         )
     transport = "dense" if mode == "dense" else "ragged"
-    dsv4.set_moe_ep(mesh, "tp", transport)
-    if place:
-        runtime.params, runtime.state = shard_dsv4_grouped(
-            mesh, runtime.params, runtime.state
-        )
     log.info("DSv4 expert-parallel MoE on %d devices (%s transport)",
              n, transport)
+    return (mesh, "tp", transport)
+
+
+def maybe_enable_moe_ep(cfg: dsv4.DSv4Config, runtime: ModelRuntime,
+                        mode: Optional[str] = None, mesh=None) -> bool:
+    """Legacy module-global form of resolve_moe_ep (scripts/tests that
+    build a runtime first and flip the EP switch after): sets the module
+    default so runtimes built with modes=None pick it up at trace time,
+    and places params/state over the mesh."""
+    from pegainfer_tpu.parallel.sharding import shard_dsv4_grouped
+
+    ep = resolve_moe_ep(cfg, mode=mode, mesh=mesh)
+    if ep is None:
+        return False
+    place = mesh is None  # engine-built mesh → params already shard-wise
+    dsv4.set_moe_ep(ep[0], ep[1], ep[2])
+    if place:
+        runtime.params, runtime.state = shard_dsv4_grouped(
+            ep[0], runtime.params, runtime.state
+        )
     return True

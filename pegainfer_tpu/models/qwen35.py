@@ -537,15 +537,22 @@ def _full_qkv(cfg: Qwen35Config, fw, h, cos, sin):
 
 def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
             return_all_logits: bool = False, gdn_chunk_size: int = 64,
-            use_pallas: bool = False):
+            use_pallas: bool = False, mode: str = None):
     """Prefill one prompt; write KV pages + slot recurrent/conv state.
 
     tokens: [T] int32 padded (T a multiple of the effective GDN chunk —
     clamped to T for short prompts); slot: scalar int32.
     Returns (state, last_logits [V] f32, all_logits|None).
+
+    ``mode``: "flat" | "grouped" — which layout runs union params (flat =
+    per-layer union scan; grouped = the _group_xs reshape view). The env
+    PEGAINFER_Q35_PREFILL is only the default for direct callers and is
+    captured at TRACE time — engines resolve it once in make_runtime and
+    pass it explicitly (ADVICE r3: a post-jit env change is silent).
     """
-    if "union" in params and os.environ.get(
-            "PEGAINFER_Q35_PREFILL", "flat") == "flat":
+    if mode is None:
+        mode = os.environ.get("PEGAINFER_Q35_PREFILL", "flat")
+    if "union" in params and mode == "flat":
         return prefill_flat(cfg, params, state, tokens, seq_len, page_table,
                             slot, return_all_logits=return_all_logits,
                             gdn_chunk_size=gdn_chunk_size,
@@ -666,15 +673,16 @@ def flush_chunk_pend(state, cpend):
 def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
                      start_pos, valid, page_table, slot,
                      gdn_chunk_size: int = 64, use_pallas: bool = False,
-                     return_all_logits: bool = False):
+                     return_all_logits: bool = False, mode: str = None):
     """WRITE-AHEAD prefill continuation (see qwen3.prefill_chunk_wa): state
     written once at the start (landing the previous chunk's cpend), then
     only read; attention splices the chunk's in-flight k/v over the gathered
     past; this chunk's pages + GDN/conv state return as the new cpend.
     tokens: [Tc] (Tc % page_size == 0, start_pos % page_size == 0).
     Returns (state, cpend', last_logits [V] f32)."""
-    if "union" in params and os.environ.get(
-            "PEGAINFER_Q35_PREFILL", "flat") == "flat":
+    if mode is None:
+        mode = os.environ.get("PEGAINFER_Q35_PREFILL", "flat")
+    if "union" in params and mode == "flat":
         return prefill_chunk_wa_flat(
             cfg, params, state, cpend, tokens, start_pos, valid, page_table,
             slot, gdn_chunk_size=gdn_chunk_size, use_pallas=use_pallas,
@@ -1569,7 +1577,8 @@ def cpend_restore(cpend, snap, slot: int):
 
 def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
                  max_slots: int = 64, kv_dtype=jnp.bfloat16,
-                 use_pallas=None, flat_decode: bool = False):
+                 use_pallas=None, flat_decode: bool = False,
+                 prefill_mode: str = None):
     """``flat_decode``: convert params to the flat UNION layout once (the
     single-device serving layout; decode streams ~2.4x faster — see the
     union section). TP callers must keep the grouped layout (default):
@@ -1579,15 +1588,20 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
 
     if flat_decode:
         params = to_union(cfg, params)
+    # resolve the prefill layout ONCE (the env var is trace-time state;
+    # changing it after the executor jits these fns would be silent)
+    pmode = prefill_mode or os.environ.get("PEGAINFER_Q35_PREFILL", "flat")
     up = use_pallas_default() if use_pallas is None else use_pallas
     # Mosaic wants the DMA'd [page, head_dim] blocks lane-aligned
     up = up and cfg.head_dim % 128 == 0
     state = make_state(cfg, num_pages, page_size, max_slots, kv_dtype)
     return ModelRuntime(
         prefill_fn=lambda w, s, t, sl, pt, slot: prefill(cfg, w, s, t, sl, pt, slot,
-                                                         use_pallas=up),
+                                                         use_pallas=up,
+                                                         mode=pmode),
         prefill_all_logits_fn=lambda w, s, t, sl, pt, slot: prefill(
-            cfg, w, s, t, sl, pt, slot, return_all_logits=True, use_pallas=up
+            cfg, w, s, t, sl, pt, slot, return_all_logits=True, use_pallas=up,
+            mode=pmode
         ),
         decode_fn=lambda w, s, t, p, pt, sl, slots: decode(
             cfg, w, s, t, p, pt, sl, slots, use_pallas=up
@@ -1599,10 +1613,11 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         flush_pend_fn=flush_pend,
         prefill_chunk_wa_fn=lambda w, s, cpend, t, sp, va, pt, slot:
             prefill_chunk_wa(cfg, w, s, cpend, t, sp, va, pt, slot,
-                             use_pallas=up),
+                             use_pallas=up, mode=pmode),
         prefill_chunk_wa_all_fn=lambda w, s, cpend, t, sp, va, pt, slot:
             prefill_chunk_wa(cfg, w, s, cpend, t, sp, va, pt, slot,
-                             use_pallas=up, return_all_logits=True),
+                             use_pallas=up, return_all_logits=True,
+                             mode=pmode),
         make_chunk_pend_fn=lambda nP: make_chunk_pend(cfg, nP, page_size,
                                                       max_slots, kv_dtype),
         flush_chunk_pend_fn=flush_chunk_pend,

@@ -248,6 +248,22 @@ def indexer_scores(q_idx, ck, w, scale: float):
     return jnp.einsum("th,thc->tc", w.astype(jnp.float32), jnp.maximum(dots, 0.0)) * scale
 
 
+def topk_select(scores, k: int, valid_counts):
+    """Strict-> top-k in candidate space: returns (ids [T, k] int32,
+    valid [T, k] bool). Same selection contract as ``topk_strict``
+    ('score strictly greater wins, else lower index') realized by
+    ``lax.top_k``, whose XLA contract returns the lower index first on
+    ties — O(C·k) instead of the full argsort.
+    ``tests/test_dsv4_ops.py::test_topk_select_matches_strict`` pins the
+    tie behavior against the stable-argsort oracle on tie-heavy inputs."""
+    T, C = scores.shape
+    k = min(k, C)  # reference clamp: index_topk.min(compressed_len)
+    cand = jnp.arange(C)[None, :]
+    masked = jnp.where(cand < jnp.asarray(valid_counts)[:, None], scores, NEG_INF)
+    vals, ids = jax.lax.top_k(masked, k)
+    return ids.astype(jnp.int32), vals > -3.0e38
+
+
 def topk_strict(scores, k: int, valid_counts, offset):
     """Strict-> top-k with lowest-index tie-break.
 
@@ -263,10 +279,49 @@ def topk_strict(scores, k: int, valid_counts, offset):
     picked = jnp.take_along_axis(masked, order, axis=-1)
     live = picked > -3.0e38
     off = jnp.broadcast_to(jnp.asarray(offset), (T,))[:, None]
-    return jnp.where(live, order + off, -1).astype(jnp.int32)
+    out = jnp.where(live, order + off, -1).astype(jnp.int32)
+    if k > C:  # candidate list shorter than k: -1 padding (reference
+        # emits -1 once the strict-> scan finds nothing above the floor)
+        out = jnp.pad(out, ((0, 0), (0, k - C)), constant_values=-1)
+    return out
 
 
 # ── Sparse attention core ────────────────────────────────────────────────
+
+
+def sparse_attention_parts(q, parts, sink, scale: float):
+    """Joint softmax attention over several candidate row sets without
+    materializing their concatenation.
+
+    q: [T, h, d]; parts: sequence of (rows [T, Ki, d], valid [T, Ki] bool);
+    sink: [h] f32. Returns [T, h, d] in q.dtype. Math identical to
+    ``sparse_attention`` over the union of the parts (a joint max is taken
+    across parts before exponentiation, so this is an exact regrouping of
+    the same softmax, not an approximation). The decode path uses this to
+    attend [window ring ‖ gathered top-k rows] without first concatenating
+    the ring with the FULL compressed-cache capacity (reference sparse core
+    reads selected rows only: deepseek_attention.cu indexed attention /
+    tools/tilelang sparse_attn local_h16_d512).
+    """
+    sinkf = sink.astype(jnp.float32)[None, :]  # [1, h]
+    logits = []
+    for rows, valid in parts:
+        rf = rows.astype(jnp.float32)
+        s = jnp.einsum("thd,tkd->thk", q.astype(jnp.float32), rf) * scale
+        s = jnp.where(valid[:, None, :], s, NEG_INF)
+        logits.append((s, rf, valid))
+
+    m = sinkf
+    for s, _, _ in logits:
+        m = jnp.maximum(m, jnp.max(s, axis=-1))  # [T, h]
+    num = 0.0
+    denom = jnp.exp(sinkf - m)
+    for s, rf, valid in logits:
+        p = jnp.exp(s - m[..., None])
+        p = jnp.where(valid[:, None, :], p, 0.0)
+        num = num + jnp.einsum("thk,tkd->thd", p, rf)
+        denom = denom + jnp.sum(p, axis=-1)
+    return (num / denom[..., None]).astype(q.dtype)
 
 
 def sparse_attention(q, kv, idx, sink, scale: float):
@@ -276,16 +331,5 @@ def sparse_attention(q, kv, idx, sink, scale: float):
     softmax over the K selected positions plus a per-head sink logit
     (contributes to the denominator only) — reference sparse_attn_kernel.
     """
-    T, h, d = q.shape
-    gathered = kv[jnp.maximum(idx, 0)].astype(jnp.float32)  # [T, K, d]
-    qf = q.astype(jnp.float32)
-    s = jnp.einsum("thd,tkd->thk", qf, gathered) * scale
-    mask = (idx >= 0)[:, None, :]
-    s = jnp.where(mask, s, NEG_INF)
-
-    m = jnp.maximum(jnp.max(s, axis=-1), sink.astype(jnp.float32)[None, :])  # [T, h]
-    p = jnp.exp(s - m[..., None])
-    p = jnp.where(mask, p, 0.0)
-    denom = jnp.sum(p, axis=-1) + jnp.exp(sink.astype(jnp.float32)[None, :] - m)
-    out = jnp.einsum("thk,tkd->thd", p, gathered) / denom[..., None]
-    return out.astype(q.dtype)
+    gathered = kv[jnp.maximum(idx, 0)]  # [T, K, d]
+    return sparse_attention_parts(q, [(gathered, idx >= 0)], sink, scale)

@@ -254,20 +254,26 @@ def set_fp8_kernel(on) -> None:
     _FP8_KERNEL = on
 
 
-def qlinear(x: jax.Array, w) -> jax.Array:
+def qlinear(x: jax.Array, w, kernel=None) -> jax.Array:
     """y = x @ W.T where W is a plain [out, in] array or a {"q","s"}
     container (dequantized on the fly in the latter case; decode-shaped
     fp8 containers take the fused Pallas GEMV when enabled — the XLA
-    dequant does not keep the f8 bytes fused into the dot)."""
+    dequant does not keep the f8 bytes fused into the dot).
+
+    ``kernel``: False | True | "interpret" — per-call fp8-GEMV switch
+    (threaded from the engine's dsv4.RunModes); None reads the module
+    default set by set_fp8_kernel."""
+    if kernel is None:
+        kernel = _FP8_KERNEL
     if is_quantized(w):
-        if _FP8_KERNEL and w["q"].dtype == F8 and x.ndim == 2:
+        if kernel and w["q"].dtype == F8 and x.ndim == 2:
             from pegainfer_tpu.ops.pallas.fp4_gemm import (
                 fp8_gemv, fp8_gemv_supported,
             )
 
             if fp8_gemv_supported(w["q"], w["s"], x):
                 y = fp8_gemv(x, w["q"], w["s"],
-                             interpret=_FP8_KERNEL == "interpret")
+                             interpret=kernel == "interpret")
                 return y.astype(x.dtype)
         return x @ dequant_any(w, x.dtype).T
     return x @ w.T

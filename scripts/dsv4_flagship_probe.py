@@ -1,0 +1,304 @@
+"""DSv4 FLAGSHIP-geometry per-layer probe (single chip).
+
+Measures decode step/layer and prefill chunk/layer at the real DeepSeek-
+V4-Flash per-layer widths — dim 4096, 64 heads, head_dim 512, q_lora 1024,
+o_lora 1024 (o_groups 8), rope 64, 256 routed experts top-6 (moe_inter
+2048), indexer 64x128 topk 512 — for each attention class (ratio 0 window,
+ratio 128 non-overlap compressed, ratio 4 overlap + lightning indexer),
+then projects a 43-layer single-chip TPOT comparable to the reference's
+28.5 ms on 8 GPUs (docs/models/deepseek-v4/serving-baseline.md:122-128).
+
+Geometry sources: /root/reference/pegainfer-deepseek-v4/src/config.rs
+validate() (dim/heads/hd/lora/experts/vocab), pegainfer-kernels/tools/
+tilelang/deepseek_v4/generate.py FP8/FP4_LINEAR_SHAPES (moe_inter 2048,
+per-rank shard shapes), docs http-serving-benchmark.md (index_topk=512).
+The checkpoint's sliding_window and compress_ratios vector are not in the
+reference tree; this probe uses window=128 (the reference's own unit-test
+value, runtime/state.rs:1185) and measures each ratio class separately so
+any real mix can be projected.
+
+Weights are random RESIDENT containers built directly at container dtypes
+(a single bf16 256-expert layer is 12.9 GB — exceeds the chip, which is
+the honest reason the reference ships fp4). --bf16 measures the mp8
+per-rank share (32 experts) in bf16 for the bf16-mode data point.
+
+Usage: JAX_PLATFORMS=axon python scripts/dsv4_flagship_probe.py [--ctx 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def note(msg):
+    print(f"[probe +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
+
+
+def flagship_cfg(ratio: int, n_layers: int, n_experts: int = 256,
+                 vocab: int = 8192, ctx: int = 8192, hash_gate: bool = False):
+    from pegainfer_tpu.models import dsv4
+
+    return dsv4.DSv4Config(
+        vocab_size=vocab, dim=4096, moe_inter_dim=2048, n_layers=n_layers,
+        num_attention_heads=64, head_dim=512, q_lora_rank=1024,
+        qk_rope_head_dim=64, o_groups=8, o_lora_rank=1024,
+        sliding_window=128, n_routed_experts=n_experts, n_shared_experts=1,
+        n_activated_experts=6, n_hash_layers=n_layers if hash_gate else 0,
+        routed_scaling_factor=1.5, swiglu_limit=7.0, rms_norm_eps=1e-6,
+        index_n_heads=64, index_head_dim=128, index_topk=512,
+        max_position_embeddings=1048576, rope_theta=10000.0,
+        compress_rope_theta=10000.0, compress_ratios=(ratio,) * n_layers,
+        yarn_original_seq_len=65536, yarn_factor=16.0,
+    )
+
+
+def rand_fp8(rng, out_d, in_d):
+    """Random resident fp8 container at true shapes (codes masked to the
+    small-positive range — no NaN codes; values irrelevant to perf)."""
+    import ml_dtypes
+
+    q = (rng.integers(0, 256, (out_d, in_d), np.uint8) & 0x37).view(
+        ml_dtypes.float8_e4m3fn)
+    so, si = max(out_d // 128, 1), max(in_d // 128, 1)
+    s = np.ones((so, si), np.float32)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(s, jnp.bfloat16)}
+
+
+def rand_fp4_stack(rng, e, out_d, in_d):
+    q = rng.integers(0, 256, (e, out_d, in_d // 2), np.uint8)
+    s = np.full((e, out_d, in_d // 32), 0.25, np.float32)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(s, jnp.bfloat16)}
+
+
+def rand_layer(cfg, rng, li: int, bf16_experts: bool):
+    """One layer's params tree at container dtypes (mirrors
+    dsv4.init_random_params keys + quantize_params_resident containers)."""
+    D, n = cfg.dim, cfg.hc_mult
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+    mix_hc = (2 + n) * n
+    E, I = cfg.n_routed_experts, cfg.moe_inter_dim
+    ratio = cfg.compress_ratios[li]
+
+    def w(*shape, s=0.02):
+        return jnp.asarray(rng.normal(0, s, shape), jnp.bfloat16)
+
+    def f32(*shape, s=0.2):
+        return jnp.asarray(rng.normal(0, s, shape), jnp.float32)
+
+    lw = {
+        "attn_norm": jnp.ones((D,), jnp.bfloat16),
+        "ffn_norm": jnp.ones((D,), jnp.bfloat16),
+        "hc_attn_fn": f32(mix_hc, n * D), "hc_attn_base": f32(mix_hc),
+        "hc_attn_scale": jnp.ones((3,), jnp.float32),
+        "hc_ffn_fn": f32(mix_hc, n * D), "hc_ffn_base": f32(mix_hc),
+        "hc_ffn_scale": jnp.ones((3,), jnp.float32),
+        "attn_sink": f32(H), "q_norm": jnp.ones((cfg.q_lora_rank,), jnp.bfloat16),
+        "kv_norm": jnp.ones((hd,), jnp.bfloat16),
+        "wq_a": rand_fp8(rng, cfg.q_lora_rank, D),
+        "wq_b": rand_fp8(rng, H * hd, cfg.q_lora_rank),
+        "wkv": rand_fp8(rng, hd, D),
+        "wo_a": w(cfg.o_groups * cfg.o_lora_rank, H * hd // cfg.o_groups),
+        "wo_b": rand_fp8(rng, D, cfg.o_groups * cfg.o_lora_rank),
+        "gate_weight": w(E, D),
+        "shared_w1": rand_fp8(rng, I, D),
+        "shared_w2": rand_fp8(rng, D, I),
+        "shared_w3": rand_fp8(rng, I, D),
+    }
+    if bf16_experts:
+        lw["experts_w1"] = w(E, I, D)
+        lw["experts_w2"] = w(E, D, I)
+        lw["experts_w3"] = w(E, I, D)
+    else:
+        lw["experts_w1"] = rand_fp4_stack(rng, E, I, D)
+        lw["experts_w2"] = rand_fp4_stack(rng, E, D, I)
+        lw["experts_w3"] = rand_fp4_stack(rng, E, I, D)
+    if li < cfg.n_hash_layers:
+        lw["gate_tid2eid"] = jnp.asarray(
+            rng.integers(0, E, (cfg.vocab_size, cfg.n_activated_experts)),
+            jnp.int32)
+    else:
+        lw["gate_bias"] = f32(E)
+    if ratio > 0:
+        coff = 2 if ratio == 4 else 1
+        lw["comp"] = {
+            "ape": f32(ratio, coff * hd), "wkv": w(coff * hd, D),
+            "wgate": w(coff * hd, D), "norm": jnp.ones((hd,), jnp.bfloat16)}
+    if ratio == 4:
+        ihd = cfg.index_head_dim
+        lw["idx_wq_b"] = rand_fp8(rng, cfg.index_n_heads * ihd, cfg.q_lora_rank)
+        lw["idx_weights_proj"] = w(cfg.index_n_heads, D)
+        lw["idx_comp"] = {
+            "ape": f32(4, 2 * ihd), "wkv": w(2 * ihd, D),
+            "wgate": w(2 * ihd, D), "norm": jnp.ones((ihd,), jnp.bfloat16)}
+    return lw
+
+
+def rand_params(cfg, bf16_experts: bool, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    D, n = cfg.dim, cfg.hc_mult
+    return {
+        "embed": jnp.asarray(rng.normal(0, 0.02, (cfg.vocab_size, D)),
+                             jnp.bfloat16),
+        "head": jnp.asarray(rng.normal(0, 0.02, (cfg.vocab_size, D)),
+                            jnp.bfloat16),
+        "norm": jnp.ones((D,), jnp.bfloat16),
+        "hc_head_fn": jnp.asarray(rng.normal(0, 0.2, (n, n * D)), jnp.float32),
+        "hc_head_base": jnp.asarray(rng.normal(0, 0.5, (n,)), jnp.float32),
+        "hc_head_scale": jnp.ones((1,), jnp.float32),
+        "layers": [rand_layer(cfg, rng, li, bf16_experts)
+                   for li in range(cfg.n_layers)],
+    }
+
+
+def time_decode(cfg, gparams, ctx: int, n_steps: int = 16, reps: int = 3):
+    """One-dispatch chain of n_steps decode steps; returns ms/step."""
+    from pegainfer_tpu.models import dsv4
+    from pegainfer_tpu.models.dsv4_engine import max_blocks_for
+
+    gstate = dsv4.group_state(cfg, dsv4.make_state(
+        cfg, 1, max_blocks_for(cfg, ctx), dtype=jnp.bfloat16))
+
+    def chain(gstate, t0, p0):
+        def body(carry, _):
+            gs, tok, pos = carry
+            gs, logits = dsv4.decode_grouped(
+                cfg, gparams, gs, tok, pos, jnp.zeros((1,), jnp.int32))
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)[None]
+            return (gs, nxt, pos + 1), logits[0, 0]
+        (gstate, _, _), ys = jax.lax.scan(
+            body, (gstate, t0, p0), None, length=n_steps)
+        return gstate, ys
+
+    f = jax.jit(chain, donate_argnums=(0,))
+    t0 = jnp.asarray([3], jnp.int32)
+    p0 = jnp.asarray([ctx - 1], jnp.int32)
+    gstate, ys = f(gstate, t0, p0)  # compile + warm
+    np.asarray(ys)
+    best = float("inf")
+    for _ in range(reps):
+        t = time.perf_counter()
+        gstate, ys = f(gstate, t0, p0)
+        np.asarray(ys)
+        best = min(best, (time.perf_counter() - t) * 1e3 / n_steps)
+    return best
+
+
+def time_prefill(cfg, gparams, T: int, reps: int = 3):
+    from pegainfer_tpu.models import dsv4
+    from pegainfer_tpu.models.dsv4_engine import max_blocks_for
+
+    def run(tokens, gstate):
+        logits, gstate = dsv4.prefill_grouped(cfg, gparams, tokens,
+                                              gstate=gstate, slot=0)
+        return logits[-1], gstate
+
+    f = jax.jit(run, donate_argnums=(1,))
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, T), jnp.int32)
+    gstate = dsv4.group_state(cfg, dsv4.make_state(
+        cfg, 1, max_blocks_for(cfg, T), dtype=jnp.bfloat16))
+    out, gstate = f(tokens, gstate)
+    np.asarray(out)
+    best = float("inf")
+    for _ in range(reps):
+        t = time.perf_counter()
+        out, gstate = f(tokens, gstate)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t) * 1e3)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ctx", type=int, default=8192)
+    ap.add_argument("--prefill-t", type=int, default=2048)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 experts at the mp8 per-rank share (32)")
+    ap.add_argument("--experts", type=int, default=None)
+    ap.add_argument("--layers", type=int, nargs="*", default=[1, 2])
+    ap.add_argument("--ratios", type=int, nargs="*", default=[0, 128, 4])
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--no-kernel", action="store_true")
+    ap.add_argument("--skip-prefill", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin otherwise "
+                         "claims the TPU regardless of JAX_PLATFORMS)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from pegainfer_tpu.models import dsv4
+    from pegainfer_tpu.ops import quant as quant_mod
+    from pegainfer_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+    note(f"backend={jax.default_backend()}")
+    n_experts = args.experts or (32 if args.bf16 else 256)
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = on_tpu and not args.bf16 and not args.no_kernel
+    dsv4.set_fp4_kernel(use_kernel)
+    quant_mod.set_fp8_kernel(on_tpu and not args.no_kernel and not args.bf16)
+
+    results = {}
+    for ratio in args.ratios:
+        per_l = {}
+        times = {}
+        for L in args.layers:
+            cfg = flagship_cfg(ratio, L, n_experts=n_experts, ctx=args.ctx)
+            params = rand_params(cfg, bf16_experts=args.bf16)
+            gparams = dsv4.group_params(cfg, params)
+            del params
+            ms = time_decode(cfg, gparams, args.ctx, n_steps=args.steps)
+            times[L] = ms
+            note(f"ratio={ratio} L={L} decode {ms:.3f} ms/step @ctx={args.ctx}")
+            if not args.skip_prefill:
+                pf = time_prefill(cfg, gparams, args.prefill_t)
+                per_l.setdefault("prefill", {})[L] = pf
+                note(f"ratio={ratio} L={L} prefill({args.prefill_t}) {pf:.1f} ms")
+            del gparams
+        Ls = sorted(times)
+        if len(Ls) >= 2:
+            per_l["decode_ms_per_layer"] = (
+                (times[Ls[-1]] - times[Ls[0]]) / (Ls[-1] - Ls[0]))
+            if "prefill" in per_l:
+                pf = per_l["prefill"]
+                per_l["prefill_ms_per_layer"] = (
+                    (pf[Ls[-1]] - pf[Ls[0]]) / (Ls[-1] - Ls[0]))
+        per_l["decode_ms_total"] = times
+        results[f"ratio{ratio}"] = per_l
+
+    # fixed overhead (embed + head + dispatch) at vocab 8192; the real
+    # 129,280-row head adds (129280-8192)*4096*2B = 0.99 GB/step ≈ +1.3 ms
+    # at the measured chip rate — reported separately
+    ov = None
+    base = results.get(f"ratio{args.ratios[0]}", {})
+    if len(args.layers) >= 2:
+        Ls = sorted(base["decode_ms_total"])
+        slope = base["decode_ms_per_layer"]
+        ov = base["decode_ms_total"][Ls[0]] - slope * Ls[0]
+        results["overhead_ms"] = ov
+
+    print(json.dumps({
+        "ctx": args.ctx, "experts": n_experts,
+        "mode": "bf16" if args.bf16 else "resident_fp8_fp4",
+        "fp4_kernel": use_kernel, "results": results,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,38 @@ def test_topk_strict_tie_break():
     assert idx2[0].tolist() == [1, 0, -1, -1]
 
 
+def test_topk_select_matches_strict():
+    """lax.top_k tie semantics (lower index first) == the stable-argsort
+    oracle, on tie-heavy inputs — pins the decode fast path's contract."""
+    rng = np.random.default_rng(7)
+    # quantized scores → many exact ties
+    scores = jnp.asarray(rng.integers(0, 4, (6, 37)).astype(np.float32))
+    counts = jnp.asarray(rng.integers(1, 38, (6,)), jnp.int32)
+    for k in (1, 5, 16):
+        ids, valid = dsa.topk_select(scores, k, counts)
+        oracle = np.asarray(dsa.topk_strict(scores, k, counts, 0))
+        got = np.where(np.asarray(valid), np.asarray(ids), -1)
+        np.testing.assert_array_equal(got, oracle)
+
+
+def test_sparse_attention_parts_matches_joint():
+    """Multi-part online merge == one softmax over the concatenated set."""
+    T, h, d = 3, 2, 8
+    q = jnp.asarray(rnd(0, T, h, d))
+    rows_a = jnp.asarray(rnd(1, T, 4, d))
+    rows_b = jnp.asarray(rnd(2, T, 5, d))
+    valid_a = jnp.asarray(np.random.default_rng(3).random((T, 4)) > 0.3)
+    valid_b = jnp.asarray(np.random.default_rng(4).random((T, 5)) > 0.3)
+    sink = jnp.asarray(rnd(5, h))
+    out = dsa.sparse_attention_parts(
+        q, [(rows_a, valid_a), (rows_b, valid_b)], sink, d ** -0.5)
+    joint = dsa.sparse_attention_parts(
+        q, [(jnp.concatenate([rows_a, rows_b], axis=1),
+             jnp.concatenate([valid_a, valid_b], axis=1))], sink, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(joint),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_indexer_scores_relu_weighted():
     T, H, dk, C = 2, 3, 4, 5
     q = rnd(0, T, H, dk)

@@ -163,3 +163,51 @@ def test_engine_flat_generates():
         assert len(set(toks)) > 1 or toks[0] != 0
     finally:
         handle.shutdown()
+
+
+def test_flat_chunked_prefill_matches_grouped_f32():
+    """prefill_chunk_wa_flat == prefill_chunk_wa on grouped params,
+    bit-exact in f32, over a 4-chunk continuation (pins the flat-index
+    gi/j derivation, start_pos>0 GDN/conv state continuation, kv splice
+    and cpend row layout — ADVICE r3 #1)."""
+    cfg = tiny_cfg()
+
+    def f32(p):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            p)
+
+    params = f32(q35.init_random_params(cfg, seed=6))
+    up = q35.to_union(cfg, f32(q35.init_random_params(cfg, seed=6)))
+    num_pages, ps = 12, 8
+    Tc = 16  # 2 pages per chunk
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, cfg.vocab_size, 4 * Tc)
+    pt = jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8], jnp.int32)
+
+    outs = []
+    for p, mode in ((params, "grouped"), (up, "flat"), (up, "grouped")):
+        state = jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            q35.make_state(cfg, num_pages, ps, max_slots=2))
+        cpend = jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            q35.make_chunk_pend(cfg, 2, ps, 2))
+        last = None
+        for ci in range(4):
+            toks = jnp.asarray(prompt[ci * Tc:(ci + 1) * Tc], jnp.int32)
+            state, cpend, last = q35.prefill_chunk_wa(
+                cfg, p, state, cpend, toks, jnp.int32(ci * Tc),
+                jnp.int32(Tc), pt, jnp.int32(0), mode=mode)
+        state = q35.flush_chunk_pend(state, cpend)
+        outs.append((np.asarray(last), jax.tree.map(np.asarray, state)))
+
+    # flat vs grouped path on the SAME union params: bit-exact
+    (l_ref, s_ref), (l_flat, s_flat), (l_grp, s_grp) = outs
+    np.testing.assert_array_equal(l_flat, l_grp)
+    for k in ("kv", "rec", "conv"):
+        np.testing.assert_array_equal(s_flat[k], s_grp[k], err_msg=k)
+    # and equal to the native grouped params run
+    np.testing.assert_array_equal(l_flat, l_ref)
+    for k in ("kv", "rec", "conv"):
+        np.testing.assert_array_equal(s_flat[k], s_ref[k], err_msg=k)
