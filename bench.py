@@ -140,6 +140,45 @@ def main():
         jax.devices()
         signal.alarm(0)
 
+    import jax
+
+    from pegainfer_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+    note(f"backend={jax.default_backend()} devices={jax.devices()}")
+    model = os.environ.get("PEGAINFER_BENCH_MODEL", "qwen3")
+    quant = os.environ.get("PEGAINFER_BENCH_QUANT")
+
+    result = run_family(model, quant, smoke, prompt_len, n_decode)
+    if result is None:
+        sys.exit(1)
+
+    # second driver-captured family (VERDICT r3 #10): the default run also
+    # measures Qwen3.5 bf16 on the flat union layout, embedded in the same
+    # JSON line so the driver's BENCH_r{N}.json independently confirms a
+    # second family each round. PEGAINFER_BENCH_SECOND=0 disables.
+    if (model == "qwen3" and not quant and not smoke
+            and os.environ.get("PEGAINFER_BENCH_SECOND") != "0"):
+        import gc
+
+        gc.collect()  # drop the first family's device buffers
+        try:
+            second = run_family("qwen35", None, smoke, prompt_len, 128)
+        except Exception as e:  # second family must never kill the headline
+            note(f"second-family bench failed: {e!r}")
+            second = None
+        if second is not None:
+            result["extra"]["second"] = {
+                "metric": second["metric"], "value": second["value"],
+                "unit": second["unit"], "vs_baseline": second["vs_baseline"],
+                "ttft_ms": second["extra"]["ttft_ms"],
+            }
+    print(json.dumps(result))
+
+
+def run_family(model, quant, smoke, prompt_len, n_decode):
+    """Build one family's engine, run warmup + one measured request, and
+    return the bench result dict (None on failure)."""
     import numpy as np
 
     from pegainfer_tpu.engine.contract import (
@@ -154,13 +193,6 @@ def main():
     from pegainfer_tpu.models import qwen3 as q3
 
     import jax
-
-    from pegainfer_tpu.utils.compile_cache import enable as enable_cache
-
-    enable_cache()
-    note(f"backend={jax.default_backend()} devices={jax.devices()}")
-    model = os.environ.get("PEGAINFER_BENCH_MODEL", "qwen3")
-    quant = os.environ.get("PEGAINFER_BENCH_QUANT")
     # 64-token pages minimize decode DMA-issue count (docs/PERF.md)
     num_pages = 64 if smoke else 192
     page_size = 16 if smoke else 64
@@ -259,16 +291,17 @@ def main():
         return ttft, stamps
 
     run_request(8, use_warm_prompt=True)  # warmup: compiles the bucket ladder
-    note("warmup request done (compiles)")
+    note(f"{model} warmup request done (compiles)")
 
     ttft_ms, stamps = run_request(n_decode + 2)
-    note("measured request done")
+    note(f"{model} measured request done")
     handle.shutdown()
+    del handle, ex, runtime, params  # free this family's device buffers
     if len(stamps) < 4:
         print(json.dumps({"metric": "bench_error", "value": -1.0,
                           "unit": "ms", "vs_baseline": 0.0,
                           "extra": {"tokens_seen": len(stamps)}}))
-        sys.exit(1)
+        return None
 
     # Tokens arrive in decode_block bursts: steady TPOT = wall time per
     # token over the post-first-block region; percentiles from block-level
@@ -299,7 +332,7 @@ def main():
             "smoke": smoke,
         },
     }
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

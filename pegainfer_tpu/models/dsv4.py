@@ -403,6 +403,10 @@ class RunModes:
     fp4_kernel: Any = False
     fp8_kernel: Any = False
     moe_ep: Optional[tuple] = None  # (mesh, axis_name, transport)
+    # dispatch/combine scratch bound: global tokens per EP a2a chunk (the
+    # reference sizes rank buffers once — EpTopology.max_recv_tokens;
+    # prompt-scale prefills must not inflate them)
+    ep_prefill_chunk: int = 1024
 
 
 _MOE_EP: Optional[tuple] = None  # module default (see RunModes note)
@@ -526,7 +530,7 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
             n = mesh.shape[axis]
             Tp = -(-T // n) * n
             pad = Tp - T
-            routed = ep.moe_ep_a2a(
+            routed = ep.moe_ep_a2a_chunked(
                 mesh,
                 jnp.pad(xf32, ((0, pad), (0, 0))),
                 w_f32(lw["experts_w1"]), w_f32(lw["experts_w2"]),
@@ -534,6 +538,7 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
                 jnp.pad(route_idx, ((0, pad), (0, 0))),  # pad → expert 0
                 jnp.pad(weights, ((0, pad), (0, 0))),  # pad weight 0
                 cfg.swiglu_limit, axis=axis, transport=transport,
+                chunk_tokens=modes.ep_prefill_chunk,
             )[:T]
             return (routed + shared.astype(jnp.float32)).astype(x.dtype)
 

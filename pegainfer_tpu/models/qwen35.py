@@ -811,7 +811,16 @@ def prefill_flat(cfg: Qwen35Config, params, state, tokens, seq_len,
 
     Semantics identical to ``prefill`` on grouped params (pinned by
     tests/test_qwen35_flat.py); state handling unchanged — write-only,
-    landed by one dus chain per array after the scan."""
+    landed by one dus chain per array after the scan.
+
+    HBM note (ADVICE r3): the scan's kv_row ys is emitted by EVERY layer
+    (linear layers emit zeros) because scan ys must be shape-uniform, so
+    the buffer is [Lt, T, Hkv, 2, hd] — period× the grouped path's
+    [G, T, ...]. At 4B scale that is ~65 KB/token (~670 MB for a 10k
+    single-shot prefill); the ENGINE path is unaffected in practice
+    because chunked prefill caps T at the 1-2k chunk (~65-130 MB
+    transient). If single-shot long-prompt prefill ever becomes a mode,
+    split the kv emission into a second scan over full layers only."""
     p, pl_ = cfg.period, cfg.period - 1
     G, Lt = cfg.num_groups, cfg.num_hidden_layers
     T = tokens.shape[0]

@@ -256,3 +256,44 @@ def moe_ep_a2a(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
     if return_dropped:
         return out, dropped
     return out
+
+
+def moe_ep_a2a_chunked(mesh: Mesh, x, w1, w2, w3, route_idx, route_weights,
+                       swiglu_limit: float, axis: str = "tp",
+                       transport: str = "ragged",
+                       capacity_factor: float = None,
+                       chunk_tokens: int = 1024):
+    """``moe_ep_a2a`` with the dispatch/combine wire scratch bounded PER
+    CHUNK instead of per call (VERDICT r3 #8; reference contract:
+    EpTopology.max_recv_tokens sizes the rank buffers ONCE,
+    pegainfer-comm/src/ep_backend.rs:25-97 — a prompt-sized prefill must
+    not inflate them). Rows are processed in ``chunk_tokens``-token global
+    chunks under one lax.scan (one traced a2a body); scratch per shard is
+    ∝ chunk_tokens·K rather than T·K. Same math as moe_ep_a2a: chunks
+    partition the token axis and MoE is token-independent.
+    """
+    T, D = x.shape
+    n = mesh.shape[axis]
+    # per-chunk global rows: multiple of n (shard_map needs equal shards)
+    per = max(n, (min(chunk_tokens, T) // n) * n)
+    if T <= per:
+        return moe_ep_a2a(mesh, x, w1, w2, w3, route_idx, route_weights,
+                          swiglu_limit, axis=axis, transport=transport,
+                          capacity_factor=capacity_factor)
+    C = -(-T // per)
+    pad = C * per - T
+    xs = jnp.pad(x, ((0, pad), (0, 0))).reshape(C, per, D)
+    idxs = jnp.pad(route_idx, ((0, pad), (0, 0))).reshape(
+        C, per, route_idx.shape[1])
+    wtss = jnp.pad(route_weights, ((0, pad), (0, 0))).reshape(
+        C, per, route_weights.shape[1])  # pad rows: weight 0 → contribute 0
+
+    def body(_, args):
+        xc, ic, wc = args
+        out = moe_ep_a2a(mesh, xc, w1, w2, w3, ic, wc, swiglu_limit,
+                         axis=axis, transport=transport,
+                         capacity_factor=capacity_factor)
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, (xs, idxs, wtss))
+    return outs.reshape(C * per, D)[:T]

@@ -172,26 +172,28 @@ def time_decode(cfg, gparams, ctx: int, n_steps: int = 16, reps: int = 3):
     gstate = dsv4.group_state(cfg, dsv4.make_state(
         cfg, 1, max_blocks_for(cfg, ctx), dtype=jnp.bfloat16))
 
-    def chain(gstate, t0, p0):
+    def chain(gp, gstate, t0, p0):
         def body(carry, _):
             gs, tok, pos = carry
             gs, logits = dsv4.decode_grouped(
-                cfg, gparams, gs, tok, pos, jnp.zeros((1,), jnp.int32))
+                cfg, gp, gs, tok, pos, jnp.zeros((1,), jnp.int32))
             nxt = jnp.argmax(logits[0]).astype(jnp.int32)[None]
             return (gs, nxt, pos + 1), logits[0, 0]
         (gstate, _, _), ys = jax.lax.scan(
             body, (gstate, t0, p0), None, length=n_steps)
         return gstate, ys
 
-    f = jax.jit(chain, donate_argnums=(0,))
+    # params as an ARGUMENT (a closure capture ships them as 3.9 GB of
+    # lowered constants)
+    f = jax.jit(chain, donate_argnums=(1,))
     t0 = jnp.asarray([3], jnp.int32)
     p0 = jnp.asarray([ctx - 1], jnp.int32)
-    gstate, ys = f(gstate, t0, p0)  # compile + warm
+    gstate, ys = f(gparams, gstate, t0, p0)  # compile + warm
     np.asarray(ys)
     best = float("inf")
     for _ in range(reps):
         t = time.perf_counter()
-        gstate, ys = f(gstate, t0, p0)
+        gstate, ys = f(gparams, gstate, t0, p0)
         np.asarray(ys)
         best = min(best, (time.perf_counter() - t) * 1e3 / n_steps)
     return best
@@ -201,22 +203,22 @@ def time_prefill(cfg, gparams, T: int, reps: int = 3):
     from pegainfer_tpu.models import dsv4
     from pegainfer_tpu.models.dsv4_engine import max_blocks_for
 
-    def run(tokens, gstate):
-        logits, gstate = dsv4.prefill_grouped(cfg, gparams, tokens,
+    def run(gp, tokens, gstate):
+        logits, gstate = dsv4.prefill_grouped(cfg, gp, tokens,
                                               gstate=gstate, slot=0)
         return logits[-1], gstate
 
-    f = jax.jit(run, donate_argnums=(1,))
+    f = jax.jit(run, donate_argnums=(2,))
     tokens = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, T), jnp.int32)
     gstate = dsv4.group_state(cfg, dsv4.make_state(
         cfg, 1, max_blocks_for(cfg, T), dtype=jnp.bfloat16))
-    out, gstate = f(tokens, gstate)
+    out, gstate = f(gparams, tokens, gstate)
     np.asarray(out)
     best = float("inf")
     for _ in range(reps):
         t = time.perf_counter()
-        out, gstate = f(tokens, gstate)
+        out, gstate = f(gparams, tokens, gstate)
         np.asarray(out)
         best = min(best, (time.perf_counter() - t) * 1e3)
     return best

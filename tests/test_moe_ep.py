@@ -368,3 +368,102 @@ def test_moe_ep_a2a_capacity_scratch_is_bounded():
     cap = max(8, -(-int(1.5 * M) // 8) * 8)
     assert f"{cap},17" in shapes_of(1.5).replace(" ", "")
     assert "48,17" not in shapes_of(1.5).replace(" ", "")
+
+
+def test_moe_ep_a2a_chunked_matches_unchunked():
+    """Chunked dispatch (wire scratch ∝ chunk) == one-shot a2a == dense
+    reference at a prompt-scale T, and the traced program's all_to_all
+    buffers are bounded by the CHUNK row count, not T (VERDICT r3 #8;
+    reference EpTopology.max_recv_tokens contract, ep_backend.rs:25-97)."""
+    from pegainfer_tpu.ops.moe_ep import moe_ep_a2a, moe_ep_a2a_chunked
+
+    rng = np.random.default_rng(7)
+    T, D, I, E, K = 128, 16, 8, 8, 2
+    chunk = 32
+    x = rng.standard_normal((T, D)).astype(np.float32)
+    w1 = rng.standard_normal((E, I, D)).astype(np.float32) * 0.2
+    w2 = rng.standard_normal((E, D, I)).astype(np.float32) * 0.2
+    w3 = rng.standard_normal((E, I, D)).astype(np.float32) * 0.2
+    route_idx = np.stack([rng.choice(E, K, replace=False)
+                          for _ in range(T)]).astype(np.int32)
+    route_w = rng.random((T, K)).astype(np.float32)
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=8))
+    w1s = place_tree(mesh, jnp.asarray(w1), P("tp"))
+    w2s = place_tree(mesh, jnp.asarray(w2), P("tp"))
+    w3s = place_tree(mesh, jnp.asarray(w3), P("tp"))
+    xs = place_tree(mesh, jnp.asarray(x), P("tp"))
+    idxs = place_tree(mesh, jnp.asarray(route_idx), P("tp"))
+    wtss = place_tree(mesh, jnp.asarray(route_w), P("tp"))
+
+    one = moe_ep_a2a(mesh, xs, w1s, w2s, w3s, idxs, wtss, 7.0,
+                     transport="dense")
+    chk = moe_ep_a2a_chunked(mesh, xs, w1s, w2s, w3s, idxs, wtss, 7.0,
+                             transport="dense", chunk_tokens=chunk)
+    np.testing.assert_allclose(np.asarray(chk), np.asarray(one),
+                               rtol=1e-5, atol=1e-5)
+    ref = dense_reference(x, w1, w2, w3, route_idx, route_w, 7.0)
+    np.testing.assert_allclose(np.asarray(chk), ref, rtol=2e-4, atol=2e-4)
+
+    # scratch-bytes assertion: every all_to_all in the chunked program is
+    # bounded by the chunk's worst case (chunk_tokens/n per shard x K x n
+    # rows x (D+1)); the one-shot program carries a T-scale buffer.
+    def a2a_rows(fn, *args):
+        txt = jax.jit(fn).lower(*args).as_text()
+        import re
+        rows = []
+        for m in re.finditer(r'all_to_all[^\n]*tensor<([0-9x]+)xf32>', txt):
+            dims = [int(d) for d in m.group(1).split("x")]
+            if dims[-1] == D + 1:  # dispatch payload buffers
+                rows.append(int(np.prod(dims[:-1])))
+        return max(rows) if rows else 0
+
+    n = 8
+    per_shard_chunk = chunk // n
+    chunk_worst = per_shard_chunk * K * n  # dense dispatch block rows
+    big = a2a_rows(lambda *a: moe_ep_a2a(mesh, *a, 7.0, transport="dense"),
+                   xs, w1s, w2s, w3s, idxs, wtss)
+    small = a2a_rows(
+        lambda *a: moe_ep_a2a_chunked(mesh, *a, 7.0, transport="dense",
+                                      chunk_tokens=chunk),
+        xs, w1s, w2s, w3s, idxs, wtss)
+    assert big >= (T // n) * K * n, big
+    assert 0 < small <= chunk_worst, (small, chunk_worst)
+
+
+def test_moe_ep_a2a_chunked_capacity_overflow():
+    """Chunking composes with the capacity-factor acceptance clamp: skewed
+    routing overflows per-chunk caps; dropped slots contribute zero and
+    the surviving output matches the per-chunk unchunked run."""
+    from pegainfer_tpu.ops.moe_ep import moe_ep_a2a, moe_ep_a2a_chunked
+
+    rng = np.random.default_rng(9)
+    T, D, I, E, K = 64, 8, 4, 8, 2
+    chunk = 16
+    x = rng.standard_normal((T, D)).astype(np.float32)
+    w1 = rng.standard_normal((E, I, D)).astype(np.float32) * 0.2
+    w2 = rng.standard_normal((E, D, I)).astype(np.float32) * 0.2
+    w3 = rng.standard_normal((E, I, D)).astype(np.float32) * 0.2
+    route_idx = np.zeros((T, K), np.int32)  # everything to experts 0/1
+    route_idx[:, 1] = 1
+    route_w = rng.random((T, K)).astype(np.float32)
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=8))
+    place = lambda a, p: place_tree(mesh, jnp.asarray(a), p)  # noqa: E731
+    args = (place(x, P("tp")), place(w1, P("tp")), place(w2, P("tp")),
+            place(w3, P("tp")), place(route_idx, P("tp")),
+            place(route_w, P("tp")))
+
+    cf = 0.75
+    chk = moe_ep_a2a_chunked(mesh, *args, 7.0, transport="dense",
+                             capacity_factor=cf, chunk_tokens=chunk)
+    # oracle: run each chunk unchunked with the same cf
+    outs = []
+    for c0 in range(0, T, chunk):
+        sl = slice(c0, c0 + chunk)
+        outs.append(np.asarray(moe_ep_a2a(
+            mesh, place(x[sl], P("tp")), args[1], args[2], args[3],
+            place(route_idx[sl], P("tp")), place(route_w[sl], P("tp")),
+            7.0, transport="dense", capacity_factor=cf)))
+    np.testing.assert_allclose(np.asarray(chk), np.concatenate(outs),
+                               rtol=1e-5, atol=1e-5)
