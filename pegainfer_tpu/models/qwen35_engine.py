@@ -58,17 +58,29 @@ def start_engine(
     num_pages = opts.max_num_pages or _compute_num_pages(cfg, page_size, opts, params)
     log.info("KV pool: %d pages x %d tokens", num_pages, page_size)
 
+    # flat UNION decode layout: 2.4x faster weight streaming on one device.
+    # Under TP the default stays grouped (no multi-chip measurement exists
+    # in this env); PEGAINFER_Q35_FLAT_TP=1 opts into flat-under-TP — GSPMD
+    # shards the packed width slots, parity pinned by
+    # tests/test_qwen35_tp_flat.py (program collective counts recorded in
+    # docs/PERF.md round 4).
+    flat_tp = os.environ.get("PEGAINFER_Q35_FLAT_TP") == "1"
     runtime = q35.make_runtime(
         cfg, params, num_pages, page_size, max_slots=opts.max_batch_size,
-        # flat UNION decode layout: 2.4x faster weight streaming on one
-        # device; TP must keep the grouped layout (models/qwen35.py)
-        flat_decode=(tp_size == 1),
+        flat_decode=(tp_size == 1 or flat_tp),
     )
     if tp_size > 1:
-        from pegainfer_tpu.parallel.sharding import MeshConfig, make_mesh, shard_qwen35
+        from pegainfer_tpu.parallel.sharding import (
+            MeshConfig, make_mesh, shard_qwen35, shard_qwen35_union,
+        )
 
         mesh = make_mesh(MeshConfig(dp=1, tp=tp_size))
-        runtime.params, runtime.state = shard_qwen35(mesh, cfg, runtime.params, runtime.state)
+        if flat_tp:
+            runtime.params, runtime.state = shard_qwen35_union(
+                mesh, cfg, runtime.params, runtime.state)
+        else:
+            runtime.params, runtime.state = shard_qwen35(
+                mesh, cfg, runtime.params, runtime.state)
     executor = JaxExecutor(runtime, opts)
     if opts.precompile and opts.enable_cuda_graph:
         log.info("precompiling decode buckets")

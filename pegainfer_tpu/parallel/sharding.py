@@ -215,6 +215,34 @@ def shard_qwen35(mesh: Mesh, cfg, params, state):
     return params, state
 
 
+def qwen35_union_specs(u) -> dict:
+    """TP placement for the flat UNION layout (models/qwen35.to_union):
+    packed output-width slots shard on the width axis, input-packed a4/dn
+    on the input axis; the small per-head vectors and conv replicate.
+    GSPMD keeps the packed sub-slot slices exact (parity pinned by
+    tests/test_qwen35_tp_flat.py); sub-slot components narrower than a
+    shard (full layers' wk/wv in a3) place unevenly — acceptable until a
+    real multi-chip measurement exists (PEGAINFER_Q35_FLAT_TP opt-in)."""
+    mat = {"a1": P(None, None, "tp"), "a2": P(None, None, "tp"),
+           "a3": P(None, None, "tp"), "gu": P(None, None, "tp"),
+           "a4": P(None, "tp", None), "dn": P(None, "tp", None)}
+    return {k: mat.get(k, P()) for k in u}
+
+
+def shard_qwen35_union(mesh: Mesh, cfg, params, state):
+    assert "union" in params, "shard_qwen35_union needs to_union params"
+    tp = mesh.shape.get("tp", 1)
+    validate_qwen35_tp(cfg, tp)
+    specs = {
+        "embed": P(None, None), "final_ln": P(),
+        "lm_head": P(None, "tp"),
+        "union": qwen35_union_specs(params["union"]),
+    }
+    params = place_tree(mesh, params, {k: specs[k] for k in params})
+    state = place_tree(mesh, state, qwen35_state_specs())
+    return params, state
+
+
 # ── DeepSeek-V4 MP8 specs ────────────────────────────────────────────────
 # The sharding axes are exactly the reference's mp8 rank split
 # (deepseek-v4/src/config.rs TensorParallelConfig: vocab / attention heads /

@@ -261,6 +261,8 @@ def main():
         per_l = {}
         times = {}
         for L in args.layers:
+            import gc
+
             cfg = flagship_cfg(ratio, L, n_experts=n_experts, ctx=args.ctx)
             params = rand_params(cfg, bf16_experts=args.bf16)
             gparams = dsv4.group_params(cfg, params)
@@ -273,6 +275,11 @@ def main():
                 per_l.setdefault("prefill", {})[L] = pf
                 note(f"ratio={ratio} L={L} prefill({args.prefill_t}) {pf:.1f} ms")
             del gparams
+            # drop compiled executables + their buffer references before
+            # the next config claims HBM (previous L=2 run OOM'd on stale
+            # buffers held by the jit caches)
+            jax.clear_caches()
+            gc.collect()
         Ls = sorted(times)
         if len(Ls) >= 2:
             per_l["decode_ms_per_layer"] = (
