@@ -544,31 +544,61 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
 
         order = jnp.argsort(flat_e)
         src_t = flat_t[order]
-        group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-        dn = lax.RaggedDotDimensionNumbers(
-            dot_dimension_numbers=(((1,), (2,)), ((), ())),
-            lhs_ragged_dimensions=[0],
-            rhs_group_dimensions=[0],
-        )
 
-        # bf16 dequant (exact: E2M1/E4M3 values x pow2 scales are bf16-
-        # representable) — an f32 materialization of the full expert stacks
-        # doubles the per-layer HBM bytes at real 256-expert scale
-        def w_bf16(w):
-            return (quant.dequant_any(w, jnp.bfloat16)
-                    if quant.is_quantized(w) else w.astype(jnp.bfloat16))
+        if modes.fp4_kernel and _fp4_kernel_ok(lw):
+            # fused fp4 grouped GEMM (Pallas): weights stream PACKED, no
+            # bf16 expert-stack materialization — the XLA dequant form
+            # below needs 12.9 GB/layer at the real 256-expert geometry
+            # (measured OOM; reference analog deepseek_quant.cu
+            # moe_fp4_grouped_w13/w2). Exact at any routing skew: per-tile
+            # expert segments, no capacity factor.
+            from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
 
-        xs = x.astype(jnp.bfloat16)[src_t]  # [M, D] in expert order
-        ge = lax.ragged_dot_general(
-            xs, w_bf16(lw["experts_w1"]), group_sizes, dn,
-            preferred_element_type=jnp.float32)
-        ue = lax.ragged_dot_general(
-            xs, w_bf16(lw["experts_w3"]), group_sizes, dn,
-            preferred_element_type=jnp.float32)
-        act = swiglu(ge, ue)  # [M, I] f32
-        per = lax.ragged_dot_general(
-            act.astype(jnp.bfloat16), w_bf16(lw["experts_w2"]),
-            group_sizes, dn, preferred_element_type=jnp.float32)
+            interp = modes.fp4_kernel == "interpret"
+            e_sorted = flat_e[order]
+            tm = 128 if M >= 128 else -(-M // 8) * 8
+            Mp = -(-M // tm) * tm
+            xs = jnp.pad(x.astype(jnp.bfloat16)[src_t], ((0, Mp - M), (0, 0)))
+            # pad rows carry the LAST expert id (keeps segments sorted and
+            # DMA indices in range); their outputs are sliced off
+            e_pad = jnp.pad(e_sorted, (0, Mp - M), mode="edge")
+            seg = pfp4.tile_segments(e_pad, tm, E)
+            ge = pfp4.moe_fp4_grouped(
+                xs, lw["experts_w1"]["q"], lw["experts_w1"]["s"], *seg,
+                tm=tm, interpret=interp)
+            ue = pfp4.moe_fp4_grouped(
+                xs, lw["experts_w3"]["q"], lw["experts_w3"]["s"], *seg,
+                tm=tm, interpret=interp)
+            act = swiglu(ge, ue)  # [Mp, I] f32
+            per = pfp4.moe_fp4_grouped(
+                act.astype(jnp.bfloat16), lw["experts_w2"]["q"],
+                lw["experts_w2"]["s"], *seg, tm=tm, interpret=interp)[:M]
+        else:
+            group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+            dn = lax.RaggedDotDimensionNumbers(
+                dot_dimension_numbers=(((1,), (2,)), ((), ())),
+                lhs_ragged_dimensions=[0],
+                rhs_group_dimensions=[0],
+            )
+
+            # bf16 dequant (exact: E2M1/E4M3 values x pow2 scales are bf16-
+            # representable) — an f32 materialization of the full expert
+            # stacks doubles the per-layer HBM bytes at real 256-expert scale
+            def w_bf16(w):
+                return (quant.dequant_any(w, jnp.bfloat16)
+                        if quant.is_quantized(w) else w.astype(jnp.bfloat16))
+
+            xs = x.astype(jnp.bfloat16)[src_t]  # [M, D] in expert order
+            ge = lax.ragged_dot_general(
+                xs, w_bf16(lw["experts_w1"]), group_sizes, dn,
+                preferred_element_type=jnp.float32)
+            ue = lax.ragged_dot_general(
+                xs, w_bf16(lw["experts_w3"]), group_sizes, dn,
+                preferred_element_type=jnp.float32)
+            act = swiglu(ge, ue)  # [M, I] f32
+            per = lax.ragged_dot_general(
+                act.astype(jnp.bfloat16), w_bf16(lw["experts_w2"]),
+                group_sizes, dn, preferred_element_type=jnp.float32)
         per = per * flat_w[order][:, None]
         routed = jnp.zeros((T, x.shape[1]), jnp.float32).at[src_t].add(per)
     else:

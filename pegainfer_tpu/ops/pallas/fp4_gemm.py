@@ -130,6 +130,195 @@ def fp4_gemv_supported(q: jax.Array, s: jax.Array, out_tile: int = 256) -> bool:
     )
 
 
+# ── FP4 grouped GEMM (prefill-scale MoE) ─────────────────────────────────
+# The prefill path routes T·K rows across ALL experts; the XLA form
+# (dequant full expert stacks to bf16 + lax.ragged_dot_general) materializes
+# 12.9 GB per layer at the real 256-expert geometry — more than the chip
+# (measured OOM, scripts/dsv4_flagship_probe.py round 4). This kernel is
+# the reference's TileLang grouped expert GEMM
+# (deepseek_quant.cu moe_fp4_grouped_w13/w2_with_workspace_cuda): rows
+# sorted by expert are processed in TM-row tiles; each tile's expert
+# SEGMENTS stream their packed weight o-tiles HBM→VMEM (double-buffered
+# manual DMA — the expert id varies per segment inside a program, so the
+# grid index_map cannot express the fetch), decode on the VPU, and the
+# MXU accumulates masked per-segment partials. Weight traffic per layer =
+# the packed stack once (+ one refetch per tile-crossing segment); no
+# bf16 materialization anywhere. Exact for ANY routing skew — no
+# capacity factor, segments are derived from the true group sizes.
+
+
+def _gemm_kernel(seg_e_ref, seg_lo_ref, seg_hi_ref, nseg_ref,
+                 xlo_ref, xhi_ref, q_hbm, s_hbm, o_ref,
+                 wq_buf, ws_buf, sem, *, rep: int, TO: int, swar: bool):
+    t = pl.program_id(0)
+    o = pl.program_id(1)
+    n = nseg_ref[t]
+    TM = xlo_ref.shape[0]
+    IN2 = xlo_ref.shape[1]
+    S = ws_buf.shape[-1]
+
+    def start(i, slot):
+        e = seg_e_ref[t, i]
+        pltpu.make_async_copy(
+            q_hbm.at[e, pl.ds(o * TO, TO), :], wq_buf.at[slot],
+            sem.at[0, slot]).start()
+        pltpu.make_async_copy(
+            s_hbm.at[e, pl.ds(o * TO, TO), :], ws_buf.at[slot],
+            sem.at[1, slot]).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(
+            q_hbm.at[0, pl.ds(0, TO), :], wq_buf.at[slot],
+            sem.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            s_hbm.at[0, pl.ds(0, TO), :], ws_buf.at[slot],
+            sem.at[1, slot]).wait()
+
+    # one-hot scale expansion operand (see _kernel: Mosaic rejects the
+    # element-repeat forms); built once per program
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (S, IN2), 0)
+    j_grp = jax.lax.broadcasted_iota(jnp.int32, (S, IN2), 1) // rep
+    expand = (g_ids == j_grp).astype(jnp.bfloat16)  # [S, IN2]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+    xlo = xlo_ref[:]
+    xhi = xhi_ref[:]
+
+    def seg_part(i, slot):
+        """Masked [TM, TO] contribution of segment i (buffer `slot`)."""
+        qb = wq_buf[slot].astype(jnp.int32)
+        if swar:
+            lo, hi = _decode_pair_swar(qb)
+        else:
+            lo, hi = _decode_e2m1(qb & 0xF), _decode_e2m1(qb >> 4)
+        srep = jax.lax.dot_general(
+            ws_buf[slot], expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TO, IN2]
+        wl = (lo * srep).astype(jnp.bfloat16)
+        wh = (hi * srep).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            xlo, wl, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            xhi, wh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TM, TO]
+        in_seg = (rows_i >= seg_lo_ref[t, i]) & (rows_i < seg_hi_ref[t, i])
+        return jnp.where((i < n) & in_seg, part, 0.0)
+
+    # 2-buffer pipeline, PAIR-unrolled so buffer indices stay static (a
+    # traced slot select copies the whole buffer per iteration — the
+    # round-2 paged-decode lesson, docs/PERF.md)
+    @pl.when(n > 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(n > 1)
+    def _():
+        start(1, 1)
+
+    def pair(j, acc):
+        i0 = 2 * j
+        i1 = i0 + 1
+        wait(0)
+        acc = acc + seg_part(i0, 0)
+
+        @pl.when(i0 + 2 < n)
+        def _():
+            start(i0 + 2, 0)
+
+        @pl.when(i1 < n)
+        def _():
+            wait(1)
+        acc = acc + seg_part(i1, 1)
+
+        @pl.when(i1 + 2 < n)
+        def _():
+            start(i1 + 2, 1)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, pl.cdiv(n, 2), pair, jnp.zeros((TM, TO), jnp.float32))
+    o_ref[:] = acc
+
+
+def tile_segments(flat_e_sorted: jax.Array, tm: int, n_experts: int):
+    """Per-tile expert segments for ``moe_fp4_grouped``.
+
+    flat_e_sorted: [M] int32 ascending expert ids (M % tm == 0; pad rows
+    carry a valid expert id — their outputs are masked by the caller).
+    Returns (seg_expert [T,tm], seg_lo [T,tm], seg_hi [T,tm], n_seg [T]).
+    """
+    M = flat_e_sorted.shape[0]
+    T = M // tm
+    e = flat_e_sorted.reshape(T, tm)
+    pos = jnp.arange(tm, dtype=jnp.int32)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones((T, 1), bool), e[:, 1:] != e[:, :-1]], axis=1)
+    seg_id = jnp.cumsum(is_start, axis=1).astype(jnp.int32) - 1  # [T, tm]
+    n_seg = seg_id[:, -1] + 1
+    seg_expert = jnp.zeros((T, tm), jnp.int32).at[
+        jnp.arange(T)[:, None], seg_id].set(e)
+    seg_lo = jnp.full((T, tm), tm, jnp.int32).at[
+        jnp.arange(T)[:, None], seg_id].min(jnp.broadcast_to(pos, (T, tm)))
+    seg_hi = jnp.zeros((T, tm), jnp.int32).at[
+        jnp.arange(T)[:, None], seg_id].max(pos) + 1
+    return seg_expert, seg_lo, seg_hi, n_seg
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_tile", "tm", "interpret", "decode"))
+def moe_fp4_grouped(
+    x_sorted: jax.Array,  # [M, IN] rows SORTED by expert (M % tm == 0)
+    q: jax.Array,  # [E, OUT, IN//2] uint8 packed E2M1
+    s: jax.Array,  # [E, OUT, S] bf16 scales
+    seg_expert: jax.Array, seg_lo: jax.Array, seg_hi: jax.Array,
+    n_seg: jax.Array,  # from tile_segments
+    out_tile: int = 256,
+    tm: int = 128,
+    interpret: bool = False,
+    decode: str = "swar",
+) -> jax.Array:
+    """y[m] = x_sorted[m] @ dequant(q[e(m)], s[e(m)]).T — [M, OUT] f32,
+    exact grouped expert GEMM over fp4-packed weights (see section doc)."""
+    M, IN = x_sorted.shape
+    E, OUT, IN2 = q.shape
+    assert IN == 2 * IN2 and M % tm == 0, (x_sorted.shape, q.shape, tm)
+    S = s.shape[-1]
+    rep = IN2 // S
+    TO = min(out_tile, OUT)
+    GO = OUT // TO
+    T = M // tm
+
+    xb = x_sorted.astype(jnp.bfloat16)
+    x_lo = xb[:, 0::2]
+    x_hi = xb[:, 1::2]
+
+    out = pl.pallas_call(
+        functools.partial(_gemm_kernel, rep=rep, TO=TO,
+                          swar=decode == "swar"),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # seg_expert, seg_lo, seg_hi, n_seg
+            grid=(T, GO),  # o INNER: x tile stays resident across o
+            in_specs=[
+                pl.BlockSpec((tm, IN2), lambda t, o, *_: (t, 0)),
+                pl.BlockSpec((tm, IN2), lambda t, o, *_: (t, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # q stays in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),  # s stays in HBM
+            ],
+            out_specs=pl.BlockSpec((tm, TO), lambda t, o, *_: (t, o)),
+            scratch_shapes=[
+                pltpu.VMEM((2, TO, IN2), jnp.uint8),
+                pltpu.VMEM((2, TO, S), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, OUT), jnp.float32),
+        interpret=interpret,
+    )(seg_expert, seg_lo, seg_hi, n_seg, x_lo, x_hi, q,
+      s.astype(jnp.bfloat16))
+    return out
+
+
 # ── FP8 dense-linear GEMV ────────────────────────────────────────────────
 # The DSv4 dense projections (wq_a/wq_b/wkv/wo_b/shared experts/indexer)
 # are E4M3 with 128x128-block E8M0 scales. Through XLA the dequant does

@@ -84,6 +84,25 @@ def rand_fp4_stack(rng, e, out_d, in_d):
     return {"q": jnp.asarray(q), "s": jnp.asarray(s, jnp.bfloat16)}
 
 
+def rand_segment(cfg, rng, bf16_experts: bool):
+    """ONE segment (all layers share the signature) built STACKED —
+    dsv4.group_params would hold params twice during the stack (measured
+    OOM at L=2 flagship: 6.9 GB x2). Leaves get the [L, ...] axis here."""
+    L = cfg.n_layers
+    lw = rand_layer(cfg, rng, 0, bf16_experts)
+
+    def grow(a):
+        if isinstance(a, dict):
+            return {k: grow(v) for k, v in a.items()}
+        if a.dtype not in (jnp.bfloat16, jnp.float32):
+            return jnp.tile(a[None], (L,) + (1,) * a.ndim)
+        # cheap per-layer variation without a second full-size host array
+        reps = rng.normal(0, 1e-4, (L,) + (1,) * a.ndim).astype(np.float32)
+        return (a[None] * jnp.asarray(1.0 + reps, a.dtype))
+
+    return {k: grow(v) for k, v in lw.items()}
+
+
 def rand_layer(cfg, rng, li: int, bf16_experts: bool):
     """One layer's params tree at container dtypes (mirrors
     dsv4.init_random_params keys + quantize_params_resident containers)."""
@@ -159,8 +178,8 @@ def rand_params(cfg, bf16_experts: bool, seed: int = 0):
         "hc_head_fn": jnp.asarray(rng.normal(0, 0.2, (n, n * D)), jnp.float32),
         "hc_head_base": jnp.asarray(rng.normal(0, 0.5, (n,)), jnp.float32),
         "hc_head_scale": jnp.ones((1,), jnp.float32),
-        "layers": [rand_layer(cfg, rng, li, bf16_experts)
-                   for li in range(cfg.n_layers)],
+        # single-segment GROUPED layout built stacked (no 2x transient)
+        "segments": [rand_segment(cfg, rng, bf16_experts)],
     }
 
 
@@ -264,9 +283,7 @@ def main():
             import gc
 
             cfg = flagship_cfg(ratio, L, n_experts=n_experts, ctx=args.ctx)
-            params = rand_params(cfg, bf16_experts=args.bf16)
-            gparams = dsv4.group_params(cfg, params)
-            del params
+            gparams = rand_params(cfg, bf16_experts=args.bf16)
             ms = time_decode(cfg, gparams, args.ctx, n_steps=args.steps)
             times[L] = ms
             note(f"ratio={ratio} L={L} decode {ms:.3f} ms/step @ctx={args.ctx}")

@@ -359,3 +359,56 @@ def test_dsv4_decode_fp8_kernel_path():
     np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
                                rtol=0, atol=5e-2)
     assert int(jnp.argmax(lg_k[0])) == int(jnp.argmax(lg_x[0]))
+
+
+def test_moe_fp4_grouped_matches_oracle():
+    """Grouped fp4 GEMM (interpret) == dequant oracle with skewed routing,
+    empty experts, and tile-crossing segments."""
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+    rng = np.random.default_rng(11)
+    E, OUT, IN, M, tm = 8, 64, 256, 64, 16
+    q = jnp.asarray(rng.integers(0, 256, (E, OUT, IN // 2), dtype=np.uint8))
+    s = jnp.asarray(np.exp2(rng.integers(-4, 3, (E, OUT, IN // 32))
+                            ).astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((M, IN)).astype(np.float32))
+    flat_e = np.sort(rng.choice([0, 1, 1, 1, 3, 7], M)).astype(np.int32)
+    seg = pfp4.tile_segments(jnp.asarray(flat_e), tm, E)
+    y = np.asarray(pfp4.moe_fp4_grouped(x, q, s, *seg, out_tile=32, tm=tm,
+                                        interpret=True))
+    wd = np.asarray(quant.dequant_any({"q": q, "s": s}, jnp.float32))
+    ref = np.stack([np.asarray(x)[m] @ wd[flat_e[m]].T for m in range(M)])
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(y - ref).max() / scale < 2e-2
+
+
+def test_dsv4_prefill_fp4_grouped_kernel_path():
+    """Full DSv4 PREFILL with the fused grouped kernel (interpret) == the
+    XLA dequant+ragged_dot path — the path that OOMs at flagship scale
+    (12.9 GB/layer bf16 expert materialization, scripts/dsv4_flagship_probe
+    round 4)."""
+    from pegainfer_tpu.models import dsv4
+
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=256, moe_inter_dim=256, n_layers=2,
+        num_attention_heads=8, head_dim=32, q_lora_rank=32,
+        qk_rope_head_dim=16, o_groups=8, o_lora_rank=8, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=32, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.quantize_params_resident(
+        dsv4.init_random_params(cfg, seed=9, dtype=jnp.float32, scale=0.08)
+    )
+    toks = jnp.asarray([3, 17, 42, 9, 88, 12, 7, 55, 2, 91], jnp.int32)
+    lg_x, _ = dsv4.prefill(cfg, params, toks,
+                           modes=dsv4.RunModes())
+    lg_k, _ = dsv4.prefill(cfg, params, toks,
+                           modes=dsv4.RunModes(fp4_kernel="interpret"))
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
+                               rtol=0, atol=5e-2)
+    assert (np.argmax(np.asarray(lg_k), -1)
+            == np.argmax(np.asarray(lg_x), -1)).all()
