@@ -563,16 +563,16 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
             # DMA indices in range); their outputs are sliced off
             e_pad = jnp.pad(e_sorted, (0, Mp - M), mode="edge")
             seg = pfp4.tile_segments(e_pad, tm, E)
-            ge = pfp4.moe_fp4_grouped(
-                xs, lw["experts_w1"]["q"], lw["experts_w1"]["s"], *seg,
-                tm=tm, interpret=interp)
-            ue = pfp4.moe_fp4_grouped(
-                xs, lw["experts_w3"]["q"], lw["experts_w3"]["s"], *seg,
-                tm=tm, interpret=interp)
+
+            def grouped(xrows, w):
+                return pfp4.moe_fp4_grouped(
+                    xrows, w["q"], w["s"], *seg, tm=tm, interpret=interp,
+                    layer=w.get("layer"))
+
+            ge = grouped(xs, lw["experts_w1"])
+            ue = grouped(xs, lw["experts_w3"])
             act = swiglu(ge, ue)  # [Mp, I] f32
-            per = pfp4.moe_fp4_grouped(
-                act.astype(jnp.bfloat16), lw["experts_w2"]["q"],
-                lw["experts_w2"]["s"], *seg, tm=tm, interpret=interp)[:M]
+            per = grouped(act.astype(jnp.bfloat16), lw["experts_w2"])[:M]
         else:
             group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
             dn = lax.RaggedDotDimensionNumbers(
@@ -612,16 +612,16 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
             from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
 
             interp = modes.fp4_kernel == "interpret"
-            ge = pfp4.moe_fp4_gemv(
-                xs, lw["experts_w1"]["q"], lw["experts_w1"]["s"], flat_e,
-                interpret=interp)
-            ue = pfp4.moe_fp4_gemv(
-                xs, lw["experts_w3"]["q"], lw["experts_w3"]["s"], flat_e,
-                interpret=interp)
+
+            def gemv(xrows, w):
+                return pfp4.moe_fp4_gemv(
+                    xrows, w["q"], w["s"], flat_e, interpret=interp,
+                    layer=w.get("layer"))
+
+            ge = gemv(xs, lw["experts_w1"])
+            ue = gemv(xs, lw["experts_w3"])
             act = swiglu(ge, ue)  # [M, I] f32
-            per = pfp4.moe_fp4_gemv(
-                act, lw["experts_w2"]["q"], lw["experts_w2"]["s"], flat_e,
-                interpret=interp)
+            per = gemv(act, lw["experts_w2"])
         else:
             # XLA fallback: bf16 gathers (exact — E2M1 x pow2 values are
             # bf16-representable; f32 would double the materialized bytes)
@@ -1040,6 +1040,45 @@ def slot_import(gstate, snap, slot):
     return jax.tree.map(put, gstate, snap)
 
 
+
+def _strip_containers(seg_params):
+    """Split a stacked segment tree into (xs_tree, view_fn).
+
+    Quantized {"q","s"} containers are REMOVED from the scan xs (their
+    slot keeps a None placeholder so the tree structure survives scan
+    slicing) and re-enter the per-layer weight dict as LAYER VIEWS
+    {"q": stacked, "s": stacked, "layer": li}: the Pallas kernels index
+    the layer through a prefetched scalar and the XLA fallbacks slice in
+    dequant_any. Feeding a container through scan xs forces XLA to
+    materialize a contiguous copy of the layer's packed stack EVERY step
+    (measured 4.0 → 29.9 ms/step at flagship L=2 — the docs/PERF.md
+    KV-pool rule applied to weights)."""
+    caps = {}
+
+    def strip(node, path):
+        if isinstance(node, dict):
+            if quant.is_quantized(node):
+                caps[path] = node
+                return None
+            return {k: strip(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    xs = strip(seg_params, ())
+
+    def view(xs_slice, li):
+        def rec(node, path):
+            if path in caps:
+                c = caps[path]
+                return {"q": c["q"], "s": c["s"], "layer": li}
+            if isinstance(node, dict):
+                return {k: rec(v, path + (k,)) for k, v in node.items()}
+            return node
+
+        return rec(xs_slice, ())
+
+    return xs, view
+
+
 def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
                     seq_len=None, modes: Optional[RunModes] = None):
     """prefill() over segment-scanned layers; with gstate+slot, seeds the
@@ -1054,15 +1093,19 @@ def prefill_grouped(cfg: DSv4Config, gparams, tokens, gstate=None, slot=None,
     seg_caches = []
     for seg_idx, (a, b, ratio, is_hash) in enumerate(segments(cfg)):
         inv_freq = cfg.rope_inv_freq(a)
+        xs_p, view = _strip_containers(gparams["segments"][seg_idx])
 
-        def body(carry, lw):
+        def body(carry, xs, view=view):
+            li, lw_s = xs
             carry, cache = _prefill_layer(
-                cfg, lw, carry, tokens, positions, ratio, is_hash, inv_freq,
-                modes,
+                cfg, view(lw_s, li), carry, tokens, positions, ratio,
+                is_hash, inv_freq, modes,
             )
             return carry, cache
 
-        streams, caches = jax.lax.scan(body, streams, gparams["segments"][seg_idx])
+        streams, caches = jax.lax.scan(
+            body, streams,
+            (jnp.arange(b - a, dtype=jnp.int32), xs_p))
         seg_caches.append(caches)
 
     logits = _head_logits(cfg, gparams, streams)
@@ -1137,17 +1180,20 @@ def decode_grouped(cfg: DSv4Config, gparams, gstate, tokens, positions, slots,
     new_segs = []
     for seg_idx, (a, b, ratio, is_hash) in enumerate(segments(cfg)):
         inv_freq = cfg.rope_inv_freq(a)
+        xs_p, view = _strip_containers(gparams["segments"][seg_idx])
 
-        def body(carry, xs):
-            lw, ls = xs
+        def body(carry, xs, view=view):
+            li, lw_s, ls = xs
             carry, ls_new = _decode_layer(
-                cfg, lw, ls, carry, tokens, positions, slots, ratio, is_hash,
-                inv_freq, modes,
+                cfg, view(lw_s, li), ls, carry, tokens, positions, slots,
+                ratio, is_hash, inv_freq, modes,
             )
             return carry, ls_new
 
         streams, seg_state_new = jax.lax.scan(
-            body, streams, (gparams["segments"][seg_idx], gstate["segments"][seg_idx])
+            body, streams,
+            (jnp.arange(b - a, dtype=jnp.int32), xs_p,
+             gstate["segments"][seg_idx])
         )
         new_segs.append(seg_state_new)
     return {"segments": new_segs}, _head_logits(cfg, gparams, streams)

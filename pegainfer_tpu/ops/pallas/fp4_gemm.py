@@ -76,8 +76,12 @@ def _decode_pair_swar(qb: jax.Array):
     return lo, hi
 
 
-def _kernel(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, *, rep: int,
-            swar: bool):
+def _kernel(*refs, rep: int, swar: bool, stacked: bool = False):
+    if stacked:  # extra layer-scalar prefetch ref; blocks carry a lead 1-dim
+        idx_ref, l_ref, xlo_ref, xhi_ref, q4, s4, o_ref = refs
+        q_ref, s_ref = q4[0], s4[0]
+    else:
+        idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref = refs
     m = pl.program_id(1)
     qb = q_ref[0].astype(jnp.int32)  # [TO, IN2] packed bytes
     # element-repeat each scale over its group's packed bytes via a one-hot
@@ -116,11 +120,12 @@ def _kernel(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, *, rep: int,
 
 
 def fp4_gemv_supported(q: jax.Array, s: jax.Array, out_tile: int = 256) -> bool:
-    """Shape gate: packed container with MXU/VPU-aligned tiles."""
-    if q.dtype != jnp.uint8 or q.ndim != 3:
+    """Shape gate: packed container with MXU/VPU-aligned tiles ([E,...] or
+    the stacked [L, E, ...] form)."""
+    if q.dtype != jnp.uint8 or q.ndim not in (3, 4):
         return False
-    E, OUT, IN2 = q.shape
-    if s.shape[:2] != (E, OUT):
+    E, OUT, IN2 = q.shape[-3:]
+    if s.shape[-3:-1] != (E, OUT) or s.ndim != q.ndim:
         return False
     return (
         IN2 % 128 == 0
@@ -147,31 +152,37 @@ def fp4_gemv_supported(q: jax.Array, s: jax.Array, out_tile: int = 256) -> bool:
 # capacity factor, segments are derived from the true group sizes.
 
 
-def _gemm_kernel(seg_e_ref, seg_lo_ref, seg_hi_ref, nseg_ref,
+def _gemm_kernel(seg_e_ref, seg_lo_ref, seg_hi_ref, nseg_ref, l_ref,
                  xlo_ref, xhi_ref, q_hbm, s_hbm, o_ref,
-                 wq_buf, ws_buf, sem, *, rep: int, TO: int, swar: bool):
+                 wq_buf, ws_buf, sem, *, rep: int, TO: int, swar: bool,
+                 stacked: bool):
     t = pl.program_id(0)
     o = pl.program_id(1)
     n = nseg_ref[t]
     TM = xlo_ref.shape[0]
     IN2 = xlo_ref.shape[1]
     S = ws_buf.shape[-1]
+    # stacked weights: whole [L, E, ...] stack is the operand; the layer
+    # index rides the prefetched scalar (a scan-xs slice would materialize
+    # the layer's packed stack per step — see moe_fp4_gemv docstring)
+    qh = q_hbm.at[l_ref[0]] if stacked else q_hbm
+    sh = s_hbm.at[l_ref[0]] if stacked else s_hbm
 
     def start(i, slot):
         e = seg_e_ref[t, i]
         pltpu.make_async_copy(
-            q_hbm.at[e, pl.ds(o * TO, TO), :], wq_buf.at[slot],
+            qh.at[e, pl.ds(o * TO, TO), :], wq_buf.at[slot],
             sem.at[0, slot]).start()
         pltpu.make_async_copy(
-            s_hbm.at[e, pl.ds(o * TO, TO), :], ws_buf.at[slot],
+            sh.at[e, pl.ds(o * TO, TO), :], ws_buf.at[slot],
             sem.at[1, slot]).start()
 
     def wait(slot):
         pltpu.make_async_copy(
-            q_hbm.at[0, pl.ds(0, TO), :], wq_buf.at[slot],
+            qh.at[0, pl.ds(0, TO), :], wq_buf.at[slot],
             sem.at[0, slot]).wait()
         pltpu.make_async_copy(
-            s_hbm.at[0, pl.ds(0, TO), :], ws_buf.at[slot],
+            sh.at[0, pl.ds(0, TO), :], ws_buf.at[slot],
             sem.at[1, slot]).wait()
 
     # one-hot scale expansion operand (see _kernel: Mosaic rejects the
@@ -269,25 +280,30 @@ def tile_segments(flat_e_sorted: jax.Array, tm: int, n_experts: int):
                    static_argnames=("out_tile", "tm", "interpret", "decode"))
 def moe_fp4_grouped(
     x_sorted: jax.Array,  # [M, IN] rows SORTED by expert (M % tm == 0)
-    q: jax.Array,  # [E, OUT, IN//2] uint8 packed E2M1
-    s: jax.Array,  # [E, OUT, S] bf16 scales
+    q: jax.Array,  # [E, OUT, IN//2] uint8 packed E2M1 (or [L, E, ...])
+    s: jax.Array,  # [E, OUT, S] bf16 scales (or [L, E, OUT, S])
     seg_expert: jax.Array, seg_lo: jax.Array, seg_hi: jax.Array,
     n_seg: jax.Array,  # from tile_segments
     out_tile: int = 256,
     tm: int = 128,
     interpret: bool = False,
     decode: str = "swar",
+    layer: jax.Array = None,  # REQUIRED for the stacked [L, ...] form
 ) -> jax.Array:
     """y[m] = x_sorted[m] @ dequant(q[e(m)], s[e(m)]).T — [M, OUT] f32,
     exact grouped expert GEMM over fp4-packed weights (see section doc)."""
     M, IN = x_sorted.shape
-    E, OUT, IN2 = q.shape
+    stacked = q.ndim == 4
+    E, OUT, IN2 = q.shape[-3:]
     assert IN == 2 * IN2 and M % tm == 0, (x_sorted.shape, q.shape, tm)
+    assert stacked == (layer is not None)
     S = s.shape[-1]
     rep = IN2 // S
     TO = min(out_tile, OUT)
     GO = OUT // TO
     T = M // tm
+    li = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
+          else jnp.zeros((1,), jnp.int32))
 
     xb = x_sorted.astype(jnp.bfloat16)
     x_lo = xb[:, 0::2]
@@ -295,9 +311,9 @@ def moe_fp4_grouped(
 
     out = pl.pallas_call(
         functools.partial(_gemm_kernel, rep=rep, TO=TO,
-                          swar=decode == "swar"),
+                          swar=decode == "swar", stacked=stacked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # seg_expert, seg_lo, seg_hi, n_seg
+            num_scalar_prefetch=5,  # seg_expert, seg_lo, seg_hi, n_seg, layer
             grid=(T, GO),  # o INNER: x tile stays resident across o
             in_specs=[
                 pl.BlockSpec((tm, IN2), lambda t, o, *_: (t, 0)),
@@ -314,7 +330,7 @@ def moe_fp4_grouped(
         ),
         out_shape=jax.ShapeDtypeStruct((M, OUT), jnp.float32),
         interpret=interpret,
-    )(seg_expert, seg_lo, seg_hi, n_seg, x_lo, x_hi, q,
+    )(seg_expert, seg_lo, seg_hi, n_seg, li, x_lo, x_hi, q,
       s.astype(jnp.bfloat16))
     return out
 
@@ -329,7 +345,12 @@ def moe_fp4_grouped(
 # dequant amortizes over the chunk there).
 
 
-def _fp8_kernel(xcol_ref, q_ref, s_ref, o_ref, *, ri: int):
+def _fp8_kernel(*refs, ri: int, stacked: bool = False):
+    if stacked:  # blocks carry a leading 1-dim for the layer axis
+        l_ref, xcol_ref, q4, s4, o_ref = refs
+        q_ref, s_ref = q4[0], s4[0]
+    else:
+        xcol_ref, q_ref, s_ref, o_ref = refs
     m = pl.program_id(1)
     qb = q_ref[:].astype(jnp.bfloat16)  # [TO, IN] (hw convert)
     to, in_d = qb.shape
@@ -353,10 +374,12 @@ def _fp8_kernel(xcol_ref, q_ref, s_ref, o_ref, *, ri: int):
 
 def fp8_gemv_supported(q: jax.Array, s: jax.Array, x: jax.Array,
                        out_tile: int = 256, max_rows: int = 8) -> bool:
-    if q.ndim != 2 or x.ndim != 2 or x.shape[0] > max_rows:
+    if q.ndim not in (2, 3) or x.ndim != 2 or x.shape[0] > max_rows:
         return False
-    OUT, IN = q.shape
-    So, Si = s.shape
+    if q.ndim == 3 and s.ndim != 3:
+        return False
+    OUT, IN = q.shape[-2:]
+    So, Si = s.shape[-2:]
     TO = min(out_tile, OUT)
     return (
         IN % 128 == 0 and OUT % TO == 0 and TO % 32 == 0
@@ -367,19 +390,23 @@ def fp8_gemv_supported(q: jax.Array, s: jax.Array, x: jax.Array,
 @functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
 def fp8_gemv(
     x: jax.Array,  # [M, IN] activations (small M — decode)
-    q: jax.Array,  # [OUT, IN] float8_e4m3fn
-    s: jax.Array,  # [So, Si] bf16 block scales (OUT/So x IN/Si blocks)
+    q: jax.Array,  # [OUT, IN] float8_e4m3fn (or [L, OUT, IN])
+    s: jax.Array,  # [So, Si] bf16 block scales (or [L, So, Si])
     out_tile: int = 256,
     interpret: bool = False,
+    layer: jax.Array = None,  # REQUIRED for the stacked [L, ...] form
 ) -> jax.Array:
     """y = x @ dequant(q, s).T — [M, OUT] f32; weight bytes stream as f8.
 
     Grid is (o-tiles, M) with m inner: the o-tile's weight block is
     fetched once and revisited for every row, so weight traffic is
-    independent of M."""
+    independent of M. Stacked form: see moe_fp4_gemv — the layer index
+    rides the prefetched index_map so no per-layer slice materializes."""
     M, IN = x.shape
-    OUT, _ = q.shape
-    So, Si = s.shape
+    stacked = q.ndim == 3
+    OUT = q.shape[-2]
+    So, Si = s.shape[-2:]
+    assert stacked == (layer is not None)
     ro, ri = OUT // So, IN // Si
     TO = min(out_tile, OUT)
     GO = OUT // TO
@@ -388,7 +415,29 @@ def fp8_gemv(
     # row-expand scales to per-row granularity OUTSIDE the kernel (tiny —
     # ≤ weights/32 bytes; a dynamic sublane slice of the sub-8x128 scale
     # grid inside the kernel is rejected by Mosaic)
-    s_rows = jnp.repeat(s.astype(jnp.bfloat16), ro, axis=0)  # [OUT, Si]
+    s_rows = jnp.repeat(s.astype(jnp.bfloat16), ro, axis=-2)  # [.., OUT, Si]
+
+    if stacked:
+        li = jnp.asarray(layer, jnp.int32).reshape(1)
+        out = pl.pallas_call(
+            functools.partial(_fp8_kernel, ri=ri, stacked=True),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(GO, M),
+                in_specs=[
+                    pl.BlockSpec((1, IN, 1), lambda o, m, l_ref: (m, 0, 0)),
+                    pl.BlockSpec((1, TO, IN),
+                                 lambda o, m, l_ref: (l_ref[0], o, 0)),
+                    pl.BlockSpec((1, TO, Si),
+                                 lambda o, m, l_ref: (l_ref[0], o, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, Mp, TO),
+                                       lambda o, m, l_ref: (o, 0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((GO, Mp, TO), jnp.float32),
+            interpret=interpret,
+        )(li, xcol, q, s_rows)
+        return out.swapaxes(0, 1).reshape(Mp, OUT)[:M]
 
     out = pl.pallas_call(
         functools.partial(_fp8_kernel, ri=ri),
@@ -411,22 +460,33 @@ def fp8_gemv(
                    static_argnames=("out_tile", "interpret", "decode"))
 def moe_fp4_gemv(
     x: jax.Array,  # [M, IN] f32/bf16 activations
-    q: jax.Array,  # [E, OUT, IN//2] uint8 packed E2M1
-    s: jax.Array,  # [E, OUT, S] bf16 scales (group = IN/S logical elems)
+    q: jax.Array,  # [E, OUT, IN//2] uint8 packed E2M1 (or [L, E, ...])
+    s: jax.Array,  # [E, OUT, S] bf16 scales (or [L, E, OUT, S])
     idx: jax.Array,  # [M] int32 expert per row
     out_tile: int = 256,
     interpret: bool = False,
     decode: str = "swar",  # "swar" | "arith" (identical values)
+    layer: jax.Array = None,  # REQUIRED for the stacked [L, ...] form
 ) -> jax.Array:
     """y[m] = x[m] @ dequant(q[idx[m]], s[idx[m]]).T — [M, OUT] f32.
 
     Weight bytes streamed = M * OUT * IN/2 packed uint8 (+ scales/64), the
     fp4 speed-of-light; the gather rides the scalar-prefetched index_map
     (no [M, OUT, IN] materialization anywhere).
+
+    Stacked form (q [L, E, OUT, IN2] + ``layer`` scalar): the WHOLE layer
+    stack is the kernel operand and the layer rides the prefetched
+    index_map — a per-layer slice fed from a lax.scan xs would force XLA
+    to materialize a contiguous 3.2 GB copy of the layer's packed experts
+    per step (measured: 4.0 → 29.9 ms/step at flagship L=2,
+    scripts/dsv4_flagship_probe.py round 4; the KV-pool rule of
+    docs/PERF.md applied to weights).
     """
     M, IN = x.shape
-    E, OUT, IN2 = q.shape
+    stacked = q.ndim == 4
+    E, OUT, IN2 = q.shape[-3:]
     assert IN == 2 * IN2, (x.shape, q.shape)
+    assert stacked == (layer is not None)
     S = s.shape[-1]
     rep = IN2 // S
     TO = min(out_tile, OUT)
@@ -439,26 +499,39 @@ def moe_fp4_gemv(
     x_lo = xb[:, 0::2][..., None]
     x_hi = xb[:, 1::2][..., None]
 
+    if stacked:
+        li = jnp.asarray(layer, jnp.int32).reshape(1)
+        q_spec = pl.BlockSpec(
+            (1, 1, TO, IN2), lambda o, m, idx_ref, l_ref: (l_ref[0], idx_ref[m], o, 0))
+        s_spec = pl.BlockSpec(
+            (1, 1, TO, S), lambda o, m, idx_ref, l_ref: (l_ref[0], idx_ref[m], o, 0))
+        x_spec = pl.BlockSpec((1, IN2, 1), lambda o, m, idx_ref, l_ref: (m, 0, 0))
+        o_spec = pl.BlockSpec((1, Mp, TO), lambda o, m, idx_ref, l_ref: (o, 0, 0))
+        extra = (li,)
+        nsp = 2
+    else:
+        q_spec = pl.BlockSpec((1, TO, IN2),
+                              lambda o, m, idx_ref: (idx_ref[m], o, 0))
+        s_spec = pl.BlockSpec((1, TO, S),
+                              lambda o, m, idx_ref: (idx_ref[m], o, 0))
+        x_spec = pl.BlockSpec((1, IN2, 1), lambda o, m, idx_ref: (m, 0, 0))
+        o_spec = pl.BlockSpec((1, Mp, TO), lambda o, m, idx_ref: (o, 0, 0))
+        extra = ()
+        nsp = 1
+
     out = pl.pallas_call(
-        functools.partial(_kernel, rep=rep, swar=decode == "swar"),
+        functools.partial(_kernel, rep=rep, swar=decode == "swar",
+                          stacked=stacked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=nsp,
             # o OUTER, m inner: the out block (o, *) is revisited across
             # consecutive m-programs (legal revisit), accumulating all M
             # rows in VMEM before one flush per o-tile
             grid=(GO, M),
-            in_specs=[
-                pl.BlockSpec((1, IN2, 1), lambda o, m, idx_ref: (m, 0, 0)),
-                pl.BlockSpec((1, IN2, 1), lambda o, m, idx_ref: (m, 0, 0)),
-                pl.BlockSpec((1, TO, IN2),
-                             lambda o, m, idx_ref: (idx_ref[m], o, 0)),
-                pl.BlockSpec((1, TO, S),
-                             lambda o, m, idx_ref: (idx_ref[m], o, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, Mp, TO),
-                                   lambda o, m, idx_ref: (o, 0, 0)),
+            in_specs=[x_spec, x_spec, q_spec, s_spec],
+            out_specs=o_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((GO, Mp, TO), jnp.float32),
         interpret=interpret,
-    )(idx.astype(jnp.int32), x_lo, x_hi, q, s.astype(jnp.bfloat16))
+    )(idx.astype(jnp.int32), *extra, x_lo, x_hi, q, s.astype(jnp.bfloat16))
     return out.swapaxes(0, 1).reshape(Mp, OUT)[:M]

@@ -222,8 +222,15 @@ def dequant_any(w, dtype=jnp.bfloat16) -> jax.Array:
     fp4 packed: q uint8 [.., out, in/2], s [.., out, S_i] — per-row group
                 (2·in/2)/S_i.
     fp4 loose:  q E2M1 [.., out, in] (CPU-only paths), same scale layout.
+    layer view: {"q","s","layer"} — q/s carry a leading stacked-layer axis
+                and "layer" names the row (models/dsv4 segment scans keep
+                the stack OUT of the scan xs; kernels index it in-kernel,
+                this XLA fallback slices here).
     """
     q, s = w["q"], w["s"]
+    if "layer" in w:
+        q = jax.lax.dynamic_index_in_dim(q, w["layer"], 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(s, w["layer"], 0, keepdims=False)
     sf = s.astype(jnp.float32)
     if q.dtype == jnp.uint8:  # packed fp4
         assert q.shape[:-1] == s.shape[:-1], (q.shape, s.shape)
@@ -316,5 +323,9 @@ def gather_dequant(w, idx: jax.Array, dtype=jnp.float32) -> jax.Array:
     the decode-MoE bytes/FLOPs become ∝ K (routed) instead of ∝ E
     (reference analog: deepseek_moe.cu moe_local_mapping route compaction)."""
     if is_quantized(w):
-        return dequant_any({"q": w["q"][idx], "s": w["s"][idx]}, dtype)
+        q, s = w["q"], w["s"]
+        if "layer" in w:
+            q = jax.lax.dynamic_index_in_dim(q, w["layer"], 0, keepdims=False)
+            s = jax.lax.dynamic_index_in_dim(s, w["layer"], 0, keepdims=False)
+        return dequant_any({"q": q[idx], "s": s[idx]}, dtype)
     return w[idx].astype(dtype)

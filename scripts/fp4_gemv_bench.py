@@ -72,12 +72,12 @@ def chain_xla(ws, x_, idx, dtype):
                       preferred_element_type=jnp.float32)
 
 
-def chain_pallas(ws, x_, idx):
+def chain_pallas(ws, x_, idx, decode="swar"):
     w1_, w2_, w3_ = ws
-    ge = pfp4.moe_fp4_gemv(x_, w1_["q"], w1_["s"], idx)
-    ue = pfp4.moe_fp4_gemv(x_, w3_["q"], w3_["s"], idx)
+    ge = pfp4.moe_fp4_gemv(x_, w1_["q"], w1_["s"], idx, decode=decode)
+    ue = pfp4.moe_fp4_gemv(x_, w3_["q"], w3_["s"], idx, decode=decode)
     act = swiglu(ge, ue)
-    return pfp4.moe_fp4_gemv(act, w2_["q"], w2_["s"], idx)
+    return pfp4.moe_fp4_gemv(act, w2_["q"], w2_["s"], idx, decode=decode)
 
 
 def loop(fn):
@@ -96,11 +96,17 @@ packed_bytes = M * (I * D // 2 * 2 + D * I // 2) + M * (I * D // 32 + I * D // 3
 print(f"packed expert bytes/iter: {packed_bytes/2**20:.0f} MiB", flush=True)
 
 results = {}
-for name, fn in [
-    ("pallas", chain_pallas),
-    ("xla_bf16", lambda ws, x_, idx: chain_xla(ws, x_, idx, jnp.bfloat16)),
-    ("xla_f32", lambda ws, x_, idx: chain_xla(ws, x_, idx, jnp.float32)),
-]:
+import os
+FORMS = [
+    ("pallas_swar", lambda ws, x_, idx: chain_pallas(ws, x_, idx, "swar")),
+    ("pallas_arith", lambda ws, x_, idx: chain_pallas(ws, x_, idx, "arith")),
+]
+if os.environ.get("PEGAINFER_FP4_BENCH_XLA") == "1":  # 2860 ms/iter — opt-in
+    FORMS += [
+        ("xla_bf16", lambda ws, x_, idx: chain_xla(ws, x_, idx, jnp.bfloat16)),
+        ("xla_f32", lambda ws, x_, idx: chain_xla(ws, x_, idx, jnp.float32)),
+    ]
+for name, fn in FORMS:
     run = loop(fn)
     ws = (w1, w2, w3)
     t0 = time.time()
@@ -116,5 +122,37 @@ for name, fn in [
     print(f"{name}: {best*1e3:.3f} ms/iter  ({gbs:.0f} GB/s on packed bytes)",
           flush=True)
 
-print(f"\nspeedup pallas vs xla_bf16: {results['xla_bf16']/results['pallas']:.2f}x")
-print(f"speedup pallas vs xla_f32 : {results['xla_f32']/results['pallas']:.2f}x")
+if "xla_bf16" in results:
+    print(f"\nspeedup swar vs xla_bf16: {results['xla_bf16']/results['pallas_swar']:.2f}x")
+print(f"speedup swar vs arith: {results['pallas_arith']/results['pallas_swar']:.2f}x")
+
+# ── prefill-scale grouped GEMM (moe_fp4_grouped) ─────────────────────────
+# one full routed-MoE layer chain at chunk scale: T=2048 tokens x top-6
+Mp, TM = 2048 * 6, 128
+x_p = jnp.asarray(rng.standard_normal((Mp, D)).astype(np.float32), jnp.bfloat16)
+flat_e = jnp.sort(jnp.asarray(rng.integers(0, E, Mp), jnp.int32))
+seg = pfp4.tile_segments(flat_e, TM, E)
+stack_bytes = E * (2 * (I * D // 2 + I * D // 32) + (D * I // 2 + D * I // 32))
+
+
+@jax.jit
+def grouped_chain(ws, xp, se, lo, hi, ns):
+    w1_, w2_, w3_ = ws
+    ge = pfp4.moe_fp4_grouped(xp, w1_["q"], w1_["s"], se, lo, hi, ns, tm=TM)
+    ue = pfp4.moe_fp4_grouped(xp, w3_["q"], w3_["s"], se, lo, hi, ns, tm=TM)
+    act = swiglu(ge, ue)
+    return pfp4.moe_fp4_grouped(act.astype(jnp.bfloat16), w2_["q"], w2_["s"],
+                                se, lo, hi, ns, tm=TM)
+
+
+t0 = time.time()
+np.asarray(grouped_chain((w1, w2, w3), x_p, *seg))
+print(f"grouped(T=2048,K=6): compiled in {time.time()-t0:.1f}s", flush=True)
+best = 1e9
+for _ in range(3):
+    t0 = time.time()
+    np.asarray(grouped_chain((w1, w2, w3), x_p, *seg))
+    best = min(best, time.time() - t0)
+print(f"grouped prefill chain: {best*1e3:.1f} ms/layer-chunk "
+      f"({stack_bytes/best/1e9:.0f} GB/s on the packed stack; "
+      f"floor = stack once)", flush=True)
