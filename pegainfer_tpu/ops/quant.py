@@ -279,8 +279,11 @@ def qlinear(x: jax.Array, w, kernel=None) -> jax.Array:
             )
 
             if fp8_gemv_supported(w["q"], w["s"], x):
+                # layer views carry the stacked [L, ...] weights; the
+                # kernel indexes the layer via a prefetched scalar
                 y = fp8_gemv(x, w["q"], w["s"],
-                             interpret=kernel == "interpret")
+                             interpret=kernel == "interpret",
+                             layer=w.get("layer"))
                 return y.astype(x.dtype)
         return x @ dequant_any(w, x.dtype).T
     return x @ w.T

@@ -412,3 +412,50 @@ def test_dsv4_prefill_fp4_grouped_kernel_path():
                                rtol=0, atol=5e-2)
     assert (np.argmax(np.asarray(lg_k), -1)
             == np.argmax(np.asarray(lg_x), -1)).all()
+
+
+def test_stacked_kernel_forms_match_sliced():
+    """The stacked [L, ...] kernel forms (layer via prefetched scalar) ==
+    the per-layer sliced forms, for all three fused kernels."""
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+    rng = np.random.default_rng(3)
+    L, E, OUT, IN = 3, 4, 64, 256
+    q4 = jnp.asarray(rng.integers(0, 256, (L, E, OUT, IN // 2), np.uint8))
+    s4 = jnp.asarray(np.exp2(rng.integers(-4, 3, (L, E, OUT, IN // 32))
+                             ).astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((5, IN)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, E, 5), jnp.int32)
+    for li in (0, 2):
+        a = pfp4.moe_fp4_gemv(x, q4[li], s4[li], idx, out_tile=32,
+                              interpret=True)
+        b = pfp4.moe_fp4_gemv(x, q4, s4, idx, out_tile=32, interpret=True,
+                              layer=jnp.int32(li))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
+
+    # grouped
+    M, tm = 32, 8
+    xs = jnp.asarray(rng.standard_normal((M, IN)).astype(np.float32))
+    fe = jnp.sort(jnp.asarray(rng.integers(0, E, M), jnp.int32))
+    seg = pfp4.tile_segments(fe, tm, E)
+    for li in (1,):
+        a = pfp4.moe_fp4_grouped(xs, q4[li], s4[li], *seg, out_tile=32,
+                                 tm=tm, interpret=True)
+        b = pfp4.moe_fp4_grouped(xs, q4, s4, *seg, out_tile=32, tm=tm,
+                                 interpret=True, layer=jnp.int32(li))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
+
+    # fp8 stacked
+    w = rng.standard_normal((L, OUT, IN)).astype(np.float32) * 0.1
+    conts = [quant.quantize_fp8_tensor(w[i]) for i in range(L)]
+    q3 = jnp.stack([c["q"] for c in conts])
+    s3 = jnp.stack([c["s"] for c in conts])
+    from pegainfer_tpu.ops.pallas.fp4_gemm import fp8_gemv
+    for li in (0, 2):
+        a = fp8_gemv(x, q3[li], s3[li], interpret=True)
+        b = fp8_gemv(x, q3, s3, interpret=True, layer=jnp.int32(li))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-6)
