@@ -372,6 +372,16 @@ def _fp8_kernel(*refs, ri: int, stacked: bool = False):
     o_ref[0, m, :] = acc[:, 0]
 
 
+def _fp8_tile(OUT: int, IN: int, out_tile: int = 256) -> int:
+    """VMEM-bound o-tile: intermediates cost ~10 B/(TO·IN) element; a
+    256-row tile at IN=8192 blew the 16 MB scoped VMEM (measured)."""
+    fit = max(32, (1 << 20) // IN)
+    TO = min(out_tile, OUT, fit - fit % 32)
+    while TO > 1 and OUT % TO:
+        TO //= 2
+    return TO
+
+
 def fp8_gemv_supported(q: jax.Array, s: jax.Array, x: jax.Array,
                        out_tile: int = 256, max_rows: int = 8) -> bool:
     if q.ndim not in (2, 3) or x.ndim != 2 or x.shape[0] > max_rows:
@@ -380,7 +390,7 @@ def fp8_gemv_supported(q: jax.Array, s: jax.Array, x: jax.Array,
         return False
     OUT, IN = q.shape[-2:]
     So, Si = s.shape[-2:]
-    TO = min(out_tile, OUT)
+    TO = _fp8_tile(OUT, IN, out_tile)
     return (
         IN % 128 == 0 and OUT % TO == 0 and TO % 32 == 0
         and OUT % So == 0 and IN % Si == 0 and TO % (OUT // So) == 0
@@ -408,7 +418,10 @@ def fp8_gemv(
     So, Si = s.shape[-2:]
     assert stacked == (layer is not None)
     ro, ri = OUT // So, IN // Si
-    TO = min(out_tile, OUT)
+    # VMEM-bound the o-tile: the kernel's f32/bf16 intermediates cost
+    # ~10 bytes per (TO, IN) element — at flagship IN=8192 a 256-row tile
+    # blew the 16 MB scoped VMEM (measured: "20.00M and limit 16.00M")
+    TO = _fp8_tile(OUT, IN, out_tile)
     GO = OUT // TO
     Mp = -(-M // 8) * 8
     xcol = x.astype(jnp.bfloat16)[..., None]  # [M, IN, 1]
