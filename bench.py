@@ -158,7 +158,11 @@ def main():
     # JSON line so the driver's BENCH_r{N}.json independently confirms a
     # second family each round. PEGAINFER_BENCH_SECOND=0 disables.
     if (model == "qwen3" and not quant and not smoke
-            and os.environ.get("PEGAINFER_BENCH_SECOND") != "0"):
+            and os.environ.get("PEGAINFER_BENCH_SECOND") != "0"
+            # guard the driver's time budget: the headline must always
+            # land; skip the second family if the first took too long
+            # (cold caches / slow tunnel)
+            and time.time() - _T0 < 1200):
         import gc
 
         gc.collect()  # drop the first family's device buffers

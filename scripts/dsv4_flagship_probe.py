@@ -319,6 +319,26 @@ def main():
         ov = base["decode_ms_total"][Ls[0]] - slope * Ls[0]
         results["overhead_ms"] = ov
 
+    # 43-layer single-chip TPOT projection (the checkpoint's real ratio
+    # mix is not in the reference tree — project representative mixes;
+    # + the real 129,280-row head over the probe's 8,192 (bf16 bytes at
+    # the measured-overhead rate is a small additive correction)
+    slopes = {r: results.get(f"ratio{r}", {}).get("decode_ms_per_layer")
+              for r in args.ratios}
+    if ov is not None and all(v is not None for v in slopes.values()):
+        head_extra = (129280 - 8192) * 4096 * 2 / 700e9 * 1e3  # ~1.4 ms
+        mixes = {
+            "all_ratio4": {4: 43},
+            "all_ratio128": {128: 43},
+            "mixed_1w_28c_14i": {0: 1, 128: 28, 4: 14},
+        }
+        proj = {}
+        for name, mix in mixes.items():
+            if all(r in slopes and slopes[r] is not None for r in mix):
+                t = ov + head_extra + sum(slopes[r] * n for r, n in mix.items())
+                proj[name] = round(t, 2)
+        results["projection_43L_single_chip_ms"] = proj
+
     print(json.dumps({
         "ctx": args.ctx, "experts": n_experts,
         "mode": "bf16" if args.bf16 else "resident_fp8_fp4",
