@@ -155,13 +155,15 @@ def fp4_gemv_supported(q: jax.Array, s: jax.Array, out_tile: int = 256) -> bool:
 def _gemm_kernel(seg_e_ref, seg_lo_ref, seg_hi_ref, nseg_ref, l_ref,
                  xlo_ref, xhi_ref, q_hbm, s_hbm, o_ref,
                  wq_buf, ws_buf, sem, *, rep: int, TO: int, swar: bool,
-                 stacked: bool):
+                 stacked: bool, S: int):
     t = pl.program_id(0)
     o = pl.program_id(1)
     n = nseg_ref[t]
     TM = xlo_ref.shape[0]
     IN2 = xlo_ref.shape[1]
-    S = ws_buf.shape[-1]
+    # ws_buf may be lane-padded past the real S columns (manual DMA slices
+    # need a 128-aligned last dim; sub-128 scale widths are padded by the
+    # caller and sliced back here)
     # stacked weights: whole [L, E, ...] stack is the operand; the layer
     # index rides the prefetched scalar (a scan-xs slice would materialize
     # the layer's packed stack per step — see moe_fp4_gemv docstring)
@@ -202,7 +204,7 @@ def _gemm_kernel(seg_e_ref, seg_lo_ref, seg_hi_ref, nseg_ref, l_ref,
         else:
             lo, hi = _decode_e2m1(qb & 0xF), _decode_e2m1(qb >> 4)
         srep = jax.lax.dot_general(
-            ws_buf[slot], expand, (((1,), (0,)), ((), ())),
+            ws_buf[slot][:, :S], expand, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [TO, IN2]
         wl = (lo * srep).astype(jnp.bfloat16)
         wh = (hi * srep).astype(jnp.bfloat16)
@@ -304,6 +306,13 @@ def moe_fp4_grouped(
     T = M // tm
     li = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
           else jnp.zeros((1,), jnp.int32))
+    # lane-pad scales: manual DMA slices need a 128-aligned minor dim
+    # (Mosaic: "Slice shape along dimension 3 must be aligned to tiling
+    # (128), but is 64" — w2's S = IN/32 = 64 at moe_inter 2048)
+    Sp = max(S, 128)
+    if Sp != S:
+        s = jnp.pad(s.astype(jnp.bfloat16),
+                    [(0, 0)] * (s.ndim - 1) + [(0, Sp - S)])
 
     xb = x_sorted.astype(jnp.bfloat16)
     x_lo = xb[:, 0::2]
@@ -311,7 +320,7 @@ def moe_fp4_grouped(
 
     out = pl.pallas_call(
         functools.partial(_gemm_kernel, rep=rep, TO=TO,
-                          swar=decode == "swar", stacked=stacked),
+                          swar=decode == "swar", stacked=stacked, S=S),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,  # seg_expert, seg_lo, seg_hi, n_seg, layer
             grid=(T, GO),  # o INNER: x tile stays resident across o
@@ -324,7 +333,7 @@ def moe_fp4_grouped(
             out_specs=pl.BlockSpec((tm, TO), lambda t, o, *_: (t, o)),
             scratch_shapes=[
                 pltpu.VMEM((2, TO, IN2), jnp.uint8),
-                pltpu.VMEM((2, TO, S), jnp.bfloat16),
+                pltpu.VMEM((2, TO, Sp), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
