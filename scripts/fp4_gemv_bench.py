@@ -141,8 +141,11 @@ def grouped_chain(ws, xp, se, lo, hi, ns):
     ge = pfp4.moe_fp4_grouped(xp, w1_["q"], w1_["s"], se, lo, hi, ns, tm=TM)
     ue = pfp4.moe_fp4_grouped(xp, w3_["q"], w3_["s"], se, lo, hi, ns, tm=TM)
     act = swiglu(ge, ue)
-    return pfp4.moe_fp4_grouped(act.astype(jnp.bfloat16), w2_["q"], w2_["s"],
-                                se, lo, hi, ns, tm=TM)
+    out = pfp4.moe_fp4_grouped(act.astype(jnp.bfloat16), w2_["q"], w2_["s"],
+                               se, lo, hi, ns, tm=TM)
+    # scalar reduce ON DEVICE: materializing [M, D] f32 to numpy ships
+    # 200 MB over the tunnel (~6.6 s) and swamps the measurement
+    return out.sum()
 
 
 t0 = time.time()
