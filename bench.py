@@ -165,7 +165,12 @@ def main():
             and time.time() - _T0 < 1200):
         import gc
 
-        gc.collect()  # drop the first family's device buffers
+        # drop the first family's device buffers: the executor's jit
+        # caches pin compiled executables (and through them the donated
+        # params/KV buffers) — without clear_caches the second family
+        # OOMs HBM (measured RESOURCE_EXHAUSTED)
+        jax.clear_caches()
+        gc.collect()
         try:
             second = run_family("qwen35", None, smoke, prompt_len, 128)
         except Exception as e:  # second family must never kill the headline
