@@ -76,7 +76,10 @@ class EngineLoadOptions:
     # chunking): decode blocks interleave between prefill chunks, so a
     # smaller mixed-load chunk bounds the decode stall tighter at a small
     # prefill-throughput cost. Set equal to prefill_chunk to disable.
-    prefill_chunk_mixed: int = 1024
+    # 512 (round-4 A/B, scripts/mixed_load_bench.py warm runs): effective
+    # TPOT under a 10k-prefill storm 34.7 -> 26.6 ms, p95 gap 190 -> 140,
+    # worst gap 242 -> 189 ms (== the harness's own solo floor).
+    prefill_chunk_mixed: int = 512
     # Weight quantization mode: None (checkpoint dtype — for DSv4 this
     # means FP8/FP4 quantized-resident in HBM), "int8" (weight-only
     # per-output-channel int8 for the Qwen families — approximate serving,
