@@ -304,10 +304,18 @@ def sparse_attention_parts(q, parts, sink, scale: float):
     tools/tilelang sparse_attn local_h16_d512).
     """
     sinkf = sink.astype(jnp.float32)[None, :]  # [1, h]
+    # bf16 inputs keep bf16 MXU dots with f32 ACCUMULATION — the reference
+    # sparse core's exact numerics (TileLang sparse_attn: bf16 q·k GEMM,
+    # p cast to bf16 before the p·v GEMM, f32 accumulators) — and halve
+    # the gathered-row materialization (at flagship prefill the f32 form's
+    # [T, 640, 512] f32 transients OOM'd the chip through the engine).
+    # f32 inputs (tests/fixture vectors) keep full-f32 dots.
+    bf16 = q.dtype == jnp.bfloat16
     logits = []
     for rows, valid in parts:
-        rf = rows.astype(jnp.float32)
-        s = jnp.einsum("thd,tkd->thk", q.astype(jnp.float32), rf) * scale
+        rf = rows.astype(jnp.bfloat16 if bf16 else jnp.float32)
+        s = jnp.einsum("thd,tkd->thk", q if bf16 else q.astype(jnp.float32),
+                       rf, preferred_element_type=jnp.float32) * scale
         s = jnp.where(valid[:, None, :], s, NEG_INF)
         logits.append((s, rf, valid))
 
@@ -319,7 +327,9 @@ def sparse_attention_parts(q, parts, sink, scale: float):
     for s, rf, valid in logits:
         p = jnp.exp(s - m[..., None])
         p = jnp.where(valid[:, None, :], p, 0.0)
-        num = num + jnp.einsum("thk,tkd->thd", p, rf)
+        num = num + jnp.einsum("thk,tkd->thd",
+                               p.astype(rf.dtype), rf,
+                               preferred_element_type=jnp.float32)
         denom = denom + jnp.sum(p, axis=-1)
     return (num / denom[..., None]).astype(q.dtype)
 

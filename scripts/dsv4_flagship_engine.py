@@ -95,6 +95,11 @@ def main():
             stamps.append(now)
         elif isinstance(ev, Finished):
             break
+        else:
+            note(f"event: {ev!r}")
+    if ttft is None:
+        note("warm request produced NO tokens — see events above")
+        sys.exit(2)
     note(f"warm request: TTFT {ttft:.1f} ms (includes compiles)")
 
     req2 = GenerateRequest(prompt_tokens=rng.integers(
