@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -118,6 +119,14 @@ class ModelRuntime:
     prefill_chunk_wa_all_fn: Optional[Callable] = None
     make_chunk_pend_fn: Optional[Callable] = None  # (n_pages) -> cpend
     flush_chunk_pend_fn: Optional[Callable] = None  # (state, cpend) -> state
+    # Optional FUSED mixed step (prefill chunk rows ‖ decode rows through
+    # one dispatch's GEMMs, attention split — the reference's
+    # unified_forward.rs as true fusion):
+    # mixed_chunk_wa_fn(params, state, cpend, dpend, tokens[Tc], start_pos,
+    #     valid, page_table[P], slot, dec_tokens[B], dec_positions[B],
+    #     dec_tables[B,P2], dec_seq_lens[B], dec_slots[B])
+    #   -> (state, cpend, dpend, last_logits[V], dec_logits[B,V])
+    mixed_chunk_wa_fn: Optional[Callable] = None
     # True when prompt prefixes are reusable across requests
     # (docs/prefix-cache-design.md). Models whose prefix pages fully
     # determine attention state (Qwen3) need nothing else; HYBRID models
@@ -242,6 +251,16 @@ class JaxExecutor:
         self.prefill_chunk_mixed = max(
             self.rt.page_size, mixed - mixed % self.rt.page_size)
         self.decode_active = False
+        # Fused mixed step (rt.mixed_chunk_wa_fn): the scheduler sets
+        # mixed_items (+ rand draws) before driving a stepper piece; the
+        # stepper runs chunk rows ‖ decode rows in ONE dispatch and leaves
+        # the sampled decode tokens in mixed_pending for the scheduler to
+        # apply. PEGAINFER_MIXED_FUSED=0 disables (A/B).
+        self.mixed_items = None
+        self.mixed_rand = None
+        self.mixed_pending = None
+        self._mixed_enabled = os.environ.get(
+            "PEGAINFER_MIXED_FUSED", "1") != "0"
         # request → persistent state slot (hybrid models' recurrent state)
         self._slots: Dict[int, int] = {}
         self._free_slots = list(range(runtime.max_slots - 1, -1, -1))
@@ -1034,6 +1053,93 @@ class JaxExecutor:
             len(items) <= self.max_batch
             and all(it.logprobs <= self.MAX_FUSED_LOGPROBS for it in items)
         )
+
+    # ── fused mixed step (prefill chunk ‖ decode rows, one dispatch) ──
+
+    def supports_mixed_step(self, items) -> bool:
+        return (
+            self._mixed_enabled
+            and self.rt.mixed_chunk_wa_fn is not None
+            and self.rt.decode_wa_fn is not None
+            and len(items) <= self.max_batch
+            and all(it.logprobs == 0 for it in items)
+        )
+
+    def _mixed_jit(self, Tc: int, P: int, nP: int, B: int, P2: int,
+                   greedy: bool) -> Callable:
+        key = ("mixed", Tc, P, nP, B, P2, greedy)
+        fn = self._jit_decode.get(key)
+        if fn is None:
+            mixed = self.rt.mixed_chunk_wa_fn
+            if greedy:
+                def fused(params, state, cpend, dpend, toks, start, valid,
+                          table, slot, dt, dp, dtabs, dsl, dslots):
+                    state, cpend, dpend, last, dec_lg = mixed(
+                        params, state, cpend, dpend, toks, start, valid,
+                        table, slot, dt, dp, dtabs, dsl, dslots)
+                    return state, cpend, dpend, last, smp.sample_greedy(dec_lg)
+            else:
+                def fused(params, state, cpend, dpend, toks, start, valid,
+                          table, slot, dt, dp, dtabs, dsl, dslots,
+                          temp, top_k, top_p, rand):
+                    state, cpend, dpend, last, dec_lg = mixed(
+                        params, state, cpend, dpend, toks, start, valid,
+                        table, slot, dt, dp, dtabs, dsl, dslots)
+                    tok = smp.sample(dec_lg, temp, top_k, top_p, rand)
+                    return state, cpend, dpend, last, tok
+            fn = jax.jit(fused, donate_argnums=(1, 2, 3))
+            self._jit_decode[key] = fn
+            log.info("compiling fused MIXED step Tc=%d P=%d B=%d P2=%d "
+                     "greedy=%s", Tc, P, B, P2, greedy)
+        return fn
+
+    def _run_mixed_piece(self, items, cpend, toks, start, n_valid,
+                         table_dev, slot, Tc: int, P: int):
+        """One fused chunk+decode dispatch (called from prefill_stepper).
+
+        Returns (cpend', last_logits) — chunk outputs for the stepper; the
+        decode rows' sampled tokens are left in ``self.mixed_pending`` for
+        the scheduler (resolve_pending_multi), and the decode wa-pend
+        chains through self._pend exactly like execute_decode_async.
+        """
+        n = len(items)
+        B, P2, dtoks, dpos, dtabs, dsl, dslots, states = (
+            self._decode_inputs(items)
+        )
+        rids = tuple(it.request_id for it in items)
+        dpend = self._chain_pend(B, rids)
+        greedy = all(it.params.is_greedy for it in items)
+        fn = self._mixed_jit(Tc, P, cpend["rows"].shape[0], B, P2, greedy)
+        args = (
+            self.params, self.state, cpend, dpend, toks,
+            jnp.int32(start), jnp.int32(n_valid), table_dev, slot,
+            jnp.asarray(dtoks), jnp.asarray(dpos), jnp.asarray(dtabs),
+            jnp.asarray(dsl), jnp.asarray(dslots),
+        )
+        if not greedy:
+            temp = np.zeros(B, np.float32)
+            top_k = np.full(B, -1, np.int32)
+            top_p = np.ones(B, np.float32)
+            rand = np.zeros(B, np.float32)
+            for i, it in enumerate(items):
+                temp[i] = it.params.temperature
+                top_k[i] = it.params.top_k
+                top_p[i] = it.params.top_p
+                rand[i] = it.random_val
+            if self.mixed_rand is not None:
+                rand[:n] = np.asarray(self.mixed_rand).reshape(-1, n)[0]
+            args = args + (jnp.asarray(temp), jnp.asarray(top_k),
+                           jnp.asarray(top_p), jnp.asarray(rand))
+        self.state, cpend, self._pend, last_logits, dec_toks = fn(*args)
+        for st in states:
+            st.advance(1)
+        try:
+            dec_toks.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — transfer hint only
+            pass
+        self.mixed_pending = PendingDecode(items=list(items),
+                                           tokens_dev=dec_toks, n=n)
+        return cpend, last_logits
 
     def execute_decode_async(
         self,

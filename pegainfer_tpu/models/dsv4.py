@@ -226,13 +226,19 @@ FP8_KEYS = ("wq_a", "wq_b", "wkv", "wo_b", "shared_w1", "shared_w2",
 FP4_KEYS = ("experts_w1", "experts_w2", "experts_w3")
 
 
-def quantize_params_resident(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_params_resident(params: Dict[str, Any],
+                             experts: str = "fp4") -> Dict[str, Any]:
     """bf16 params tree → quantized-resident tree ({"q","s"} containers on
     the reference's FP8/FP4 tensor set; everything else untouched).
 
     Mirrors what load_params(resident=True) produces from a real mp8
     checkpoint — used by tests/benches that start from random bf16 params.
+
+    ``experts``: "fp4" (checkpoint-exact packed E2M1, 0.5 B/param) or
+    "int8" (per-output-channel speed mode, 1 B/param streamed several×
+    faster — see ops/quant.quantize_int8_stack).
     """
+    assert experts in ("fp4", "int8"), experts
     out = {k: v for k, v in params.items() if k != "layers"}
     layers = []
     for lw in params["layers"]:
@@ -242,7 +248,9 @@ def quantize_params_resident(params: Dict[str, Any]) -> Dict[str, Any]:
                 nlw[k] = quant.quantize_fp8_tensor(nlw[k])
         for k in FP4_KEYS:
             if k in nlw:
-                nlw[k] = quant.quantize_fp4_stack(nlw[k])
+                nlw[k] = (quant.quantize_int8_stack(nlw[k])
+                          if experts == "int8"
+                          else quant.quantize_fp4_stack(nlw[k]))
         layers.append(nlw)
     out["layers"] = layers
     return out
@@ -448,6 +456,26 @@ def _fp4_kernel_ok(lw) -> bool:
     )
 
 
+def _int8_kernel_ok(lw) -> bool:
+    from pegainfer_tpu.ops.pallas.fp4_gemm import int8_gemv_supported
+
+    return all(
+        quant.is_quantized(lw[k]) and lw[k]["q"].dtype == jnp.int8
+        and int8_gemv_supported(lw[k]["q"])
+        for k in ("experts_w1", "experts_w2", "experts_w3")
+    )
+
+
+def _int8_srows(w, flat_e: jax.Array) -> jax.Array:
+    """Gathered per-output-channel scales s[e(m)] → [M, OUT] f32 (the
+    int8 kernels return unscaled dots — the scale commutes with the dot,
+    so it is applied here at M·OUT cost instead of per weight element)."""
+    s = w["s"]
+    if "layer" in w:
+        s = jax.lax.dynamic_index_in_dim(s, w["layer"], 0, keepdims=False)
+    return s[flat_e].astype(jnp.float32)
+
+
 def hash_gate(xf32, gate_weight, tid2eid, token_ids, topk_scale: float):
     """Hash-layer routing (reference deepseek_moe.cu:71-168
     deepseek_hash_gate_kernel + route_normalize): experts come from the
@@ -545,7 +573,30 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
         order = jnp.argsort(flat_e)
         src_t = flat_t[order]
 
-        if modes.fp4_kernel and _fp4_kernel_ok(lw):
+        if modes.fp4_kernel and _int8_kernel_ok(lw):
+            # int8 grouped GEMM (speed mode — see the decode branch note):
+            # unscaled per-segment dots, scales gathered per sorted row
+            from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+            interp = modes.fp4_kernel == "interpret"
+            e_sorted = flat_e[order]
+            tm = 128 if M >= 128 else -(-M // 8) * 8
+            Mp = -(-M // tm) * tm
+            xs = jnp.pad(x.astype(jnp.bfloat16)[src_t], ((0, Mp - M), (0, 0)))
+            e_pad = jnp.pad(e_sorted, (0, Mp - M), mode="edge")
+            seg = pfp4.tile_segments(e_pad, tm, E)
+
+            def grouped8(xrows, w):
+                y = pfp4.moe_int8_grouped(
+                    xrows, w["q"], *seg, tm=tm, interpret=interp,
+                    layer=w.get("layer"))
+                return y * _int8_srows(w, e_pad)
+
+            ge = grouped8(xs, lw["experts_w1"])
+            ue = grouped8(xs, lw["experts_w3"])
+            act = swiglu(ge, ue)  # [Mp, I] f32
+            per = grouped8(act.astype(jnp.bfloat16), lw["experts_w2"])[:M]
+        elif modes.fp4_kernel and _fp4_kernel_ok(lw):
             # fused fp4 grouped GEMM (Pallas): weights stream PACKED, no
             # bf16 expert-stack materialization — the XLA dequant form
             # below needs 12.9 GB/layer at the real 256-expert geometry
@@ -580,25 +631,41 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
                 lhs_ragged_dimensions=[0],
                 rhs_group_dimensions=[0],
             )
+            int8_exp = (quant.is_quantized(lw["experts_w1"])
+                        and lw["experts_w1"]["q"].dtype == jnp.int8)
 
             # bf16 dequant (exact: E2M1/E4M3 values x pow2 scales are bf16-
             # representable) — an f32 materialization of the full expert
-            # stacks doubles the per-layer HBM bytes at real 256-expert scale
+            # stacks doubles the per-layer HBM bytes at real 256-expert
+            # scale. int8 containers: cast the raw int8 (exact in bf16) and
+            # apply the f32 per-output scale AFTER the dot — the kernel
+            # path's scale-after-dot numerics.
             def w_bf16(w):
-                return (quant.dequant_any(w, jnp.bfloat16)
-                        if quant.is_quantized(w) else w.astype(jnp.bfloat16))
+                if quant.is_quantized(w):
+                    if w["q"].dtype == jnp.int8:
+                        q = w["q"]
+                        if "layer" in w:
+                            q = jax.lax.dynamic_index_in_dim(
+                                q, w["layer"], 0, keepdims=False)
+                        return q.astype(jnp.bfloat16)
+                    return quant.dequant_any(w, jnp.bfloat16)
+                return w.astype(jnp.bfloat16)
+
+            def post(y, w):
+                return y * _int8_srows(w, flat_e[order]) if int8_exp else y
 
             xs = x.astype(jnp.bfloat16)[src_t]  # [M, D] in expert order
-            ge = lax.ragged_dot_general(
+            ge = post(lax.ragged_dot_general(
                 xs, w_bf16(lw["experts_w1"]), group_sizes, dn,
-                preferred_element_type=jnp.float32)
-            ue = lax.ragged_dot_general(
+                preferred_element_type=jnp.float32), lw["experts_w1"])
+            ue = post(lax.ragged_dot_general(
                 xs, w_bf16(lw["experts_w3"]), group_sizes, dn,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32), lw["experts_w3"])
             act = swiglu(ge, ue)  # [M, I] f32
-            per = lax.ragged_dot_general(
+            per = post(lax.ragged_dot_general(
                 act.astype(jnp.bfloat16), w_bf16(lw["experts_w2"]),
-                group_sizes, dn, preferred_element_type=jnp.float32)
+                group_sizes, dn, preferred_element_type=jnp.float32),
+                lw["experts_w2"])
         per = per * flat_w[order][:, None]
         routed = jnp.zeros((T, x.shape[1]), jnp.float32).at[src_t].add(per)
     else:
@@ -607,7 +674,26 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
         # combine would stream every expert per token; reference analog:
         # moe_local_mapping route compaction, deepseek_moe.cu).
         xs = xf32[flat_t]  # [M, D]
-        if modes.fp4_kernel and _fp4_kernel_ok(lw):
+        if modes.fp4_kernel and _int8_kernel_ok(lw):
+            # int8 speed mode: the kernel streams int8 bytes with one hw
+            # convert per element (no per-element scale ops — the fp4
+            # GEMV's measured VPU roof); scales apply to the [M, OUT]
+            # results here
+            from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+            interp = modes.fp4_kernel == "interpret"
+
+            def gemv8(xrows, w):
+                y = pfp4.moe_int8_gemv(
+                    xrows, w["q"], flat_e, interpret=interp,
+                    layer=w.get("layer"))
+                return y * _int8_srows(w, flat_e)
+
+            ge = gemv8(xs, lw["experts_w1"])
+            ue = gemv8(xs, lw["experts_w3"])
+            act = swiglu(ge, ue)  # [M, I] f32
+            per = gemv8(act, lw["experts_w2"])
+        elif modes.fp4_kernel and _fp4_kernel_ok(lw):
             # fused dequant-GEMV: weight bytes stream as packed fp4
             from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
 
@@ -622,6 +708,30 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
             ue = gemv(xs, lw["experts_w3"])
             act = swiglu(ge, ue)  # [M, I] f32
             per = gemv(act, lw["experts_w2"])
+        elif (quant.is_quantized(lw["experts_w1"])
+              and lw["experts_w1"]["q"].dtype == jnp.int8):
+            # int8 XLA fallback: gather the int8 rows (exact in bf16 —
+            # integers ≤ 127), dot, then the f32 per-output scale — the
+            # same scale-after-dot numerics as the Pallas kernel path
+            def gd8(w):
+                q = w["q"]
+                if "layer" in w:
+                    q = jax.lax.dynamic_index_in_dim(
+                        q, w["layer"], 0, keepdims=False)
+                return q[flat_e].astype(jnp.bfloat16)
+
+            xb = xs.astype(jnp.bfloat16)
+            ge = jnp.einsum("md,mid->mi", xb, gd8(lw["experts_w1"]),
+                            preferred_element_type=jnp.float32
+                            ) * _int8_srows(lw["experts_w1"], flat_e)
+            ue = jnp.einsum("md,mid->mi", xb, gd8(lw["experts_w3"]),
+                            preferred_element_type=jnp.float32
+                            ) * _int8_srows(lw["experts_w3"], flat_e)
+            act = swiglu(ge, ue)
+            per = jnp.einsum("mi,mdi->md", act.astype(jnp.bfloat16),
+                             gd8(lw["experts_w2"]),
+                             preferred_element_type=jnp.float32
+                             ) * _int8_srows(lw["experts_w2"], flat_e)
         else:
             # XLA fallback: bf16 gathers (exact — E2M1 x pow2 values are
             # bf16-representable; f32 would double the materialized bytes)

@@ -181,6 +181,26 @@ def start_engine(
         from pegainfer_tpu.models.dsv4_weights import load_params
 
         params = load_params(cfg, model_path, resident=resident)
+    # int8-expert SPEED mode (PEGAINFER_DSV4_EXPERTS=int8 or
+    # quantize="int8-experts"): requantize the routed expert stacks from
+    # fp4 to int8 per-output-channel at load — 2× the expert bytes but
+    # streamed several× faster by the int8 Pallas kernels (the fp4 GEMV
+    # is VPU-decode-bound; ops/pallas/fp4_gemm.py int8 section).
+    experts_fmt = os.environ.get("PEGAINFER_DSV4_EXPERTS", "")
+    if opts.quantize == "int8-experts":
+        experts_fmt = "int8"
+    if resident and experts_fmt == "int8" and mesh is None:
+        import numpy as np
+
+        from pegainfer_tpu.ops import quant
+
+        for lw in params["layers"]:
+            for k in dsv4.FP4_KEYS:
+                if k in lw and quant.is_quantized(lw[k]):
+                    w = np.asarray(quant.dequant_any(lw[k], jnp.float32))
+                    lw[k] = quant.quantize_int8_stack(w)
+        log.info("DSv4 experts requantized to int8 per-output-channel "
+                 "(speed mode)")
     log.info("DSv4 params HBM footprint: %.2f GiB total over %d devices (%s)",
              dsv4.params_hbm_bytes(params) / 2**30, tp,
              "fp8/fp4 resident" if resident else "bf16")

@@ -443,6 +443,10 @@ def make_runtime(cfg: Qwen3Config, params, num_pages: int, page_size: int = 16,
                              return_all_logits=True),
         make_chunk_pend_fn=lambda nP: make_chunk_pend(cfg, nP, page_size, kv_dtype),
         flush_chunk_pend_fn=flush_chunk_pend,
+        mixed_chunk_wa_fn=lambda w, kv, cpend, dpend, t, sp, va, pt, slot,
+            dt, dp, dtabs, dsl, dslots: mixed_chunk_wa(
+                cfg, w, kv, cpend, dpend, t, sp, va, pt, dt, dp, dtabs, dsl,
+                use_pallas=up),
         params=params,
         state=kv,
         page_size=page_size,
@@ -662,6 +666,114 @@ def prefill_chunk_wa(cfg: Qwen3Config, params, kv_pages, cpend, tokens,
         return kv_pages, cpend, all_logits[valid - 1], all_logits
     last = _proj(params, "lm_head", x[valid - 1][None, :])[0].astype(jnp.float32)
     return kv_pages, cpend, last
+
+
+def mixed_chunk_wa(cfg: Qwen3Config, params, kv_pages, cpend, dpend,
+                   chunk_tokens, start_pos, valid, page_table,
+                   dec_tokens, dec_positions, dec_tables, dec_seq_lens,
+                   use_pallas: bool = False):
+    """FUSED ragged mixed step: one dispatch runs a prefill chunk's Tc rows
+    ‖ B decode rows (one per active stream) through SHARED GEMMs, splitting
+    only attention — the reference's unified forward realized as true GEMM
+    fusion (pegainfer-qwen3-4b/src/unified_forward.rs:1-78: "GEMMs over
+    [prefill tokens ‖ decode tokens] in one batch, split only attention").
+
+    vs the time-sliced interleave (scheduler._unified_interleaved): the
+    decode stream gets a token per CHUNK dispatch with no separate decode
+    dispatch, so the worst decode gap is one chunk and the fixed dispatch
+    cost is paid once — mixed chunks can shrink without halving prefill
+    throughput.
+
+    Both write-ahead pends land at the start (disjoint requests — a
+    prefilling request is never decoding). Returns
+    (kv_pages, cpend', dpend', last_logits [V], dec_logits [B, V]).
+    """
+    Tc = chunk_tokens.shape[0]
+    B = dec_tokens.shape[0]
+    page_size = kv_pages.shape[4]
+    kv_pages = flush_chunk_pend(kv_pages, cpend)
+    kv_pages = flush_pend(kv_pages, dpend, jnp.ones((B,), bool))
+
+    x = params["embed"][jnp.concatenate([chunk_tokens, dec_tokens])]
+    positions = jnp.concatenate(
+        [start_pos + jnp.arange(Tc, dtype=jnp.int32), dec_positions])
+    cos, sin = rope_cos_sin(
+        positions,
+        jnp.asarray(rope_inv_freq(cfg.head_dim, cfg.rope_theta), jnp.float32),
+        x.dtype,
+    )
+    scale = _scale(cfg)
+    first_page = start_pos // page_size
+    chunk_table = lax.dynamic_slice_in_dim(page_table, first_page,
+                                           Tc // page_size)
+    P = page_table.shape[0]
+    S = P * page_size
+    dec_page_ids = jnp.take_along_axis(
+        dec_tables, (dec_positions // page_size)[:, None], axis=1)[:, 0]
+    dec_slots = dec_positions % page_size
+
+    def layer(x, inputs):
+        li, lw = inputs
+        h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lw, h, cos, sin)
+        qp, kp, vp = q[:Tc], k[:Tc], v[:Tc]
+        qd, kd, vd = q[Tc:], k[Tc:], v[Tc:]
+        # prefill rows: pool gather + in-flight splice (= prefill_chunk_wa)
+        kv_seq = kv_pages[li, :, page_table]
+        k_seq = kv_seq[:, :, 0].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
+        v_seq = kv_seq[:, :, 1].transpose(0, 2, 1, 3).reshape(S, -1, q.shape[2])
+        k_seq = lax.dynamic_update_slice(
+            k_seq, kp.astype(k_seq.dtype), (start_pos, 0, 0))
+        v_seq = lax.dynamic_update_slice(
+            v_seq, vp.astype(v_seq.dtype), (start_pos, 0, 0))
+        if use_pallas:
+            from pegainfer_tpu.ops.pallas import (
+                flash_attention, paged_attention_decode,
+            )
+
+            o_p = flash_attention(qp, k_seq, v_seq, start_pos + valid,
+                                  start_pos, scale)
+            o_d = paged_attention_decode(
+                qd, kv_pages, kv_pages, dec_tables, dec_seq_lens, scale,
+                cur_k=kd, cur_v=vd, layer_id=li,
+                fold_heads=dec_tables.shape[1] * page_size >= 8192)
+        else:
+            o_p = att.chunk_attention_seq(qp, k_seq, v_seq, start_pos, scale)
+            kpool = lax.dynamic_index_in_dim(kv_pages, li, axis=0,
+                                             keepdims=False)
+            o_d = att.paged_attention_decode(
+                qd, kpool[:, :, 0], kpool[:, :, 1], dec_tables, dec_seq_lens,
+                scale, cur_k=kd, cur_v=vd)
+        o = jnp.concatenate([o_p.reshape(Tc, -1), o_d.reshape(B, -1)])
+        x = x + _proj(lw, "wo", o)
+        h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(cfg, lw, h)
+        return x, (kp, vp, kd, vd)
+
+    L = cfg.num_hidden_layers
+    x, (k_all, v_all, kd_all, vd_all) = lax.scan(
+        layer, x, (jnp.arange(L, dtype=jnp.int32), params["layers"])
+    )
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    nPc = Tc // page_size
+    rows = (
+        jnp.stack([k_all, v_all])
+        .reshape(2, L, nPc, page_size, Hkv, hd)
+        .transpose(2, 1, 4, 0, 3, 5)
+        .astype(kv_pages.dtype)
+    )
+    cpend = {"rows": rows, "pages": chunk_table}
+    dpend = {
+        "rows": jnp.stack([kd_all, vd_all], axis=3).transpose(1, 0, 2, 3, 4)
+        .astype(kv_pages.dtype),
+        "page_ids": dec_page_ids,
+        "slots": dec_slots,
+    }
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    sel = jnp.concatenate([jnp.reshape(jnp.asarray(valid - 1, jnp.int32), (1,)),
+                           Tc + jnp.arange(B, dtype=jnp.int32)])
+    logits = _proj(params, "lm_head", x[sel]).astype(jnp.float32)
+    return kv_pages, cpend, dpend, logits[0], logits[1:]
 
 
 def prefill_chunk(cfg: Qwen3Config, params, kv_pages, tokens, start_pos,

@@ -478,6 +478,215 @@ def fp8_gemv(
     return out.swapaxes(0, 1).reshape(Mp, OUT)[:M]
 
 
+# ── INT8 expert kernels (speed mode) ─────────────────────────────────────
+# The fp4 GEMV is VPU-bound: ~4 lane-ops per element of scale-mul/cast on
+# top of the nibble decode cap it at ~64 GB/s packed (measured, docs/
+# PERF.md round 4 — the SWAR study showed the roof is the op MIX, not the
+# E2M1 decode). int8 with a per-OUTPUT-CHANNEL scale sidesteps the roof
+# structurally: the scale commutes with the dot, the caller applies it to
+# the [M, OUT] result (M·OUT ops, not M·OUT·IN), and the kernel's
+# per-element work is ONE hw int8→bf16 convert feeding the MXU. 2× the
+# expert bytes of fp4, streamed at several× the rate — the decode-MoE
+# speed mode (ops/quant.quantize_int8_stack; reference analog: the
+# TileLang grouped GEMMs' "weights cross the bus once" property,
+# deepseek_quant.cu moe_fp4_grouped_w13/w2).
+
+
+def _int8_kernel(*refs, stacked: bool = False):
+    if stacked:  # extra layer-scalar prefetch ref; blocks carry a lead 1-dim
+        idx_ref, l_ref, x_ref, q4, o_ref = refs
+        q_ref = q4[0]
+    else:
+        idx_ref, x_ref, q_ref, o_ref = refs
+    m = pl.program_id(1)
+    w = q_ref[0].astype(jnp.bfloat16)  # [TO, IN] — one hw convert
+    acc = jax.lax.dot_general(
+        w, x_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TO, 1]
+    o_ref[0, m, :] = acc[:, 0]
+
+
+def int8_gemv_supported(q: jax.Array, out_tile: int = 256) -> bool:
+    """Shape gate for the int8 expert kernels ([E, OUT, IN] or stacked
+    [L, E, OUT, IN])."""
+    if q.dtype != jnp.int8 or q.ndim not in (3, 4):
+        return False
+    OUT, IN = q.shape[-2:]
+    TO = min(out_tile, OUT)
+    return IN % 128 == 0 and OUT % TO == 0 and TO % 32 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def moe_int8_gemv(
+    x: jax.Array,  # [M, IN] f32/bf16 activations
+    q: jax.Array,  # [E, OUT, IN] int8 (or [L, E, OUT, IN])
+    idx: jax.Array,  # [M] int32 expert per row
+    out_tile: int = 256,
+    interpret: bool = False,
+    layer: jax.Array = None,  # REQUIRED for the stacked [L, ...] form
+) -> jax.Array:
+    """y[m] = x[m] @ q[idx[m]].T — [M, OUT] f32, UNSCALED (the caller
+    multiplies by the gathered per-output-channel scales s[idx] — M·OUT
+    multiplies). Weight bytes streamed = M · OUT · IN int8; the expert
+    gather rides the scalar-prefetched index_map (no materialization)."""
+    M, IN = x.shape
+    stacked = q.ndim == 4
+    OUT = q.shape[-2]
+    assert IN == q.shape[-1], (x.shape, q.shape)
+    assert stacked == (layer is not None)
+    TO = min(out_tile, OUT)
+    GO = OUT // TO
+    Mp = -(-M // 8) * 8
+    xcol = x.astype(jnp.bfloat16)[..., None]  # [M, IN, 1]
+
+    if stacked:
+        li = jnp.asarray(layer, jnp.int32).reshape(1)
+        q_spec = pl.BlockSpec(
+            (1, 1, TO, IN),
+            lambda o, m, idx_ref, l_ref: (l_ref[0], idx_ref[m], o, 0))
+        x_spec = pl.BlockSpec((1, IN, 1), lambda o, m, idx_ref, l_ref: (m, 0, 0))
+        o_spec = pl.BlockSpec((1, Mp, TO), lambda o, m, idx_ref, l_ref: (o, 0, 0))
+        extra = (li,)
+        nsp = 2
+    else:
+        q_spec = pl.BlockSpec((1, TO, IN),
+                              lambda o, m, idx_ref: (idx_ref[m], o, 0))
+        x_spec = pl.BlockSpec((1, IN, 1), lambda o, m, idx_ref: (m, 0, 0))
+        o_spec = pl.BlockSpec((1, Mp, TO), lambda o, m, idx_ref: (o, 0, 0))
+        extra = ()
+        nsp = 1
+
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, stacked=stacked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsp,
+            grid=(GO, M),  # o outer, m inner (out block revisit — see fp4)
+            in_specs=[x_spec, q_spec],
+            out_specs=o_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((GO, Mp, TO), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), *extra, xcol, q)
+    return out.swapaxes(0, 1).reshape(Mp, OUT)[:M]
+
+
+def _int8_gemm_kernel(seg_e_ref, seg_lo_ref, seg_hi_ref, nseg_ref, l_ref,
+                      x_ref, q_hbm, o_ref, wq_buf, sem, *, TO: int,
+                      stacked: bool):
+    t = pl.program_id(0)
+    o = pl.program_id(1)
+    n = nseg_ref[t]
+    TM = x_ref.shape[0]
+    qh = q_hbm.at[l_ref[0]] if stacked else q_hbm
+
+    def start(i, slot):
+        e = seg_e_ref[t, i]
+        pltpu.make_async_copy(
+            qh.at[e, pl.ds(o * TO, TO), :], wq_buf.at[slot],
+            sem.at[slot]).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(
+            qh.at[0, pl.ds(0, TO), :], wq_buf.at[slot],
+            sem.at[slot]).wait()
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+    x = x_ref[:]
+
+    def seg_part(i, slot):
+        """Masked [TM, TO] contribution of segment i (buffer `slot`)."""
+        w = wq_buf[slot].astype(jnp.bfloat16)  # [TO, IN]
+        part = jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TM, TO]
+        in_seg = (rows_i >= seg_lo_ref[t, i]) & (rows_i < seg_hi_ref[t, i])
+        return jnp.where((i < n) & in_seg, part, 0.0)
+
+    # 2-buffer pipeline, pair-unrolled (static buffer indices — see
+    # _gemm_kernel / the round-2 paged-decode lesson)
+    @pl.when(n > 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(n > 1)
+    def _():
+        start(1, 1)
+
+    def pair(j, acc):
+        i0 = 2 * j
+        i1 = i0 + 1
+        wait(0)
+        acc = acc + seg_part(i0, 0)
+
+        @pl.when(i0 + 2 < n)
+        def _():
+            start(i0 + 2, 0)
+
+        @pl.when(i1 < n)
+        def _():
+            wait(1)
+        acc = acc + seg_part(i1, 1)
+
+        @pl.when(i1 + 2 < n)
+        def _():
+            start(i1 + 2, 1)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, pl.cdiv(n, 2), pair, jnp.zeros((TM, TO), jnp.float32))
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_tile", "tm", "interpret"))
+def moe_int8_grouped(
+    x_sorted: jax.Array,  # [M, IN] rows SORTED by expert (M % tm == 0)
+    q: jax.Array,  # [E, OUT, IN] int8 (or [L, E, OUT, IN])
+    seg_expert: jax.Array, seg_lo: jax.Array, seg_hi: jax.Array,
+    n_seg: jax.Array,  # from tile_segments
+    out_tile: int = 256,
+    tm: int = 128,
+    interpret: bool = False,
+    layer: jax.Array = None,  # REQUIRED for the stacked [L, ...] form
+) -> jax.Array:
+    """y[m] = x_sorted[m] @ q[e(m)].T — [M, OUT] f32 UNSCALED grouped
+    expert GEMM over int8 weights (scales applied by the caller; see the
+    int8 section doc). Same tiling/DMA structure as moe_fp4_grouped."""
+    M, IN = x_sorted.shape
+    stacked = q.ndim == 4
+    E, OUT = q.shape[-3:-1]
+    assert IN == q.shape[-1] and M % tm == 0, (x_sorted.shape, q.shape, tm)
+    assert stacked == (layer is not None)
+    TO = min(out_tile, OUT)
+    GO = OUT // TO
+    T = M // tm
+    li = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
+          else jnp.zeros((1,), jnp.int32))
+    xb = x_sorted.astype(jnp.bfloat16)
+
+    out = pl.pallas_call(
+        functools.partial(_int8_gemm_kernel, TO=TO, stacked=stacked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # seg_expert, seg_lo, seg_hi, n_seg, layer
+            grid=(T, GO),  # o INNER: x tile stays resident across o
+            in_specs=[
+                pl.BlockSpec((tm, IN), lambda t, o, *_: (t, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # q stays in HBM
+            ],
+            out_specs=pl.BlockSpec((tm, TO), lambda t, o, *_: (t, o)),
+            scratch_shapes=[
+                pltpu.VMEM((2, TO, IN), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, OUT), jnp.float32),
+        interpret=interpret,
+    )(seg_expert, seg_lo, seg_hi, n_seg, li, xb, q)
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("out_tile", "interpret", "decode"))
 def moe_fp4_gemv(

@@ -214,6 +214,26 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and set(w.keys()) >= {"q", "s"}
 
 
+def quantize_int8_stack(w) -> dict:
+    """[E, out, in] expert stack → int8-resident container
+    ({"q": int8 [E, out, in], "s": f32 [E, out]} — symmetric per-output-
+    channel scale).
+
+    The int8-expert SPEED mode (vs the fp4-resident EXACT mode): the fp4
+    Pallas GEMV is VPU-bound at ~64 GB/s packed by its per-element
+    scale-mul/cast mix (docs/PERF.md round 4); a per-OUTPUT-channel scale
+    commutes with the dot, so the int8 kernels apply it outside and the
+    per-element work collapses to one hw int8→bf16 convert. 2× the expert
+    bytes of fp4, but streamed several× faster. Numerics: like the Qwen
+    int8 weight-only mode — a requantization, not checkpoint-exact
+    (scales f32, values round-to-nearest, |q| ≤ 127)."""
+    wf = np.asarray(w, np.float32)
+    amax = np.abs(wf).max(axis=-1)  # [E, out]
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(wf / scale[..., None]), -127, 127).astype(np.int8)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(scale)}
+
+
 def dequant_any(w, dtype=jnp.bfloat16) -> jax.Array:
     """Dequantize a {"q","s"} container (any leading batch dims).
 
@@ -232,6 +252,9 @@ def dequant_any(w, dtype=jnp.bfloat16) -> jax.Array:
         q = jax.lax.dynamic_index_in_dim(q, w["layer"], 0, keepdims=False)
         s = jax.lax.dynamic_index_in_dim(s, w["layer"], 0, keepdims=False)
     sf = s.astype(jnp.float32)
+    if q.dtype == jnp.int8:  # int8 per-output-channel (quantize_int8_stack)
+        assert q.shape[:-1] == s.shape, (q.shape, s.shape)
+        return (q.astype(jnp.float32) * sf[..., None]).astype(dtype)
     if q.dtype == jnp.uint8:  # packed fp4
         assert q.shape[:-1] == s.shape[:-1], (q.shape, s.shape)
         vals = unpack_fp4(q, jnp.float32)

@@ -84,12 +84,19 @@ def rand_fp4_stack(rng, e, out_d, in_d):
     return {"q": jnp.asarray(q), "s": jnp.asarray(s, jnp.bfloat16)}
 
 
-def rand_segment(cfg, rng, bf16_experts: bool):
+def rand_int8_stack(rng, e, out_d, in_d):
+    """int8-expert speed-mode container (per-output-channel f32 scale)."""
+    q = rng.integers(-127, 128, (e, out_d, in_d), np.int8)
+    s = np.full((e, out_d), 0.01, np.float32)
+    return {"q": jnp.asarray(q), "s": jnp.asarray(s)}
+
+
+def rand_segment(cfg, rng, experts_fmt: str):
     """ONE segment (all layers share the signature) built STACKED —
     dsv4.group_params would hold params twice during the stack (measured
     OOM at L=2 flagship: 6.9 GB x2). Leaves get the [L, ...] axis here."""
     L = cfg.n_layers
-    lw = rand_layer(cfg, rng, 0, bf16_experts)
+    lw = rand_layer(cfg, rng, 0, experts_fmt)
 
     def grow(a):
         if isinstance(a, dict):
@@ -103,7 +110,7 @@ def rand_segment(cfg, rng, bf16_experts: bool):
     return {k: grow(v) for k, v in lw.items()}
 
 
-def rand_layer(cfg, rng, li: int, bf16_experts: bool):
+def rand_layer(cfg, rng, li: int, experts_fmt: str):
     """One layer's params tree at container dtypes (mirrors
     dsv4.init_random_params keys + quantize_params_resident containers)."""
     D, n = cfg.dim, cfg.hc_mult
@@ -137,10 +144,14 @@ def rand_layer(cfg, rng, li: int, bf16_experts: bool):
         "shared_w2": rand_fp8(rng, D, I),
         "shared_w3": rand_fp8(rng, I, D),
     }
-    if bf16_experts:
+    if experts_fmt == "bf16":
         lw["experts_w1"] = w(E, I, D)
         lw["experts_w2"] = w(E, D, I)
         lw["experts_w3"] = w(E, I, D)
+    elif experts_fmt == "int8":
+        lw["experts_w1"] = rand_int8_stack(rng, E, I, D)
+        lw["experts_w2"] = rand_int8_stack(rng, E, D, I)
+        lw["experts_w3"] = rand_int8_stack(rng, E, I, D)
     else:
         lw["experts_w1"] = rand_fp4_stack(rng, E, I, D)
         lw["experts_w2"] = rand_fp4_stack(rng, E, D, I)
@@ -166,7 +177,7 @@ def rand_layer(cfg, rng, li: int, bf16_experts: bool):
     return lw
 
 
-def rand_params(cfg, bf16_experts: bool, seed: int = 0):
+def rand_params(cfg, experts_fmt: str, seed: int = 0):
     rng = np.random.default_rng(seed)
     D, n = cfg.dim, cfg.hc_mult
     return {
@@ -179,7 +190,7 @@ def rand_params(cfg, bf16_experts: bool, seed: int = 0):
         "hc_head_base": jnp.asarray(rng.normal(0, 0.5, (n,)), jnp.float32),
         "hc_head_scale": jnp.ones((1,), jnp.float32),
         # single-segment GROUPED layout built stacked (no 2x transient)
-        "segments": [rand_segment(cfg, rng, bf16_experts)],
+        "segments": [rand_segment(cfg, rng, experts_fmt)],
     }
 
 
@@ -250,6 +261,10 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 experts at the mp8 per-rank share (32)")
     ap.add_argument("--experts", type=int, default=None)
+    ap.add_argument("--experts-fmt", choices=["fp4", "int8"], default="fp4",
+                    help="resident expert container format (int8 = the "
+                         "per-output-channel speed mode; 2x fp4 bytes — "
+                         "pair with --experts 128 at L=2)")
     ap.add_argument("--layers", type=int, nargs="*", default=[1, 2])
     ap.add_argument("--ratios", type=int, nargs="*", default=[0, 128, 4])
     ap.add_argument("--steps", type=int, default=16)
@@ -269,6 +284,7 @@ def main():
 
     enable_cache()
     note(f"backend={jax.default_backend()}")
+    fmt = "bf16" if args.bf16 else args.experts_fmt
     n_experts = args.experts or (32 if args.bf16 else 256)
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = on_tpu and not args.bf16 and not args.no_kernel
@@ -283,7 +299,7 @@ def main():
             import gc
 
             cfg = flagship_cfg(ratio, L, n_experts=n_experts, ctx=args.ctx)
-            gparams = rand_params(cfg, bf16_experts=args.bf16)
+            gparams = rand_params(cfg, experts_fmt=fmt)
             ms = time_decode(cfg, gparams, args.ctx, n_steps=args.steps)
             times[L] = ms
             note(f"ratio={ratio} L={L} decode {ms:.3f} ms/step @ctx={args.ctx}")
@@ -341,7 +357,8 @@ def main():
 
     print(json.dumps({
         "ctx": args.ctx, "experts": n_experts,
-        "mode": "bf16" if args.bf16 else "resident_fp8_fp4",
+        "mode": ("bf16" if args.bf16 else
+                 f"resident_fp8_{args.experts_fmt}_experts"),
         "fp4_kernel": use_kernel, "results": results,
     }, indent=1))
 

@@ -414,6 +414,123 @@ def test_dsv4_prefill_fp4_grouped_kernel_path():
             == np.argmax(np.asarray(lg_x), -1)).all()
 
 
+@pytest.mark.parametrize(
+    "E,OUT,IN",
+    [
+        (4, 64, 256),
+        (4, 256, 512),     # multi-tile OUT
+        (8, 64, 1024),     # wide IN
+    ],
+)
+def test_int8_gemv_matches_oracle(E, OUT, IN):
+    """int8 expert GEMV (unscaled kernel + caller-side scale) == dequant
+    oracle — the speed-mode kernel (ops/quant.quantize_int8_stack)."""
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas.fp4_gemm import (
+        int8_gemv_supported, moe_int8_gemv,
+    )
+
+    rng = np.random.default_rng(E + OUT + IN)
+    w = rng.standard_normal((E, OUT, IN)).astype(np.float32) * 0.1
+    cont = quant.quantize_int8_stack(w)
+    assert int8_gemv_supported(cont["q"])
+    M = 12
+    x = rng.standard_normal((M, IN)).astype(np.float32)
+    idx = jnp.asarray(rng.integers(0, E, M), jnp.int32)
+
+    y = moe_int8_gemv(jnp.asarray(x), cont["q"], idx, interpret=True)
+    y = np.asarray(y) * np.asarray(cont["s"])[np.asarray(idx)]
+    wb = quant.gather_dequant(cont, idx, jnp.bfloat16)
+    y_ref = jax.lax.dot_general(
+        jnp.asarray(x, jnp.bfloat16)[:, None, :], wb,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    # kernel: int8->bf16 exact (integers <= 127), scale f32 after the dot;
+    # oracle dequantizes to bf16 first — bf16 rounding of w*s bounds the gap
+    np.testing.assert_allclose(y, np.asarray(y_ref), rtol=1e-2, atol=2e-2)
+
+
+def test_moe_int8_grouped_matches_oracle():
+    """Grouped int8 GEMM (interpret) == dequant oracle with skewed routing,
+    empty experts, and tile-crossing segments."""
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+    rng = np.random.default_rng(13)
+    E, OUT, IN, M, tm = 8, 64, 256, 64, 16
+    w = rng.standard_normal((E, OUT, IN)).astype(np.float32) * 0.1
+    cont = quant.quantize_int8_stack(w)
+    x = jnp.asarray(rng.standard_normal((M, IN)).astype(np.float32))
+    flat_e = np.sort(rng.choice([0, 1, 1, 1, 3, 7], M)).astype(np.int32)
+    seg = pfp4.tile_segments(jnp.asarray(flat_e), tm, E)
+    y = np.asarray(pfp4.moe_int8_grouped(x, cont["q"], *seg, out_tile=32,
+                                         tm=tm, interpret=True))
+    y = y * np.asarray(cont["s"])[flat_e]
+    wd = np.asarray(quant.dequant_any(cont, jnp.float32))
+    ref = np.stack([np.asarray(x)[m] @ wd[flat_e[m]].T for m in range(M)])
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(y - ref).max() / scale < 2e-2
+
+
+def _int8_mode_cfg_params():
+    from pegainfer_tpu.models import dsv4
+
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=256, moe_inter_dim=256, n_layers=2,
+        num_attention_heads=8, head_dim=32, q_lora_rank=32,
+        qk_rope_head_dim=16, o_groups=8, o_lora_rank=8, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=32, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.quantize_params_resident(
+        dsv4.init_random_params(cfg, seed=9, dtype=jnp.float32, scale=0.08),
+        experts="int8",
+    )
+    return cfg, params
+
+
+def test_dsv4_decode_int8_kernel_path():
+    """Full DSv4 decode with int8-expert containers: fused kernel
+    (interpret) == the XLA gather fallback on the SAME quantized weights."""
+    from pegainfer_tpu.models import dsv4
+
+    cfg, params = _int8_mode_cfg_params()
+    toks = jnp.asarray([3, 17, 42, 9, 88], jnp.int32)
+    state = dsv4.make_state(cfg, 1, 16)
+    _, st = dsv4.prefill(cfg, params, toks, state=state, slot=jnp.int32(0),
+                         modes=dsv4.RunModes())
+    step = jnp.asarray([7], jnp.int32)
+    pos = jnp.asarray([5], jnp.int32)
+    slots = jnp.asarray([0], jnp.int32)
+    _, lg_k = dsv4.decode(cfg, params, st, step, pos, slots,
+                          modes=dsv4.RunModes(fp4_kernel="interpret"))
+    _, lg_x = dsv4.decode(cfg, params, st, step, pos, slots,
+                          modes=dsv4.RunModes())
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
+                               rtol=0, atol=2e-2)
+    assert int(jnp.argmax(lg_k[0])) == int(jnp.argmax(lg_x[0]))
+
+
+def test_dsv4_prefill_int8_grouped_kernel_path():
+    """Full DSv4 PREFILL with int8-expert containers through the grouped
+    kernel == the XLA dequant+ragged_dot path."""
+    from pegainfer_tpu.models import dsv4
+
+    cfg, params = _int8_mode_cfg_params()
+    toks = jnp.asarray([3, 17, 42, 9, 88, 12, 7, 55, 2, 91], jnp.int32)
+    lg_x, _ = dsv4.prefill(cfg, params, toks, modes=dsv4.RunModes())
+    lg_k, _ = dsv4.prefill(cfg, params, toks,
+                           modes=dsv4.RunModes(fp4_kernel="interpret"))
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
+                               rtol=0, atol=5e-2)
+    assert (np.argmax(np.asarray(lg_k), -1)
+            == np.argmax(np.asarray(lg_x), -1)).all()
+
+
 def test_stacked_kernel_forms_match_sliced():
     """The stacked [L, ...] kernel forms (layer via prefetched scalar) ==
     the per-layer sliced forms, for all three fused kernels."""
