@@ -73,13 +73,15 @@ class EngineLoadOptions:
     # sizes + tighter padding); models without a chunk path ignore it.
     prefill_chunk: int = 2048
     # Chunk size while OTHER requests are actively decoding (adaptive
-    # chunking): decode blocks interleave between prefill chunks, so a
-    # smaller mixed-load chunk bounds the decode stall tighter at a small
-    # prefill-throughput cost. Set equal to prefill_chunk to disable.
-    # 512 (round-4 A/B, scripts/mixed_load_bench.py warm runs): effective
-    # TPOT under a 10k-prefill storm 34.7 -> 26.6 ms, p95 gap 190 -> 140,
-    # worst gap 242 -> 189 ms (== the harness's own solo floor).
-    prefill_chunk_mixed: int = 512
+    # chunking). With the FUSED mixed step (decode rows ride each chunk
+    # dispatch, resolves pipelined one piece deep — jax_executor
+    # _run_mixed_piece) the decode token cadence IS the chunk cadence, so
+    # smaller mixed chunks directly bound the stall. Round-4 A/B
+    # (scripts/mixed_load_bench.py, 10k-prefill storm): time-sliced 512 =
+    # 26.6 ms effective / p95 gap 140; FUSED 256 = 28.5 ms effective /
+    # p95 gap 58.8. Set equal to prefill_chunk to disable adaptivity;
+    # PEGAINFER_MIXED_FUSED=0 restores the time-sliced interleave.
+    prefill_chunk_mixed: int = 256
     # Weight quantization mode: None (checkpoint dtype — for DSv4 this
     # means FP8/FP4 quantized-resident in HBM), "int8" (weight-only
     # per-output-channel int8 for the Qwen families — approximate serving,

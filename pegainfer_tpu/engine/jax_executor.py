@@ -261,6 +261,12 @@ class JaxExecutor:
         self.mixed_pending = None
         self._mixed_enabled = os.environ.get(
             "PEGAINFER_MIXED_FUSED", "1") != "0"
+        # device-threaded decode tokens between CONSECUTIVE fused pieces
+        # (the scheduler pipelines resolves one piece deep; the next
+        # piece's decode inputs ride the previous piece's sampled tokens
+        # still on device — host token ids are stale then)
+        self._mixed_toks_dev = None
+        self._mixed_rids: Optional[tuple] = None
         # request → persistent state slot (hybrid models' recurrent state)
         self._slots: Dict[int, int] = {}
         self._free_slots = list(range(runtime.max_slots - 1, -1, -1))
@@ -796,6 +802,16 @@ class JaxExecutor:
                         (len(real),
                          self._jit_token_logprob(chunk_logits,
                                                  jnp.asarray(tgt))))
+                elif self.mixed_items:
+                    # fused ragged mixed step: this chunk's rows ‖ one
+                    # decode row per active stream in ONE dispatch (the
+                    # scheduler set mixed_items and applies mixed_pending
+                    # right after this piece)
+                    mi, self.mixed_items = self.mixed_items, None
+                    cpend, last_logits = self._run_mixed_piece(
+                        mi, cpend, jnp.asarray(toks), start, len(part),
+                        table_dev, slot, Tc, P,
+                    )
                 else:
                     self.state, cpend, last_logits = fn(
                         self.params, self.state, cpend, jnp.asarray(toks),
@@ -1107,13 +1123,21 @@ class JaxExecutor:
             self._decode_inputs(items)
         )
         rids = tuple(it.request_id for it in items)
+        # consecutive fused pieces with the same composition: the previous
+        # piece's sampled tokens are still on device (host ids are stale —
+        # the scheduler resolves one piece late to overlap the link RTT
+        # with this piece's device time)
+        tok_arg = jnp.asarray(dtoks)
+        if (self._mixed_toks_dev is not None and self._mixed_rids == rids
+                and self._mixed_toks_dev.shape[0] == B):
+            tok_arg = self._mixed_toks_dev
         dpend = self._chain_pend(B, rids)
         greedy = all(it.params.is_greedy for it in items)
         fn = self._mixed_jit(Tc, P, cpend["rows"].shape[0], B, P2, greedy)
         args = (
             self.params, self.state, cpend, dpend, toks,
             jnp.int32(start), jnp.int32(n_valid), table_dev, slot,
-            jnp.asarray(dtoks), jnp.asarray(dpos), jnp.asarray(dtabs),
+            tok_arg, jnp.asarray(dpos), jnp.asarray(dtabs),
             jnp.asarray(dsl), jnp.asarray(dslots),
         )
         if not greedy:
@@ -1137,6 +1161,8 @@ class JaxExecutor:
             dec_toks.copy_to_host_async()
         except Exception:  # noqa: BLE001 — transfer hint only
             pass
+        self._mixed_toks_dev = dec_toks
+        self._mixed_rids = rids
         self.mixed_pending = PendingDecode(items=list(items),
                                            tokens_dev=dec_toks, n=n)
         return cpend, last_logits
@@ -1158,6 +1184,7 @@ class JaxExecutor:
         """
         n = len(items)
         N = n_tokens
+        self._mixed_toks_dev = None  # tokens advance outside the fused chain
         B, P, tokens, positions, tables, seq_lens, slots, states = (
             self._decode_inputs(items, extra_tokens=N - 1)
         )
@@ -1272,6 +1299,7 @@ class JaxExecutor:
     def execute_decode(self, plan: DecodePlan) -> DecodeResult:
         items = plan.requests
         n = len(items)
+        self._mixed_toks_dev = None  # tokens advance outside the fused chain
         if n == 0:
             return DecodeResult()
         if n > self.max_batch:

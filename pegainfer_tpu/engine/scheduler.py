@@ -296,21 +296,76 @@ class Scheduler:
             item = self._prefill_items([req])[0]
             if chunkable and ex.supports_chunked_prefill(item) and self.active:
                 gen = ex.prefill_stepper(item)
+                # fused-piece resolve pipeline: piece k's decode tokens are
+                # resolved AFTER piece k+1 is dispatched, so the host read
+                # RTT overlaps the next piece's device time (the pure-
+                # decode pipeline's speculative-dispatch trick applied to
+                # the mixed step; tokens thread on device in the executor)
+                prev_mp = [None]
+
+                def flush_prev():
+                    mp, prev_mp[0] = prev_mp[0], None
+                    if mp is not None:
+                        self._apply_decode_tokens(ex.resolve_pending_multi(mp))
+
                 try:
                     while True:
                         # adaptive chunking: the stepper sizes its next
                         # chunk down while streams are actively decoding
                         # (executor.prefill_chunk_mixed, contract.py)
                         ex.decode_active = bool(self.active)
+                        # fused mixed step (one dispatch: chunk rows ‖ one
+                        # decode row per stream — reference
+                        # unified_forward.rs): hand the stepper the decode
+                        # batch; it leaves sampled tokens in mixed_pending
+                        if hasattr(ex, "supports_mixed_step"):
+                            ex.mixed_items = None  # never leave stale items
+                            if self.active:
+                                ditems = self._decode_items()
+                                if ditems and ex.supports_mixed_step(ditems):
+                                    if prev_mp[0] is not None and (
+                                        tuple(i.request_id for i in ditems)
+                                        != tuple(i.request_id
+                                                 for i in prev_mp[0].items)
+                                        or self._min_remaining() <= 2
+                                    ):
+                                        # composition changed / near a
+                                        # length boundary: resolve first
+                                        # (no speculative token past the
+                                        # admitted budget)
+                                        flush_prev()
+                                        ditems = (self._decode_items()
+                                                  if self.active else [])
+                                    if ditems and ex.supports_mixed_step(
+                                            ditems):
+                                        ex.mixed_items = ditems
+                                        ex.mixed_rand = self._rand_matrix(
+                                            ditems, 1)
                         try:
                             next(gen)
                         except StopIteration as s:
                             done_results.append(s.value)
                             done_reqs.append(req)
                             break
-                        self._decode_block_once()
+                        mp = getattr(ex, "mixed_pending", None)
+                        ex.mixed_pending = None
+                        if mp is not None:
+                            flush_prev()  # k-1 resolves while k executes
+                            prev_mp[0] = mp
+                        else:
+                            flush_prev()
+                            self._decode_block_once()
                 finally:
                     ex.decode_active = False
+                    if getattr(ex, "mixed_items", None) is not None:
+                        ex.mixed_items = None
+                    # drain in order: the pipelined piece, then a final
+                    # piece that ran fused right before StopIteration
+                    mp = getattr(ex, "mixed_pending", None)
+                    ex.mixed_pending = None
+                    flush_prev()
+                    if mp is not None:
+                        self._apply_decode_tokens(ex.resolve_pending_multi(mp))
             elif chunkable and self.active:
                 # Non-chunkable prefill (e.g. echo+logprobs needs all-
                 # position logits in one pass): run it ALONE and give the

@@ -818,9 +818,11 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
 
         cache: Dict[str, Any] = {"kv": kv, "ckv": None, "ick": None}
         win_idx = dsa.window_indices(T, cfg.sliding_window)
+        # window part: per-query gather of W own-kv rows (small; the
+        # compressed parts below avoid per-query gathers entirely)
+        win_part = (kv[jnp.maximum(win_idx, 0)], win_idx >= 0)
         if ratio == 0:
-            idx = win_idx
-            kv_all = kv
+            parts = [win_part]
         else:
             ckv, c_s, c_v = _compress_layer(
                 cfg, lw["comp"], h_norm, ratio, cfg.head_dim, inv_freq
@@ -828,7 +830,6 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
             cache["ckv"] = ckv
             cache["comp_sv"] = (c_s, c_v)
             C = ckv.shape[0]
-            kv_all = jnp.concatenate([kv, ckv], axis=0)
             if ratio == 4:
                 ihd = cfg.index_head_dim
                 iq = quant.qlinear(qa, lw["idx_wq_b"],
@@ -847,14 +848,23 @@ def _prefill_layer(cfg: DSv4Config, lw, streams, tokens, positions,
                 score_scale = 1.0 / math.sqrt(ihd) / math.sqrt(cfg.index_n_heads)
                 scores = dsa.indexer_scores(iq, ick, iw, score_scale)
                 valid = (positions + 1) // ratio
-                top_idx = dsa.topk_strict(scores, cfg.index_topk, valid, T)
-                idx = jnp.concatenate([win_idx, top_idx], axis=1)
+                # SHARED-part form: dense MXU scores over the compressed
+                # cache with a top-k MEMBERSHIP mask — no [T, K, d] gather
+                # materialization and no ordered-index argsort (softmax is
+                # permutation-invariant; tie contract pinned by topk_mask
+                # tests). The measured ratio-4 prefill premium was exactly
+                # this gather (docs/PERF.md round 4).
+                sel = dsa.topk_mask(scores, cfg.index_topk, valid)
+                parts = [win_part, (ckv, sel)]
             else:
-                cb = dsa.compressed_block_indices(T, C, ratio, offset=T)
-                idx = jnp.concatenate([win_idx, cb], axis=1)
+                # nonoverlap: causal prefix of compressed rows — dense over
+                # the cache with the causal mask, same shared-part form
+                valid = (positions + 1) // ratio
+                sel = jnp.arange(C)[None, :] < valid[:, None]
+                parts = [win_part, (ckv, sel)]
 
-        o = dsa.sparse_attention(
-            q, kv_all, idx, lw["attn_sink"], cfg.head_dim ** -0.5
+        o = dsa.sparse_attention_parts(
+            q, parts, lw["attn_sink"], cfg.head_dim ** -0.5
         )
         attn_out = _attn_out(cfg, lw, o, modes.fp8_kernel)
         streams = hc.hc_post(attn_out, streams, post, comb)

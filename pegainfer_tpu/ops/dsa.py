@@ -264,6 +264,32 @@ def topk_select(scores, k: int, valid_counts):
     return ids.astype(jnp.int32), vals > -3.0e38
 
 
+def topk_mask(scores, k: int, valid_counts):
+    """Top-k MEMBERSHIP mask [T, C] bool under the same selection contract
+    as ``topk_strict`` ('strictly greater wins, else lower index') without
+    materializing ordered indices: a values-only descending sort finds the
+    k-th surviving value per row, then membership = strictly-above-kth
+    plus the LOWEST-index ties filling the remaining slots (prefix-count).
+    Feeds the shared-part prefill attention (``sparse_attention_parts``)
+    where only membership matters — order never does (softmax is
+    permutation-invariant)."""
+    T, C = scores.shape
+    k = min(k, C)
+    cand = jnp.arange(C)[None, :]
+    masked = jnp.where(cand < jnp.asarray(valid_counts)[:, None], scores,
+                       NEG_INF)
+    vals = -jnp.sort(-masked, axis=-1)  # descending, values only
+    kth = vals[:, k - 1][:, None]  # [T, 1]
+    above = masked > kth
+    eq = masked == kth
+    # slots left for ties = k - (# strictly above); lowest candidate index
+    # wins among equals (cumsum prefix-count)
+    n_above = jnp.sum(above, axis=-1, keepdims=True)
+    tie_rank = jnp.cumsum(eq.astype(jnp.int32), axis=-1)
+    sel = above | (eq & (tie_rank <= k - n_above))
+    return sel & (masked > -3.0e38)  # fully-masked rows select nothing
+
+
 def topk_strict(scores, k: int, valid_counts, offset):
     """Strict-> top-k with lowest-index tie-break.
 
@@ -310,12 +336,20 @@ def sparse_attention_parts(q, parts, sink, scale: float):
     # the gathered-row materialization (at flagship prefill the f32 form's
     # [T, 640, 512] f32 transients OOM'd the chip through the engine).
     # f32 inputs (tests/fixture vectors) keep full-f32 dots.
+    #
+    # A part whose rows are 2-D ([K, d]) is a SHARED candidate set: every
+    # query scores the same rows, selection expressed purely by the [T, K]
+    # valid mask. This is the prefill top-k form — dense MXU dots over the
+    # compressed cache instead of a [T, K, d] gather materialization
+    # (measured: the gather is the ratio-4 prefill premium,
+    # scripts/dsv4_flagship_probe.py round 4).
     bf16 = q.dtype == jnp.bfloat16
+    qc = q if bf16 else q.astype(jnp.float32)
     logits = []
     for rows, valid in parts:
         rf = rows.astype(jnp.bfloat16 if bf16 else jnp.float32)
-        s = jnp.einsum("thd,tkd->thk", q if bf16 else q.astype(jnp.float32),
-                       rf, preferred_element_type=jnp.float32) * scale
+        eq = "thd,kd->thk" if rows.ndim == 2 else "thd,tkd->thk"
+        s = jnp.einsum(eq, qc, rf, preferred_element_type=jnp.float32) * scale
         s = jnp.where(valid[:, None, :], s, NEG_INF)
         logits.append((s, rf, valid))
 
@@ -327,8 +361,8 @@ def sparse_attention_parts(q, parts, sink, scale: float):
     for s, rf, valid in logits:
         p = jnp.exp(s - m[..., None])
         p = jnp.where(valid[:, None, :], p, 0.0)
-        num = num + jnp.einsum("thk,tkd->thd",
-                               p.astype(rf.dtype), rf,
+        eq = "thk,kd->thd" if rf.ndim == 2 else "thk,tkd->thd"
+        num = num + jnp.einsum(eq, p.astype(rf.dtype), rf,
                                preferred_element_type=jnp.float32)
         denom = denom + jnp.sum(p, axis=-1)
     return (num / denom[..., None]).astype(q.dtype)
