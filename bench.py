@@ -240,14 +240,19 @@ def run_family(model, quant, smoke, prompt_len, n_decode):
         params = dsv4.init_random_params(cfg, seed=0)
         metric_base = "dsv4_scaled"
         modes = dsv4.RunModes()
-        if quant == "resident":
+        if quant in ("resident", "int8-experts"):
             # quantized-resident serving (fp8 containers + packed fp4
             # experts) with the fused Pallas dequant-GEMV on the decode
-            # routed experts — the production DSv4 mode
-            params = dsv4.quantize_params_resident(params)
+            # routed experts — the production DSv4 mode.
+            # "int8-experts": the speed mode — routed expert stacks int8
+            # per-output-channel (2x fp4 bytes, streamed faster; see
+            # docs/PERF.md round 4 cont.)
+            params = dsv4.quantize_params_resident(
+                params, experts="int8" if quant == "int8-experts" else "fp4")
             on_tpu = jax.default_backend() == "tpu"
             modes = dsv4.RunModes(fp4_kernel=on_tpu, fp8_kernel=on_tpu)
-            metric_base = "dsv4_scaled_resident"
+            metric_base = ("dsv4_scaled_resident" if quant == "resident"
+                           else "dsv4_scaled_int8e")
         runtime = mk_dsv4(cfg, params, max_model_len=2048, max_slots=2,
                           modes=modes)
         baseline = BASELINE_TPOT_MS  # no like-for-like reference at this scale
@@ -325,7 +330,7 @@ def run_family(model, quant, smoke, prompt_len, n_decode):
     else:
         times = [tpot_p50]
     metric = (f"{metric_base}_decode_tpot_p50_ms"
-              if not quant or quant == "resident"
+              if not quant or quant in ("resident", "int8-experts")
               else f"{metric_base}_{quant}_decode_tpot_p50_ms")
     result = {
         "metric": metric,
