@@ -233,6 +233,54 @@ def test_topk_select_matches_strict():
         np.testing.assert_array_equal(got, oracle)
 
 
+def test_topk_mask_matches_strict_membership():
+    """topk_mask (values-only sort + prefix tie-count) selects EXACTLY the
+    topk_strict membership set on tie-heavy inputs — pins the prefill
+    shared-part path's strict-> / lowest-index-wins contract."""
+    rng = np.random.default_rng(13)
+    scores = jnp.asarray(rng.integers(0, 4, (7, 41)).astype(np.float32))
+    counts = jnp.asarray(rng.integers(0, 42, (7,)), jnp.int32)
+    for k in (1, 5, 16, 41, 60):
+        mask = np.asarray(dsa.topk_mask(scores, k, counts))
+        oracle_ids = np.asarray(dsa.topk_strict(scores, k, counts, 0))
+        want = np.zeros_like(mask)
+        for t in range(scores.shape[0]):
+            for i in oracle_ids[t]:
+                if i >= 0:
+                    want[t, i] = True
+        np.testing.assert_array_equal(mask, want, err_msg=f"k={k}")
+
+
+def test_prefill_shared_part_matches_gather_form():
+    """The shared-part ratio-4 prefill attention (dense scores + topk_mask)
+    == the gathered-row form (sparse_attention over [win ‖ topk_strict])
+    — the round-4 restructure's equivalence, on tie-heavy scores."""
+    rng = np.random.default_rng(21)
+    T, h, d, C, W, k = 6, 2, 8, 9, 3, 4
+    q = jnp.asarray(rng.standard_normal((T, h, d)).astype(np.float32))
+    kv = jnp.asarray(rng.standard_normal((T, d)).astype(np.float32))
+    ckv = jnp.asarray(rng.standard_normal((C, d)).astype(np.float32))
+    sink = jnp.asarray(rng.standard_normal(h).astype(np.float32))
+    scores = jnp.asarray(rng.integers(0, 3, (T, C)).astype(np.float32))
+    counts = jnp.asarray(rng.integers(0, C + 1, (T,)), jnp.int32)
+    scale = d ** -0.5
+
+    win_idx = dsa.window_indices(T, W)
+    # gathered form (pre-restructure): kv_all = [kv ‖ ckv], idx offset T
+    top_idx = dsa.topk_strict(scores, k, counts, T)
+    idx = jnp.concatenate([win_idx, top_idx], axis=1)
+    kv_all = jnp.concatenate([kv, ckv], axis=0)
+    want = dsa.sparse_attention(q, kv_all, idx, sink, scale)
+
+    # shared-part form (post-restructure)
+    sel = dsa.topk_mask(scores, k, counts)
+    got = dsa.sparse_attention_parts(
+        q, [(kv[jnp.maximum(win_idx, 0)], win_idx >= 0), (ckv, sel)],
+        sink, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
+
+
 def test_sparse_attention_parts_matches_joint():
     """Multi-part online merge == one softmax over the concatenated set."""
     T, h, d = 3, 2, 8
