@@ -477,7 +477,13 @@ class Scheduler:
         by_id = {st.request_id: st for st in self.active}
         finished_ids = set()
         for rid, toks, lps in results:
-            st = by_id[rid]
+            # A speculative piece may carry rows for requests that EOS-
+            # finished when the prior piece was applied (mixed-step
+            # flush_prev / finally-drain); their KV is already released —
+            # discard those rows (mirrors _decode_pipelined's res2 filter).
+            st = by_id.get(rid)
+            if st is None:
+                continue
             for ti, tok in enumerate(toks):
                 completion = st.generated_count + 1
                 is_eos = not st.params.ignore_eos and self.executor.is_stop_token(tok)

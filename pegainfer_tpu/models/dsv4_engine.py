@@ -189,6 +189,18 @@ def start_engine(
     experts_fmt = os.environ.get("PEGAINFER_DSV4_EXPERTS", "")
     if opts.quantize == "int8-experts":
         experts_fmt = "int8"
+    if experts_fmt == "int8" and (not resident or mesh is not None):
+        # int8-experts needs resident quantized stacks and is single-chip
+        # only (the sharded loader commits per-rank fp4 leaves in place).
+        # An explicit opts.quantize request must not silently serve a
+        # different numerics class (ADVICE r4).
+        why = ("requires resident (non-bf16) weights" if not resident
+               else "not supported under a multichip mesh")
+        if opts.quantize == "int8-experts":
+            raise ValueError(f"quantize='int8-experts' {why}")
+        log.warning("PEGAINFER_DSV4_EXPERTS=int8 ignored: %s — serving %s",
+                    why, "fp8/fp4 resident" if resident else "bf16")
+        experts_fmt = ""
     if resident and experts_fmt == "int8" and mesh is None:
         import numpy as np
 

@@ -349,3 +349,94 @@ def test_two_engines_different_modes():
     finally:
         h_a.shutdown()
         h_b.shutdown()
+
+
+def test_int8_experts_request_not_silently_dropped(tmp_path):
+    """Explicit quantize='int8-experts' raises when it cannot be honored
+    (multichip mesh); the env-var request downgrades with a warning but
+    must not silently change the served numerics class (ADVICE r4)."""
+    import logging
+
+    from pegainfer_tpu.models import dsv4_engine
+
+    cfg = dsv4.DSv4Config(
+        vocab_size=128, dim=32, moe_inter_dim=16, n_layers=2,
+        num_attention_heads=8, head_dim=16, q_lora_rank=16,
+        qk_rope_head_dim=8, o_groups=8, o_lora_rank=4, sliding_window=8,
+        n_routed_experts=8, n_shared_experts=1, n_activated_experts=2,
+        n_hash_layers=1, routed_scaling_factor=1.5, swiglu_limit=7.0,
+        rms_norm_eps=1e-6, index_n_heads=8, index_head_dim=16, index_topk=4,
+        max_position_embeddings=4096, rope_theta=1e4, compress_rope_theta=1e4,
+        compress_ratios=(0, 4), yarn_original_seq_len=256, yarn_factor=4.0,
+    )
+    params = dsv4.init_random_params(cfg, seed=5, dtype=jnp.float32, scale=0.08)
+    write_fake_checkpoint(tmp_path, cfg, params)
+
+    # multichip mesh (tp>1 on the virtual 8-device CPU mesh): explicit
+    # request must raise rather than serve fp4/bf16 labeled as int8e
+    with pytest.raises(ValueError, match="int8-experts"):
+        dsv4_engine.start_engine(
+            str(tmp_path),
+            EngineLoadOptions(precompile=False, max_batch_size=1,
+                              max_model_len=64, quantize="int8-experts"),
+            tp_size=2,
+        )
+
+    # env-var request under a mesh: warn + keep serving resident
+    import os as _os
+    _os.environ["PEGAINFER_DSV4_EXPERTS"] = "int8"
+    try:
+        with _caplog_warning("PEGAINFER_DSV4_EXPERTS=int8 ignored"):
+            handle = dsv4_engine.start_engine(
+                str(tmp_path),
+                EngineLoadOptions(precompile=False, max_batch_size=1,
+                                  max_model_len=64),
+                tp_size=2,
+            )
+        handle.shutdown()
+    finally:
+        _os.environ.pop("PEGAINFER_DSV4_EXPERTS", None)
+
+    # single-chip: the explicit request is honored (int8 containers)
+    handle = dsv4_engine.start_engine(
+        str(tmp_path),
+        EngineLoadOptions(precompile=False, max_batch_size=1,
+                          max_model_len=64, quantize="int8-experts"),
+        tp_size=1,
+    )
+    try:
+        req = GenerateRequest(prompt_tokens=[3, 17, 42], max_tokens=2,
+                              params=SamplingParams(ignore_eos=True))
+        handle.submit(req)
+        toks = [ev.id for ev in req.channel if isinstance(ev, Token)]
+        assert len(toks) == 2
+    finally:
+        handle.shutdown()
+
+
+class _caplog_warning:
+    """Assert a warning containing the given text is logged."""
+
+    def __init__(self, needle):
+        self.needle = needle
+
+    def __enter__(self):
+        import logging
+
+        self.records = []
+        outer = self
+
+        class H(logging.Handler):
+            def emit(self, record):
+                outer.records.append(record.getMessage())
+
+        self.h = H(level=logging.WARNING)
+        logging.getLogger("pegainfer.dsv4").addHandler(self.h)
+        return self
+
+    def __exit__(self, *a):
+        import logging
+
+        logging.getLogger("pegainfer.dsv4").removeHandler(self.h)
+        assert any(self.needle in m for m in self.records), self.records
+        return False

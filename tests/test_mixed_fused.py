@@ -116,10 +116,10 @@ def test_mixed_chunk_wa_matches_separate():
                                rtol=0, atol=1e-5)
 
 
-def _make_engine(prefill_chunk, fused):
+def _make_engine(prefill_chunk, fused, cfg=None):
     os.environ["PEGAINFER_MIXED_FUSED"] = "1" if fused else "0"
     try:
-        cfg = _cfg()
+        cfg = cfg or _cfg()
         params = q3.init_random_params(cfg, seed=3, dtype=jnp.float32)
         runtime = q3.make_runtime(cfg, params, num_pages=128, page_size=4,
                                   kv_dtype=jnp.float32)
@@ -173,6 +173,64 @@ def test_engine_mixed_streams_match_solo(fused):
         out2 = [ev.id for ev in r2.channel if isinstance(ev, Token)]
         assert out1 == want_short
         assert out2 == want_long
+    finally:
+        handle.shutdown()
+
+
+def test_engine_mixed_fused_eos_mid_prefill():
+    """A decode stream that EOS-finishes while a chunked prefill is in
+    flight must not crash the fused pipeline: the speculative piece still
+    in flight carries a row for the finished request, whose tokens must be
+    discarded (regression for the flush_prev KeyError that
+    _fail_touched-aborted the whole step)."""
+    import dataclasses
+
+    # seed 1 probed: greedy stream is [20]*8 then 75… — the first fresh
+    # token appears at index 8, deep enough that the EOS lands while the
+    # long prefill's chunks interleave (deterministic coverage of the
+    # discard itself lives in test_scheduler's MixedFusedFakeExecutor
+    # tests; this is the end-to-end engine exercise)
+    rng = np.random.default_rng(1)
+    short = rng.integers(2, 128, 6).tolist()
+    long_p = rng.integers(2, 128, 160).tolist()
+
+    solo = _make_engine(prefill_chunk=8, fused=False)
+    try:
+        ref = _gen(solo, short, 40)
+        want_long = _gen(solo, long_p, 4)
+    finally:
+        solo.shutdown()
+
+    stop_tok = stop_idx = None
+    for i in range(1, len(ref)):
+        if ref[i] not in ref[:i]:
+            stop_tok, stop_idx = ref[i], i
+            break
+    assert stop_tok is not None, "degenerate greedy stream"
+
+    cfg = dataclasses.replace(_cfg(), stop_token_ids=(1, stop_tok))
+    handle = _make_engine(prefill_chunk=8, fused=True, cfg=cfg)
+    try:
+        r1 = GenerateRequest(prompt_tokens=short, max_tokens=40,
+                             params=SamplingParams(ignore_eos=False))
+        handle.submit(r1)
+        time.sleep(0.1)
+        r2 = GenerateRequest(prompt_tokens=long_p, max_tokens=4,
+                             params=SamplingParams(ignore_eos=True))
+        handle.submit(r2)
+
+        evs1 = list(r1.channel)
+        evs2 = list(r2.channel)
+        out1 = [ev.id for ev in evs1 if isinstance(ev, Token)]
+        fin1 = [ev for ev in evs1 if isinstance(ev, Finished)]
+        out2 = [ev.id for ev in evs2 if isinstance(ev, Token)]
+        fin2 = [ev for ev in evs2 if isinstance(ev, Finished)]
+        # r1 stops exactly at the EOS position with reason STOP (no Error)
+        assert out1 == ref[:stop_idx]
+        assert len(fin1) == 1 and fin1[0].finish_reason.name == "STOP"
+        # the prefill stream survives the mid-flight finish untouched
+        assert out2 == want_long
+        assert len(fin2) == 1 and fin2[0].finish_reason.name == "LENGTH"
     finally:
         handle.shutdown()
 

@@ -309,3 +309,121 @@ def test_unified_nonchunkable_prefill_interleaves_decode():
     assert len([e for e in collect(ch_a) if isinstance(e, Token)]) == 30
     assert len([e for e in collect(ch_b) if isinstance(e, Token)]) == 2
     assert len([e for e in collect(ch_c) if isinstance(e, Token)]) == 2
+
+
+class MixedFusedFakeExecutor(FakeExecutor):
+    """Implements the fused mixed-step interface (prefill_stepper +
+    mixed_items/mixed_pending + resolve_pending_multi) with scripted decode
+    tokens, so the speculative one-piece-deep resolve pipeline can be
+    driven deterministically without hardware."""
+
+    def __init__(self, n_chunks=3, decode_tokens=(EOS, 51, 52, 53), **kw):
+        super().__init__(**kw)
+        self.n_chunks = n_chunks
+        self._script = list(decode_tokens)
+        self._script_i = 0
+        self.decode_active = False
+        self.mixed_items = None
+        self.mixed_rand = None
+        self.mixed_pending = None
+
+    def supports_chunked_prefill(self, item):
+        return True
+
+    def supports_mixed_step(self, items):
+        return True
+
+    def prefill_stepper(self, item):
+        st = self.kv.state(item.request_id)
+        n = len(item.prompt_tokens)
+        for _ in range(self.n_chunks):
+            if self.mixed_items is not None:
+                items, self.mixed_items = self.mixed_items, None
+                results = []
+                for it in items:
+                    dst = self.kv.state(it.request_id)
+                    dst.ensure_capacity(self.kv.pool, dst.length + 1)
+                    dst.advance(1)
+                    tok = self._script[min(self._script_i,
+                                           len(self._script) - 1)]
+                    self._script_i += 1
+                    results.append((it.request_id, [tok], None))
+
+                class _Piece:
+                    pass
+
+                piece = _Piece()
+                piece.items = items
+                piece.results = results
+                self.mixed_pending = piece
+            yield
+        st.ensure_capacity(self.kv.pool, n)
+        st.advance(n)
+        return PrefillRequestResult(
+            request_id=item.request_id,
+            first_token=item.prompt_tokens[-1] + 1,
+        )
+
+    def resolve_pending_multi(self, piece):
+        return piece.results
+
+
+def test_mixed_fused_eos_midstream_discards_speculative_rows():
+    """Regression (ADVICE r4 high): a decode stream that EOS-finishes when
+    piece k is applied must not crash the resolve of speculative piece k+1
+    (which still carries a row for it); the row is discarded and serving
+    continues — mirroring _decode_pipelined's live-id filter."""
+    ex = MixedFusedFakeExecutor(n_chunks=3, decode_tokens=(EOS, 51, 52))
+    handle = EngineHandle()
+    sched = Scheduler(ex, handle)
+
+    # A prefills and starts decoding
+    ch_a = submit(handle, [10], 10)
+    reqs, _ = sched.handle._drain()
+    for r in reqs:
+        sched._ingest(r)
+    sched.step()
+
+    # B's chunked prefill arrives; A's FIRST fused mixed token is EOS, so
+    # A finishes while the next speculative piece (with an A row) is in
+    # flight — the old code KeyError'd in flush_prev and step-failed both
+    ch_b = submit(handle, [20, 21, 22], 1)
+    run_until_idle(sched)
+
+    ev_a = collect(ch_a)
+    ev_b = collect(ch_b)
+    assert not [e for e in ev_a if isinstance(e, Error)]
+    assert not [e for e in ev_b if isinstance(e, Error)]
+    toks_a = [e.id for e in ev_a if isinstance(e, Token)]
+    assert toks_a == [11]  # prefill token only; first mixed token was EOS
+    assert isinstance(ev_a[-1], Finished)
+    assert ev_a[-1].finish_reason == FinishReason.STOP
+    assert isinstance(ev_b[-1], Finished)
+    assert [e.id for e in ev_b if isinstance(e, Token)] == [23]
+    assert ex.pool.available == ex.pool.num_pages - 1  # all KV released
+
+
+def test_mixed_fused_eos_on_trailing_piece_drain():
+    """EOS applied by the finally-drain's flush_prev while the trailing
+    mixed_pending (dispatched right before StopIteration) still has a row
+    for the finished stream: the drain must discard it, not crash."""
+    ex = MixedFusedFakeExecutor(n_chunks=2, decode_tokens=(EOS, 51))
+    handle = EngineHandle()
+    sched = Scheduler(ex, handle)
+
+    ch_a = submit(handle, [10], 10)
+    reqs, _ = sched.handle._drain()
+    for r in reqs:
+        sched._ingest(r)
+    sched.step()
+
+    ch_b = submit(handle, [20, 21], 1)
+    run_until_idle(sched)
+
+    ev_a = collect(ch_a)
+    ev_b = collect(ch_b)
+    assert not [e for e in ev_a if isinstance(e, Error)]
+    assert not [e for e in ev_b if isinstance(e, Error)]
+    assert ev_a[-1].finish_reason == FinishReason.STOP
+    assert isinstance(ev_b[-1], Finished)
+    assert ex.pool.available == ex.pool.num_pages - 1
