@@ -1073,27 +1073,42 @@ class JaxExecutor:
     # ── fused mixed step (prefill chunk ‖ decode rows, one dispatch) ──
 
     def supports_mixed_step(self, items) -> bool:
+        # logprobs rows ride the fused path too: the mixed step extracts
+        # chosen-token + top-k logprobs on device exactly like the fused
+        # decode blocks (VERDICT r4 weak #6 — a single logprobs stream no
+        # longer drops the whole batch to the time-sliced path)
         return (
             self._mixed_enabled
             and self.rt.mixed_chunk_wa_fn is not None
             and self.rt.decode_wa_fn is not None
             and len(items) <= self.max_batch
-            and all(it.logprobs == 0 for it in items)
+            and all(it.logprobs <= self.MAX_FUSED_LOGPROBS for it in items)
         )
 
     def _mixed_jit(self, Tc: int, P: int, nP: int, B: int, P2: int,
-                   greedy: bool) -> Callable:
-        key = ("mixed", Tc, P, nP, B, P2, greedy)
+                   greedy: bool, lp_k: int = 0) -> Callable:
+        key = ("mixed", Tc, P, nP, B, P2, greedy, lp_k)
         fn = self._jit_decode.get(key)
         if fn is None:
             mixed = self.rt.mixed_chunk_wa_fn
+
+            def outputs(dec_lg, tok):
+                if lp_k == 0:
+                    return (tok,)
+                # [1, B] step axis so _pending_logprobs sees the same
+                # layout as the N-token decode blocks
+                lp = smp.token_logprob(dec_lg, tok)
+                tv, ti = smp.top_logprobs(dec_lg, lp_k)
+                return (tok, lp[None], tv[None], ti[None])
+
             if greedy:
                 def fused(params, state, cpend, dpend, toks, start, valid,
                           table, slot, dt, dp, dtabs, dsl, dslots):
                     state, cpend, dpend, last, dec_lg = mixed(
                         params, state, cpend, dpend, toks, start, valid,
                         table, slot, dt, dp, dtabs, dsl, dslots)
-                    return state, cpend, dpend, last, smp.sample_greedy(dec_lg)
+                    tok = smp.sample_greedy(dec_lg)
+                    return (state, cpend, dpend, last) + outputs(dec_lg, tok)
             else:
                 def fused(params, state, cpend, dpend, toks, start, valid,
                           table, slot, dt, dp, dtabs, dsl, dslots,
@@ -1102,11 +1117,11 @@ class JaxExecutor:
                         params, state, cpend, dpend, toks, start, valid,
                         table, slot, dt, dp, dtabs, dsl, dslots)
                     tok = smp.sample(dec_lg, temp, top_k, top_p, rand)
-                    return state, cpend, dpend, last, tok
+                    return (state, cpend, dpend, last) + outputs(dec_lg, tok)
             fn = jax.jit(fused, donate_argnums=(1, 2, 3))
             self._jit_decode[key] = fn
             log.info("compiling fused MIXED step Tc=%d P=%d B=%d P2=%d "
-                     "greedy=%s", Tc, P, B, P2, greedy)
+                     "greedy=%s K=%d", Tc, P, B, P2, greedy, lp_k)
         return fn
 
     def _run_mixed_piece(self, items, cpend, toks, start, n_valid,
@@ -1133,7 +1148,10 @@ class JaxExecutor:
             tok_arg = self._mixed_toks_dev
         dpend = self._chain_pend(B, rids)
         greedy = all(it.params.is_greedy for it in items)
-        fn = self._mixed_jit(Tc, P, cpend["rows"].shape[0], B, P2, greedy)
+        lp_max = max((it.logprobs for it in items), default=0)
+        lp_k = bucket_pow2(lp_max, 1, self.MAX_FUSED_LOGPROBS) if lp_max else 0
+        fn = self._mixed_jit(Tc, P, cpend["rows"].shape[0], B, P2, greedy,
+                             lp_k)
         args = (
             self.params, self.state, cpend, dpend, toks,
             jnp.int32(start), jnp.int32(n_valid), table_dev, slot,
@@ -1154,17 +1172,22 @@ class JaxExecutor:
                 rand[:n] = np.asarray(self.mixed_rand).reshape(-1, n)[0]
             args = args + (jnp.asarray(temp), jnp.asarray(top_k),
                            jnp.asarray(top_p), jnp.asarray(rand))
-        self.state, cpend, self._pend, last_logits, dec_toks = fn(*args)
+        self.state, cpend, self._pend, last_logits, dec_toks, *lp_rest = (
+            fn(*args)
+        )
+        lp_dev = tuple(lp_rest) if lp_k else None
         for st in states:
             st.advance(1)
-        try:
-            dec_toks.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — transfer hint only
-            pass
+        for arr in (dec_toks, *(lp_rest if lp_k else ())):
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — transfer hint only
+                pass
         self._mixed_toks_dev = dec_toks
         self._mixed_rids = rids
         self.mixed_pending = PendingDecode(items=list(items),
-                                           tokens_dev=dec_toks, n=n)
+                                           tokens_dev=dec_toks, n=n,
+                                           lp_dev=lp_dev)
         return cpend, last_logits
 
     def execute_decode_async(

@@ -1534,6 +1534,321 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
     return state, logits
 
 
+# ── Fused mixed step (prefill chunk ‖ decode rows, one dispatch) ────────
+#
+# The hybrid analog of qwen3.mixed_chunk_wa — the reference implements a
+# unified forward for BOTH Qwen families; Qwen3.5's is
+# pegainfer-qwen35-4b/src/unified_forward.rs:68-154 (prefill + decode rows
+# combined, attention split). Here the chunk's Tc rows and one decode row
+# per active stream share every GEMM (qkvzba / qgkv projections, out/wo,
+# MLP, lm_head); only the sequence-mixing core splits: GDN chunkwise +
+# conv-continuation for the chunk rows ‖ single-step recurrence + conv
+# step for the decode rows, and full-attention splice-over-pool for the
+# chunk ‖ paged decode attention for the streams.
+
+
+def mixed_chunk_wa(cfg: Qwen35Config, params, state, cpend, dpend,
+                   chunk_tokens, start_pos, valid, page_table, slot,
+                   dec_tokens, dec_positions, dec_tables, dec_seq_lens,
+                   dec_slots, gdn_chunk_size: int = 64,
+                   use_pallas: bool = False, mode: str = None):
+    """FUSED ragged mixed step: one dispatch runs a prefill chunk's Tc rows
+    ‖ B decode rows through shared GEMMs (see the section comment). Both
+    write-ahead pends land at the start (disjoint requests — a prefilling
+    request is never decoding; its slot and the decode slots differ).
+    Returns (state, cpend', dpend', last_logits [V], dec_logits [B, V]).
+    """
+    if mode is None:
+        mode = os.environ.get("PEGAINFER_Q35_PREFILL", "flat")
+    if "union" in params and mode == "flat":
+        return mixed_chunk_wa_flat(
+            cfg, params, state, cpend, dpend, chunk_tokens, start_pos,
+            valid, page_table, slot, dec_tokens, dec_positions, dec_tables,
+            dec_seq_lens, dec_slots, gdn_chunk_size=gdn_chunk_size,
+            use_pallas=use_pallas)
+    wxs, lw_at, fw_of = _group_xs(cfg, params)
+    Tc = chunk_tokens.shape[0]
+    B = dec_tokens.shape[0]
+    N = Tc + B
+    page_size = state["kv"].shape[4]
+    chunk_sz = min(gdn_chunk_size, Tc)
+    state = flush_chunk_pend(state, cpend)
+    state = flush_pend(state, dpend, jnp.ones((B,), bool))
+    x = params["embed"][jnp.concatenate([chunk_tokens, dec_tokens])]
+    positions = jnp.concatenate(
+        [start_pos + jnp.arange(Tc, dtype=jnp.int32), dec_positions])
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    local = jnp.arange(Tc, dtype=jnp.int32)
+    valid_mask = (local < valid)[:, None]
+    first_page = start_pos // page_size
+    P = page_table.shape[0]
+    S_len = P * page_size
+    kv0, rec0, conv0 = state["kv"], state["rec"], state["conv"]
+    dec_page_ids = jnp.take_along_axis(
+        dec_tables, (dec_positions // page_size)[:, None], axis=1)[:, 0]
+    dec_pslots = dec_positions % page_size
+    fresh = (start_pos > 0)
+
+    def group(x, inputs):
+        gi, wg = inputs
+        S_new, conv_new, recD_new, convD_new = [], [], [], []
+
+        for j in range(cfg.period - 1):
+            lw = lw_at(wg, j)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)  # shared GEMM [N]
+            # chunk rows: conv continuation + chunkwise GDN from slot state
+            prev_conv = jnp.where(fresh, conv0[gi, j, slot], 0.0)
+            y_p, conv_state = gdn.causal_conv1d_cont(
+                mixed[:Tc], lw["conv_w"], prev_conv, valid)
+            conv_new.append(conv_state)
+            qp, kp, vp = _gdn_split_heads(cfg, y_p)
+            g_p = jnp.where(valid_mask, g[:Tc], 0.0)
+            b_p = jnp.where(valid_mask, beta[:Tc], 0.0)
+            S0 = jnp.where(fresh, rec0[gi, j, slot], 0.0)
+            out_p, S = gdn.gdn_chunk(qp, kp, vp, g_p, b_p, S0, chunk=chunk_sz)
+            S_new.append(S)
+            # decode rows: single-step recurrence from per-stream slots
+            conv_rows = conv0[gi, j, dec_slots]
+            y_d, conv_rows = gdn.causal_conv1d_step(
+                mixed[Tc:], lw["conv_w"], conv_rows)
+            convD_new.append(conv_rows)
+            qd, kd, vd = _gdn_split_heads(cfg, y_d)
+            rec_rows = rec0[gi, j, dec_slots]
+            out_d, rec_rows = gdn.gdn_step(qd, kd, vd, g[Tc:], beta[Tc:],
+                                           rec_rows)
+            recD_new.append(rec_rows)
+            out = jnp.concatenate([out_p, out_d])
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x = x + _proj(lw, "out_proj", out.reshape(N, -1))
+            h = rms_norm(x, lw["post_ln"], cfg.rms_norm_eps)
+            x = x + _mlp(lw, h)
+
+        fw = fw_of(wg)
+        h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+        q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+        hd = q.shape[2]
+        qp, kp, vp = q[:Tc], k[:Tc], v[:Tc]
+        qd, kd, vd = q[Tc:], k[Tc:], v[Tc:]
+        # chunk rows: pool gather + in-flight splice (= prefill_chunk_wa)
+        kv_seq = kv0[gi, :, page_table]
+        k_seq = kv_seq[:, :, 0].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+        v_seq = kv_seq[:, :, 1].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+        k_seq = lax.dynamic_update_slice(
+            k_seq, kp.astype(k_seq.dtype), (start_pos, 0, 0))
+        v_seq = lax.dynamic_update_slice(
+            v_seq, vp.astype(v_seq.dtype), (start_pos, 0, 0))
+        if use_pallas:
+            from pegainfer_tpu.ops.pallas import (
+                flash_attention, paged_attention_decode,
+            )
+
+            o_p = flash_attention(qp, k_seq, v_seq, start_pos + valid,
+                                  start_pos, scale)
+            o_d = paged_attention_decode(
+                qd, kv0, kv0, dec_tables, dec_seq_lens, scale,
+                cur_k=kd, cur_v=vd, layer_id=gi,
+                fold_heads=dec_tables.shape[1] * page_size >= 8192)
+        else:
+            o_p = att.chunk_attention_seq(qp, k_seq, v_seq, start_pos, scale)
+            layer_kv = lax.dynamic_index_in_dim(kv0, gi, axis=0,
+                                                keepdims=False)
+            o_d = att.paged_attention_decode(
+                qd, layer_kv[:, :, 0], layer_kv[:, :, 1], dec_tables,
+                dec_seq_lens, scale, cur_k=kd, cur_v=vd)
+        o = jnp.concatenate([o_p.reshape(Tc, -1), o_d.reshape(B, -1)])
+        o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
+        x = x + _proj(fw, "wo", o)
+        h = rms_norm(x, fw["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp(fw, h)
+        return x, (kp, vp, kd, vd, jnp.stack(S_new), jnp.stack(conv_new),
+                   jnp.stack(recD_new), jnp.stack(convD_new))
+
+    G = cfg.num_groups
+    x, (kp_all, vp_all, kd_all, vd_all, S_all, convS_all, recD_all,
+        convD_all) = lax.scan(group, x, (jnp.arange(G, dtype=jnp.int32), wxs))
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    nPc = Tc // page_size
+    rows = (
+        jnp.stack([kp_all, vp_all])
+        .reshape(2, G, nPc, page_size, Hkv, hd)
+        .transpose(2, 1, 4, 0, 3, 5)
+        .astype(kv0.dtype)
+    )
+    chunk_table = lax.dynamic_slice_in_dim(page_table, first_page, nPc)
+    cpend = {"rows": rows, "pages": chunk_table, "rec": S_all,
+             "conv": convS_all, "slot": slot}
+    dpend = {
+        "rows": jnp.stack([kd_all, vd_all], axis=3).transpose(1, 0, 2, 3, 4)
+        .astype(kv0.dtype),
+        "page_ids": dec_page_ids,
+        "pslots": dec_pslots,
+        "rec": recD_all,
+        "conv": convD_all,
+        "state_slots": dec_slots,
+    }
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    sel = jnp.concatenate([jnp.reshape(jnp.asarray(valid - 1, jnp.int32), (1,)),
+                           Tc + jnp.arange(B, dtype=jnp.int32)])
+    logits = _proj(params, "lm_head", x[sel]).astype(jnp.float32)
+    return state, cpend, dpend, logits[0], logits[1:]
+
+
+def mixed_chunk_wa_flat(cfg: Qwen35Config, params, state, cpend, dpend,
+                        chunk_tokens, start_pos, valid, page_table, slot,
+                        dec_tokens, dec_positions, dec_tables, dec_seq_lens,
+                        dec_slots, gdn_chunk_size: int = 64,
+                        use_pallas: bool = False):
+    """Fused mixed step over the flat UNION layout (ONE scan over all
+    layers with the per-layer union slice as xs — the structure XLA's scan
+    prefetch pipelines; see the union section comment). Semantics identical
+    to the grouped ``mixed_chunk_wa`` (pinned by tests)."""
+    p, pl_ = cfg.period, cfg.period - 1
+    G, Lt = cfg.num_groups, cfg.num_hidden_layers
+    Tc = chunk_tokens.shape[0]
+    B = dec_tokens.shape[0]
+    N = Tc + B
+    page_size = state["kv"].shape[4]
+    chunk_sz = min(gdn_chunk_size, Tc)
+    state = flush_chunk_pend(state, cpend)
+    state = flush_pend(state, dpend, jnp.ones((B,), bool))
+    x = params["embed"][jnp.concatenate([chunk_tokens, dec_tokens])]
+    positions = jnp.concatenate(
+        [start_pos + jnp.arange(Tc, dtype=jnp.int32), dec_positions])
+    inv = jnp.asarray(rope_inv_freq(cfg.rotary_dim, cfg.rope_theta), jnp.float32)
+    cos, sin = rope_cos_sin(positions, inv, x.dtype)
+    scale = cfg.head_dim ** -0.5
+    local = jnp.arange(Tc, dtype=jnp.int32)
+    valid_mask = (local < valid)[:, None]
+    first_page = start_pos // page_size
+    P = page_table.shape[0]
+    S_len = P * page_size
+    kv0, rec0, conv0 = state["kv"], state["rec"], state["conv"]
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    Hv, dk, dv = (cfg.linear_num_value_heads, cfg.linear_key_head_dim,
+                  cfg.linear_value_head_dim)
+    K, C = cfg.linear_conv_kernel_dim, cfg.conv_dim
+    dec_page_ids = jnp.take_along_axis(
+        dec_tables, (dec_positions // page_size)[:, None], axis=1)[:, 0]
+    dec_pslots = dec_positions % page_size
+    fresh = (start_pos > 0)
+
+    def layer(x, xs):
+        li, u = xs
+        gi = li // p
+        j = jnp.minimum(li % p, pl_ - 1)  # clipped: full rows never read it
+        is_full = (li % p) == pl_
+
+        def lin_fn(x):
+            lw = _union_lw(cfg, u)
+            h = rms_norm(x, lw["input_ln"], cfg.rms_norm_eps)
+            mixed, z, g, beta = _gdn_project(cfg, lw, h)
+            prev_conv = jnp.where(fresh, conv0[gi, j, slot], 0.0)
+            y_p, conv_state = gdn.causal_conv1d_cont(
+                mixed[:Tc], lw["conv_w"], prev_conv, valid)
+            qp, kp, vp = _gdn_split_heads(cfg, y_p)
+            g_p = jnp.where(valid_mask, g[:Tc], 0.0)
+            b_p = jnp.where(valid_mask, beta[:Tc], 0.0)
+            S0 = jnp.where(fresh, rec0[gi, j, slot], 0.0)
+            out_p, S = gdn.gdn_chunk(qp, kp, vp, g_p, b_p, S0, chunk=chunk_sz)
+            conv_rows = conv0[gi, j, dec_slots]
+            y_d, conv_rows = gdn.causal_conv1d_step(
+                mixed[Tc:], lw["conv_w"], conv_rows)
+            qd, kd, vd = _gdn_split_heads(cfg, y_d)
+            rec_rows = rec0[gi, j, dec_slots]
+            out_d, rec_rows = gdn.gdn_step(qd, kd, vd, g[Tc:], beta[Tc:],
+                                           rec_rows)
+            out = jnp.concatenate([out_p, out_d])
+            out = _gated_norm(cfg, lw["norm_w"], out, z).astype(x.dtype)
+            x2 = x + _proj(lw, "out_proj", out.reshape(N, -1))
+            kv_row = jnp.zeros((N, Hkv, 2, hd), kv0.dtype)
+            return x2, kv_row, S, conv_state, rec_rows, conv_rows
+
+        def full_fn(x):
+            fw = _union_fw(cfg, u)
+            h = rms_norm(x, fw["input_ln"], cfg.rms_norm_eps)
+            q, k, v, gate = _full_qkv(cfg, fw, h, cos, sin)
+            qp, kp, vp = q[:Tc], k[:Tc], v[:Tc]
+            qd, kd, vd = q[Tc:], k[Tc:], v[Tc:]
+            kv_seq = kv0[gi, :, page_table]
+            k_seq = kv_seq[:, :, 0].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+            v_seq = kv_seq[:, :, 1].transpose(0, 2, 1, 3).reshape(S_len, -1, hd)
+            k_seq = lax.dynamic_update_slice(
+                k_seq, kp.astype(k_seq.dtype), (start_pos, 0, 0))
+            v_seq = lax.dynamic_update_slice(
+                v_seq, vp.astype(v_seq.dtype), (start_pos, 0, 0))
+            if use_pallas:
+                from pegainfer_tpu.ops.pallas import (
+                    flash_attention, paged_attention_decode,
+                )
+
+                o_p = flash_attention(qp, k_seq, v_seq, start_pos + valid,
+                                      start_pos, scale)
+                o_d = paged_attention_decode(
+                    qd, kv0, kv0, dec_tables, dec_seq_lens, scale,
+                    cur_k=kd, cur_v=vd, layer_id=gi,
+                    fold_heads=dec_tables.shape[1] * page_size >= 8192)
+            else:
+                o_p = att.chunk_attention_seq(qp, k_seq, v_seq, start_pos,
+                                              scale)
+                layer_kv = lax.dynamic_index_in_dim(kv0, gi, axis=0,
+                                                    keepdims=False)
+                o_d = att.paged_attention_decode(
+                    qd, layer_kv[:, :, 0], layer_kv[:, :, 1], dec_tables,
+                    dec_seq_lens, scale, cur_k=kd, cur_v=vd)
+            o = jnp.concatenate([o_p.reshape(Tc, -1), o_d.reshape(B, -1)])
+            o = o * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(x.dtype)
+            x2 = x + _proj(fw, "wo", o)
+            kv_row = jnp.concatenate(
+                [jnp.stack([kp, vp], axis=2), jnp.stack([kd, vd], axis=2)]
+            ).astype(kv0.dtype)
+            S = jnp.zeros((Hv, dk, dv), jnp.float32)
+            conv_state = jnp.zeros((K, C), jnp.float32)
+            rec_rows = jnp.zeros((B, Hv, dk, dv), jnp.float32)
+            conv_rows = jnp.zeros((B, K, C), jnp.float32)
+            return x2, kv_row, S, conv_state, rec_rows, conv_rows
+
+        x, kv_row, S, conv_state, rec_rows, conv_rows = lax.cond(
+            is_full, full_fn, lin_fn, x)
+        h = rms_norm(x, u["post_ln"], cfg.rms_norm_eps)
+        x = x + _mlp({"mlp_gate_up": u["gu"], "mlp_down": u["dn"]}, h)
+        return x, (kv_row, S, conv_state, rec_rows, conv_rows)
+
+    x, (kv_rows, S_flat, convS_flat, recD_flat, convD_flat) = lax.scan(
+        layer, x, (jnp.arange(Lt, dtype=jnp.int32), params["union"]))
+
+    kvr = kv_rows.reshape(G, p, N, Hkv, 2, hd)[:, p - 1]  # [G, N, Hkv, 2, hd]
+    S_all = S_flat.reshape(G, p, Hv, dk, dv)[:, :pl_]
+    convS_all = convS_flat.reshape(G, p, K, C)[:, :pl_]
+    recD_all = recD_flat.reshape(G, p, B, Hv, dk, dv)[:, :pl_]
+    convD_all = convD_flat.reshape(G, p, B, K, C)[:, :pl_]
+    nPc = Tc // page_size
+    rows = (
+        kvr[:, :Tc].transpose(3, 0, 1, 2, 4)  # [2, G, Tc, Hkv, hd]
+        .reshape(2, G, nPc, page_size, Hkv, hd)
+        .transpose(2, 1, 4, 0, 3, 5)
+        .astype(kv0.dtype)
+    )
+    chunk_table = lax.dynamic_slice_in_dim(page_table, first_page, nPc)
+    cpend = {"rows": rows, "pages": chunk_table, "rec": S_all,
+             "conv": convS_all, "slot": slot}
+    dpend = {
+        "rows": kvr[:, Tc:].transpose(1, 0, 2, 3, 4),  # [B, G, Hkv, 2, hd]
+        "page_ids": dec_page_ids,
+        "pslots": dec_pslots,
+        "rec": recD_all,
+        "conv": convD_all,
+        "state_slots": dec_slots,
+    }
+    x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
+    sel = jnp.concatenate([jnp.reshape(jnp.asarray(valid - 1, jnp.int32), (1,)),
+                           Tc + jnp.arange(B, dtype=jnp.int32)])
+    logits = _proj(params, "lm_head", x[sel]).astype(jnp.float32)
+    return state, cpend, dpend, logits[0], logits[1:]
+
+
 # ── Runtime bundle ───────────────────────────────────────────────────────
 
 
@@ -1630,6 +1945,10 @@ def make_runtime(cfg: Qwen35Config, params, num_pages: int, page_size: int = 16,
         make_chunk_pend_fn=lambda nP: make_chunk_pend(cfg, nP, page_size,
                                                       max_slots, kv_dtype),
         flush_chunk_pend_fn=flush_chunk_pend,
+        mixed_chunk_wa_fn=lambda w, s, cpend, dpend, t, sp, va, pt, slot,
+            dt, dp, dtabs, dsl, dslots: mixed_chunk_wa(
+                cfg, w, s, cpend, dpend, t, sp, va, pt, slot, dt, dp, dtabs,
+                dsl, dslots, use_pallas=up, mode=pmode),
         prefill_chunk_fn=lambda w, s, t, sp, va, pt, slot: prefill_chunk(
             cfg, w, s, t, sp, va, pt, slot, use_pallas=up
         ),

@@ -20,7 +20,7 @@ def detect_model_type(model_path: str) -> str:
         cfg = json.load(f)
     if cfg.get("model_type") == "deepseek_v4":
         return "deepseek_v4"
-    archs = cfg.get("architectures", [])
+    archs = cfg.get("architectures") or []
     if "Qwen3ForCausalLM" in archs:
         return "qwen3"
     if any(a in ("Qwen3NextForCausalLM", "Qwen3_5ForCausalLM") for a in archs):

@@ -36,14 +36,24 @@ from pegainfer_tpu.models import qwen3 as q3
 import bench
 
 print("backend:", jax.default_backend(), flush=True)
-cfg = bench.qwen3_4b_config()
-params = q3.init_bench_params(cfg)
-rt = q3.make_runtime(cfg, params, num_pages=384, page_size=64)
+model = sys.argv[1] if len(sys.argv) > 1 else "qwen3"
+if model == "qwen35":
+    from pegainfer_tpu.models import qwen35 as q35
+
+    cfg = q35.bench_config()
+    params = q35.init_bench_params(cfg)
+    rt = q35.make_runtime(cfg, params, num_pages=384, page_size=64,
+                          max_slots=64, flat_decode=True)
+else:
+    cfg = bench.qwen3_4b_config()
+    params = q3.init_bench_params(cfg)
+    rt = q3.make_runtime(cfg, params, num_pages=384, page_size=64)
+print("model:", model, flush=True)
 # PEGAINFER_MIXED_CHUNK: adaptive-chunking ablation knob (2048 = disabled,
-# the pre-adaptive fixed-chunk policy; default 1024 = contract.py default)
+# the pre-adaptive fixed-chunk policy; default 256 = contract.py default)
 import os
 
-mixed_chunk = int(os.environ.get("PEGAINFER_MIXED_CHUNK", "1024"))
+mixed_chunk = int(os.environ.get("PEGAINFER_MIXED_CHUNK", "256"))
 handle = start_scheduler(JaxExecutor(rt, EngineLoadOptions(
     prefill_chunk_mixed=mixed_chunk)))
 print("prefill_chunk_mixed:", mixed_chunk, flush=True)

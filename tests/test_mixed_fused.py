@@ -270,3 +270,63 @@ def test_engine_mixed_fused_non_greedy():
         assert all(0 <= t < 128 for t in out1)
     finally:
         handle.shutdown()
+
+
+def test_engine_mixed_fused_logprobs_stream():
+    """A logprobs-requesting decode stream keeps the FUSED path (VERDICT
+    r4 weak #6): tokens match the solo run and every token carries the
+    chosen logprob + top-k, matching the unfused logprobs surface."""
+    rng = np.random.default_rng(7)
+    short = rng.integers(2, 128, 6).tolist()
+    long_p = rng.integers(2, 128, 80).tolist()
+
+    def gen_lp(handle, prompt, n, logprobs):
+        req = GenerateRequest(prompt_tokens=prompt, max_tokens=n,
+                              params=SamplingParams(ignore_eos=True),
+                              logprobs=logprobs)
+        handle.submit(req)
+        toks, lps = [], []
+        for ev in req.channel:
+            if isinstance(ev, Token):
+                toks.append(ev.id)
+                lps.append(ev.logprob)
+            elif isinstance(ev, Finished):
+                break
+        return toks, lps
+
+    solo = _make_engine(prefill_chunk=16, fused=False)
+    try:
+        want_toks, want_lps = gen_lp(solo, short, 24, 2)
+        want_long = _gen(solo, long_p, 8)
+    finally:
+        solo.shutdown()
+
+    handle = _make_engine(prefill_chunk=16, fused=True)
+    try:
+        req = GenerateRequest(prompt_tokens=short, max_tokens=24,
+                              params=SamplingParams(ignore_eos=True),
+                              logprobs=2)
+        handle.submit(req)
+        time.sleep(0.3)
+        r2 = GenerateRequest(prompt_tokens=long_p, max_tokens=8,
+                             params=SamplingParams(ignore_eos=True))
+        handle.submit(r2)
+        toks, lps = [], []
+        for ev in req.channel:
+            if isinstance(ev, Token):
+                toks.append(ev.id)
+                lps.append(ev.logprob)
+            elif isinstance(ev, Finished):
+                break
+        out2 = [ev.id for ev in r2.channel if isinstance(ev, Token)]
+        assert toks == want_toks
+        assert out2 == want_long
+        for got, want in zip(lps, want_lps):
+            assert got is not None and want is not None
+            assert len(got.top_logprobs) == 2
+            np.testing.assert_allclose(got.logprob, want.logprob,
+                                       rtol=0, atol=1e-4)
+            assert [i for i, _ in got.top_logprobs] == \
+                [i for i, _ in want.top_logprobs]
+    finally:
+        handle.shutdown()
