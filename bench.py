@@ -272,6 +272,9 @@ def run_family(model, quant, smoke, prompt_len, n_decode):
         okw["max_batch_size"] = int(os.environ["PEGAINFER_BENCH_MAX_BATCH"])
     if os.environ.get("PEGAINFER_BENCH_DECODE_BLOCK_MAX"):
         okw["decode_block_max"] = int(os.environ["PEGAINFER_BENCH_DECODE_BLOCK_MAX"])
+    if os.environ.get("PEGAINFER_BENCH_PIPELINE_DEPTH"):
+        okw["decode_pipeline_depth"] = int(
+            os.environ["PEGAINFER_BENCH_PIPELINE_DEPTH"])
     ex = JaxExecutor(runtime, EngineLoadOptions(**okw))
     handle = start_scheduler(ex)
     note("params + runtime built; scheduler up")
@@ -341,6 +344,12 @@ def run_family(model, quant, smoke, prompt_len, n_decode):
             "ttft_ms": round(ttft_ms, 1),
             "decode_tok_s": round(1e3 / tpot_p50, 1),
             "tpot_p95_ms": round(sorted(times)[int(len(times) * 0.95)], 3),
+            # token DELIVERY cadence (VERDICT r4 #2): the longest stall an
+            # SSE consumer sees — tokens arrive in decode-block bursts, so
+            # worst/p95 inter-token gap ≈ one steady block's wall time
+            "delivery_gap_worst_ms": round(max(deltas), 1) if deltas else 0.0,
+            "delivery_gap_p95_ms": round(
+                sorted(deltas)[int(len(deltas) * 0.95)], 1) if deltas else 0.0,
             "prompt_len": prompt_len,
             "n_decode": n_decode,
             "smoke": smoke,

@@ -63,6 +63,7 @@ def run_case(engine: EngineHandle, case: CaseConfig, vocab_size: int,
     ttfts: List[float] = []
     tpots: List[float] = []
     e2es: List[float] = []
+    gaps: List[float] = []  # inter-token DELIVERY gaps (burst cadence)
 
     for it in range(case.warmup + case.iters):
         prompt = rng.integers(0, vocab_size, case.prompt_len).tolist()
@@ -84,10 +85,13 @@ def run_case(engine: EngineHandle, case: CaseConfig, vocab_size: int,
             # steady region: skip the first decode block
             k = min(2, len(stamps) - 2)
             tpots.append((stamps[-1] - stamps[k]) * 1e3 / (len(stamps) - 1 - k))
+            gaps.extend((b - a) * 1e3
+                        for a, b in zip(stamps[k:], stamps[k + 1:]))
 
     ttfts.sort()
     tpots.sort()
     e2es.sort()
+    gaps.sort()
     out = {
         "prompt_len": case.prompt_len,
         "output_len": case.output_len,
@@ -99,6 +103,11 @@ def run_case(engine: EngineHandle, case: CaseConfig, vocab_size: int,
     if tpots:
         out["steady_tpot_ms"] = {"p50": _pct(tpots, 50), "p95": _pct(tpots, 95)}
         out["decode_tok_s"] = 1e3 / _pct(tpots, 50)
+    if gaps:
+        # token delivery cadence (VERDICT r4 #2): tokens arrive in
+        # decode-block bursts; worst gap = the longest stall an SSE
+        # consumer sees (block size × TPOT in steady state)
+        out["delivery_gap_ms"] = {"p95": _pct(gaps, 95), "worst": gaps[-1]}
     return out
 
 

@@ -69,6 +69,15 @@ class EngineLoadOptions:
     # near-boundary steps keep ``decode_block`` granularity (a new request
     # waits at most one block). Set equal to decode_block to disable.
     decode_block_max: int = 16
+    # Speculative-dispatch window of the steady pipeline: this many blocks
+    # in flight before the oldest is read back. 2 = one block behind the
+    # resolve (the read RTT hides under the next block's device time);
+    # 3 also absorbs one host hiccup (GC / link jitter) — pair with small
+    # blocks for delivery-bounded serving. Measured frontier (qwen3 bf16
+    # 1024/256, docs/PERF.md round 5): block_max 16 → 11.31 ms TPOT but
+    # 188 ms p95 delivery gap; block_max 4 + depth 3 → ≈11.8 ms (+4.6%)
+    # at ≈49 ms p95 gap (the reference streams per-token at 11.31).
+    decode_pipeline_depth: int = 2
     # Prompts longer than this prefill in fixed-size chunks (bounded compile
     # sizes + tighter padding); models without a chunk path ignore it.
     prefill_chunk: int = 2048

@@ -240,6 +240,8 @@ class JaxExecutor:
         self.decode_block = max(1, opts.decode_block)
         self.decode_block_max = max(self.decode_block,
                                     getattr(opts, 'decode_block_max', 0))
+        self.decode_pipeline_depth = max(
+            2, getattr(opts, 'decode_pipeline_depth', 2))
         # chunk sizes must be page-size multiples (prefill_chunk_wa reshapes
         # its chunk into whole pages) — align whatever the CLI passed
         pc = max(self.rt.page_size, opts.prefill_chunk)

@@ -424,52 +424,65 @@ class Scheduler:
         """Steady-state decode: N-token fused blocks + speculative dispatch.
 
         The device→host token read is slow (high-latency link), so (a) each
-        dispatch computes ``decode_block`` tokens on device, and (b) block
-        i+1 is dispatched — consuming block i's sampled tokens directly on
-        device — BEFORE block i is read back. The pipeline drains whenever
-        anything non-steady happens (arrival, finish, receiver drop); rows
-        of a speculative block whose request finished in the prior block are
-        discarded (their KV is released with the request).
+        dispatch computes ``decode_block`` tokens on device, and (b) up to
+        ``decode_pipeline_depth - 1`` speculative blocks are dispatched —
+        each consuming the previous block's sampled tokens directly on
+        device — BEFORE the oldest block is read back. Depth 2 (default)
+        keeps one block in flight behind the resolve; depth 3+ also absorbs
+        one host hiccup (GC / link jitter) without a delivery stall — used
+        by the small-block delivery profile (docs/PERF.md round 5). The
+        pipeline drains whenever anything non-steady happens (arrival,
+        finish, receiver drop); rows of a speculative block whose request
+        finished in an earlier block are discarded (their KV is released
+        with the request).
         """
+        from collections import deque
+
         ex = self.executor
+        depth = max(2, getattr(ex, "decode_pipeline_depth", 2))
         N = self._decode_block_size(steady=True)
-        pending = ex.execute_decode_async(
+        q: deque = deque()  # [(PendingDecode, n_tokens)]
+        q.append((ex.execute_decode_async(
             items, n_tokens=N, rand_matrix=self._rand_matrix(items, N)
-        )
-        pending_n = N
+        ), N))
+        queued = N
+
+        def drain_rest() -> None:
+            # finished / non-steady: resolve what's in flight, discard rows
+            # of finished requests (their KV is already released)
+            while q:
+                blk, n = q.popleft()
+                self._apply_decode_tokens(ex.resolve_pending_multi(blk))
+
         while True:
             reqs, still_open = self.handle._drain()
             for r in reqs:
                 self._ingest(r)
             closed = any(st.channel.is_closed for st in self.active)
-            next_pending = None
-            if still_open and not self.deferred and not closed:
-                # speculate only when no request can LENGTH-finish inside
-                # the pending block (EOS finishes are handled by discarding)
-                if self._min_remaining() > pending_n:
-                    n2 = self._decode_block_size(after=pending_n, steady=True)
+            steady = still_open and not self.deferred and not closed
+            if steady:
+                # fill the speculative window; never speculate past a
+                # LENGTH boundary (EOS finishes are handled by discarding)
+                while (len(q) < depth
+                       and self._min_remaining() > queued):
+                    n2 = self._decode_block_size(after=queued, steady=True)
                     next_items = self._decode_items()  # token ids unused
-                    next_pending = ex.execute_decode_async(
+                    q.append((ex.execute_decode_async(
                         next_items,
-                        tokens_dev=pending.tokens_dev,
+                        tokens_dev=q[-1][0].tokens_dev,
                         n_tokens=n2,
                         rand_matrix=self._rand_matrix(next_items, n2),
-                    )
-            results = ex.resolve_pending_multi(pending)
-            finished = self._apply_decode_tokens(results)
-            if next_pending is None:
+                    ), n2))
+                    queued += n2
+            blk, n = q.popleft()
+            queued -= n
+            finished = self._apply_decode_tokens(
+                ex.resolve_pending_multi(blk))
+            if not q:
                 return
-            if finished or not self.active:
-                live = {st.request_id for st in self.active}
-                res2 = [
-                    r for r in ex.resolve_pending_multi(next_pending)
-                    if r[0] in live
-                ]
-                if res2:
-                    self._apply_decode_tokens(res2)
+            if finished or not self.active or not steady:
+                drain_rest()
                 return
-            pending = next_pending
-            pending_n = n2
 
     def _apply_decode_tokens(self, results) -> set:
         """Apply an N-token block per request with single-token semantics

@@ -33,6 +33,17 @@ def detect_model_type(model_path: str) -> str:
 def build_engine_and_tokenizer(args):
     from pegainfer_tpu.engine.contract import EngineLoadOptions
 
+    okw = {}
+    if getattr(args, "delivery_profile", False):
+        # delivery-bounded serving: small steady blocks + a deeper
+        # speculative window (measured qwen3 bf16 1024/256: worst
+        # inter-token gap 218.6 → 49.7 ms at +4.2% TPOT, docs/PERF.md
+        # round 5). Explicit --decode-block-max / --pipeline-depth win.
+        okw = {"decode_block_max": 4, "decode_pipeline_depth": 4}
+    if getattr(args, "decode_block_max", 0):
+        okw["decode_block_max"] = args.decode_block_max
+    if getattr(args, "pipeline_depth", 0):
+        okw["decode_pipeline_depth"] = args.pipeline_depth
     opts = EngineLoadOptions(
         precompile=not args.no_precompile,
         seed=args.seed,
@@ -42,6 +53,7 @@ def build_engine_and_tokenizer(args):
         enable_prefix_cache=not args.no_prefix_cache,
         prefill_chunk=args.prefill_chunk,
         prefill_chunk_mixed=args.prefill_chunk_mixed,
+        **okw,
     )
     if args.sim:
         from pegainfer_tpu.server.tokenizer import SimTokenizer
@@ -92,10 +104,19 @@ def main(argv=None):
                    help="disable shared-prompt-prefix page caching")
     p.add_argument("--prefill-chunk", type=int, default=2048,
                    help="chunk size for long-prompt prefill (tokens)")
-    p.add_argument("--prefill-chunk-mixed", type=int, default=1024,
+    p.add_argument("--prefill-chunk-mixed", type=int, default=256,
                    help="chunk size while other requests are decoding "
                         "(adaptive chunking — bounds decode stalls; set "
                         "equal to --prefill-chunk to disable)")
+    p.add_argument("--delivery-profile", action="store_true",
+                   help="delivery-bounded decode: 4-token steady blocks + "
+                        "4-deep speculative pipeline (worst SSE gap ~50 ms "
+                        "at +4%% TPOT; default is throughput-optimal "
+                        "16-token blocks — docs/PERF.md round 5)")
+    p.add_argument("--decode-block-max", type=int, default=0,
+                   help="steady-state decode block size override")
+    p.add_argument("--pipeline-depth", type=int, default=0,
+                   help="speculative decode blocks in flight (default 2)")
     p.add_argument("--no-precompile", action="store_true",
                    help="skip decode-bucket precompilation (reference: --cuda-graph off)")
     p.add_argument("--profile-dir", default=None,

@@ -227,3 +227,57 @@ def test_mixed_greedy_and_sampled_batch(engine):
                            params=SamplingParams(ignore_eos=True))
     engine.submit(solo)
     assert collect(solo)[0] == results[0][0]
+
+
+def test_deep_pipeline_matches_default():
+    """decode_pipeline_depth=4 with small blocks (the delivery profile)
+    produces exactly the default profile's tokens, including an EOS finish
+    inside the speculative window (rows for the finished request are
+    discarded) and a LENGTH boundary (never speculates past the budget)."""
+    cfg = q3.Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e6,
+        tie_word_embeddings=True, eos_token_id=1, stop_token_ids=(1,),
+        max_position_embeddings=512,
+    )
+    params = q3.init_random_params(cfg, seed=7, dtype=jnp.float32)
+
+    def run(opts):
+        runtime = q3.make_runtime(cfg, params, num_pages=128, page_size=4,
+                                  kv_dtype=jnp.float32)
+        handle = start_scheduler(JaxExecutor(runtime, opts))
+        try:
+            out = []
+            for p, n in (([5, 9, 13], 30), ([7, 11], 17)):
+                req = GenerateRequest(prompt_tokens=p, max_tokens=n,
+                                      params=SamplingParams(ignore_eos=True))
+                handle.submit(req)
+                out.append(collect(req))
+            # EOS inside the window: stop on the stream's own 7th token
+            ref = out[0][0]
+            stop = next((t for i, t in enumerate(ref[6:], 6)
+                         if t not in ref[:i]), None)
+            if stop is not None:
+                import dataclasses
+
+                req = GenerateRequest(
+                    prompt_tokens=[5, 9, 13], max_tokens=30,
+                    params=SamplingParams(ignore_eos=False))
+                # patch stop set via executor runtime (frozenset)
+                handle._scheduler.executor.rt.stop_token_ids = frozenset(
+                    {1, stop})
+                handle.submit(req)
+                out.append(collect(req))
+                handle._scheduler.executor.rt.stop_token_ids = frozenset({1})
+            return out
+        finally:
+            handle.shutdown()
+
+    base = run(EngineLoadOptions(max_batch_size=8))
+    deep = run(EngineLoadOptions(max_batch_size=8, decode_block_max=4,
+                                 decode_pipeline_depth=4))
+    assert base == deep
+    assert base[0][1] == FinishReason.LENGTH
+    if len(base) > 2:
+        assert base[2][1] == FinishReason.STOP
