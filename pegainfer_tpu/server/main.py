@@ -20,6 +20,9 @@ def detect_model_type(model_path: str) -> str:
         cfg = json.load(f)
     if cfg.get("model_type") == "deepseek_v4":
         return "deepseek_v4"
+    if cfg.get("model_type") == "deepseek_v2":
+        # the Lite EP reference engine (reference lib.rs probe_config_json)
+        return "dsv2lite"
     archs = cfg.get("architectures") or []
     if "Qwen3ForCausalLM" in archs:
         return "qwen3"
@@ -77,6 +80,12 @@ def build_engine_and_tokenizer(args):
         from pegainfer_tpu.models import dsv4_engine
 
         handle = dsv4_engine.start_engine(args.model_path, opts, tp_size=args.tp_size)
+    elif mtype == "dsv2lite":
+        from pegainfer_tpu.models import dsv2lite
+
+        handle = dsv2lite.start_engine(
+            args.model_path, opts,
+            ep_size=args.tp_size if args.tp_size > 0 else None)
     else:
         raise NotImplementedError(f"model type {mtype} engine not wired yet")
     name = os.path.basename(os.path.normpath(args.model_path))
