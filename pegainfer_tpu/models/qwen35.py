@@ -536,8 +536,13 @@ def _full_qkv(cfg: Qwen35Config, fw, h, cos, sin):
 
 
 def prefill(cfg: Qwen35Config, params, state, tokens, seq_len, page_table, slot,
-            return_all_logits: bool = False, gdn_chunk_size: int = 64,
+            return_all_logits: bool = False, gdn_chunk_size: int = 16,
             use_pallas: bool = False, mode: str = None):
+    # gdn_chunk_size default 16 (was 64): the chunkwise pipeline's
+    # in-chunk triangular-solve work is O(C^2·T) and dominates on this
+    # chip — measured prefill_flat T=1024 at bench geometry: C=8/16/32/
+    # 64/128 = 96.3/92.3/105.5/123.0/150.0 ms (docs/PERF.md round 5,
+    # VERDICT r4 #4 — the Qwen3.5 TTFT residual).
     """Prefill one prompt; write KV pages + slot recurrent/conv state.
 
     tokens: [T] int32 padded (T a multiple of the effective GDN chunk —
@@ -672,7 +677,7 @@ def flush_chunk_pend(state, cpend):
 
 def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
                      start_pos, valid, page_table, slot,
-                     gdn_chunk_size: int = 64, use_pallas: bool = False,
+                     gdn_chunk_size: int = 16, use_pallas: bool = False,
                      return_all_logits: bool = False, mode: str = None):
     """WRITE-AHEAD prefill continuation (see qwen3.prefill_chunk_wa): state
     written once at the start (landing the previous chunk's cpend), then
@@ -777,7 +782,7 @@ def prefill_chunk_wa(cfg: Qwen35Config, params, state, cpend, tokens,
 
 
 def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
-                  page_table, slot, gdn_chunk_size: int = 64,
+                  page_table, slot, gdn_chunk_size: int = 16,
                   use_pallas: bool = False):
     """One chunk of a prompt (self-contained form: state complete on return;
     the engine stepper uses ``prefill_chunk_wa`` + a final flush).
@@ -806,7 +811,7 @@ def prefill_chunk(cfg: Qwen35Config, params, state, tokens, start_pos, valid,
 
 def prefill_flat(cfg: Qwen35Config, params, state, tokens, seq_len,
                  page_table, slot, return_all_logits: bool = False,
-                 gdn_chunk_size: int = 64, use_pallas: bool = False):
+                 gdn_chunk_size: int = 16, use_pallas: bool = False):
     """Single-shot prefill over the flat union layout.
 
     Semantics identical to ``prefill`` on grouped params (pinned by
@@ -904,7 +909,7 @@ def prefill_flat(cfg: Qwen35Config, params, state, tokens, seq_len,
 
 def prefill_chunk_wa_flat(cfg: Qwen35Config, params, state, cpend, tokens,
                           start_pos, valid, page_table, slot,
-                          gdn_chunk_size: int = 64, use_pallas: bool = False,
+                          gdn_chunk_size: int = 16, use_pallas: bool = False,
                           return_all_logits: bool = False):
     """Write-ahead chunked prefill over the flat union layout (see
     ``prefill_chunk_wa`` for the protocol; structure per the section
@@ -1550,7 +1555,7 @@ def decode(cfg: Qwen35Config, params, state, tokens, positions, page_tables,
 def mixed_chunk_wa(cfg: Qwen35Config, params, state, cpend, dpend,
                    chunk_tokens, start_pos, valid, page_table, slot,
                    dec_tokens, dec_positions, dec_tables, dec_seq_lens,
-                   dec_slots, gdn_chunk_size: int = 64,
+                   dec_slots, gdn_chunk_size: int = 16,
                    use_pallas: bool = False, mode: str = None):
     """FUSED ragged mixed step: one dispatch runs a prefill chunk's Tc rows
     ‖ B decode rows through shared GEMMs (see the section comment). Both
@@ -1699,7 +1704,7 @@ def mixed_chunk_wa(cfg: Qwen35Config, params, state, cpend, dpend,
 def mixed_chunk_wa_flat(cfg: Qwen35Config, params, state, cpend, dpend,
                         chunk_tokens, start_pos, valid, page_table, slot,
                         dec_tokens, dec_positions, dec_tables, dec_seq_lens,
-                        dec_slots, gdn_chunk_size: int = 64,
+                        dec_slots, gdn_chunk_size: int = 16,
                         use_pallas: bool = False):
     """Fused mixed step over the flat UNION layout (ONE scan over all
     layers with the per-layer union slice as xs — the structure XLA's scan

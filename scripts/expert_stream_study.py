@@ -1,0 +1,194 @@
+"""Gathered-expert HBM stream study (round 5): where the decode-MoE
+byte rate actually comes from — and why W8A8 / exponent-fusion don't pay.
+
+VERDICT r4 #7 asked for W8A8 int8 MoE ("removing the per-element convert")
+and #8 for fp4 exponent-domain scale fusion ("killing the 2 muls + 2 casts
+per element"). Both premises assume the expert GEMVs are VPU-bound.
+This study measures the opposite: they sit on a DMA wall.
+
+Measured on tpu-v5e (2026-08-20, this script; DSv4-Flash expert shapes
+E=256, I=2048, D=4096, M=12 gathered rows = bs2 x top-6):
+
+  form                                          ms      GB/s (int8 bytes)
+  XLA gather+dot (int8 or bf16)                8.4-15   12-13
+  production moe_int8_gemv (bf16-convert dot)  1.56     65
+  native int8 MXU dot (w8a8 kernel form)       1.51     67   (+3%)
+  fp4 SWAR GEMV (packed uint8, per its bytes)  1.82     28 packed
+  dma-only, same blocks, no compute            1.4-1.6  60-68
+
+and the rate is INVARIANT (all within 46-77 GB/s int8-bytes) under every
+structural variant tried:
+  - block size TO in {64..1024}, grid order (o,m)/(m,o)
+  - auto-pipelined BlockSpec vs manual async_copy
+  - double/quad/16-deep buffering (static indices)
+  - 1..192 concurrent copies in flight (sub-copy splitting)
+  - row folding [E, I/F, F*D] for F in {1,4,8,16}
+  - int8 vs int32-viewed vs bf16-carrier transport of the same bytes
+  (full bf16 [E,I,D] at 2x the bytes runs ~the same wall time -> ~100-121
+  GB/s bf16-bytes; nothing reaches the ~380-440 GB/s big-stream rate.)
+
+Conclusions recorded in docs/PERF.md round 5:
+  1. W8A8 (#7): the int8->bf16 convert costs ~3% — activation quant +
+     int8-dot numerics changes are not worth it. NOT LANDED, by measurement.
+  2. exponent-fusion (#8): the SWAR decode premium over pure DMA is ~22%
+     and the fusion form measured slower (extra VPU ops under a DMA wall);
+     the 16-bit-carrier unpack alternative hits the known Mosaic
+     16-bit-op compile failure ("Insertion of minor dim..."/hang class).
+  3. The fp4/int8 expert kernels are already ~at the gathered-stream DMA
+     ceiling of this chip/toolchain. The next real lever is a toolchain
+     change (or an XLA fix to the 12 GB/s gather), not kernel structure.
+
+Run: python scripts/expert_stream_study.py  (takes ~10 min; each probe
+is also preserved inline below, trimmed to the decisive variants).
+"""
+import functools
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pegainfer_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+print("backend:", jax.default_backend(), flush=True)
+
+E, I, D = 256, 2048, 4096
+M = 12
+ITERS = 20
+rng = np.random.default_rng(0)
+q_np = rng.integers(-127, 128, (E, I, D), dtype=np.int8)
+q8 = jnp.asarray(q_np)
+x_np = rng.integers(-127, 128, (M, D), dtype=np.int8)
+xb_col = jnp.asarray(x_np).astype(jnp.bfloat16)[:, :, None]
+x8_col = jnp.asarray(x_np)[:, :, None]
+xb4 = jnp.asarray(x_np).astype(jnp.bfloat16)[None, :, :, None]
+idx = jnp.asarray(rng.integers(0, E, M), jnp.int32)
+NBYTES = M * I * D
+
+
+def bench(name, fn, args, nbytes=NBYTES):
+    try:
+        out = fn(*args)
+        np.asarray(out)
+    except Exception as ex:  # noqa: BLE001 — report and continue
+        print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:140]}",
+              flush=True)
+        return None
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*args)
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"{name}: {best*1e3:.3f} ms  ({nbytes/best/1e9:.0f} GB/s)",
+          flush=True)
+    return best
+
+
+# ── auto-pipelined GEMV, bf16-convert vs native int8 dot ────────────────
+def run_auto(native: bool, TO=256):
+    GO = I // TO
+    Mp = -(-M // 8) * 8
+
+    def k(idx_ref, x_ref, q_ref, o_ref):
+        m = pl.program_id(1)
+        if native:
+            acc = jax.lax.dot_general(
+                q_ref[0], x_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[0, m, :] = acc[:, 0].astype(jnp.float32)
+        else:
+            w = q_ref[0].astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                w, x_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, m, :] = acc[:, 0]
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(GO, M),
+        in_specs=[
+            pl.BlockSpec((1, D, 1), lambda o, m, i: (m, 0, 0)),
+            pl.BlockSpec((1, TO, D), lambda o, m, i: (i[m], o, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Mp, TO), lambda o, m, i: (o, 0, 0)))
+    f = pl.pallas_call(k, grid_spec=grid,
+                       out_shape=jax.ShapeDtypeStruct((GO, Mp, TO),
+                                                      jnp.float32))
+    return jax.jit(lambda i, x, q: f(i, x, q))
+
+
+# ── all-copies-in-flight manual form (concurrency ceiling) ──────────────
+def run_all_in_flight(TO=128, Mp=12):
+    GO = I // TO
+
+    def k(idx_ref, x_ref, q_hbm, o_ref, wbuf, sem):
+        o = pl.program_id(0)
+
+        def copy(m):
+            return pltpu.make_async_copy(
+                q_hbm.at[idx_ref[m], pl.ds(o * TO, TO), :], wbuf.at[m],
+                sem.at[m])
+
+        for m in range(Mp):
+            copy(m).start()
+        for m in range(Mp):
+            copy(m).wait()
+            w = wbuf[m].astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                w, x_ref[0, m], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, m, :] = acc[:, 0]
+
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(GO,),
+        in_specs=[
+            pl.BlockSpec((1, M, D, 1), lambda o, i: (0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 16, TO), lambda o, i: (o, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((Mp, TO, D), jnp.int8),
+                        pltpu.SemaphoreType.DMA((Mp,))])
+    f = pl.pallas_call(k, grid_spec=grid,
+                       out_shape=jax.ShapeDtypeStruct((GO, 16, TO),
+                                                      jnp.float32))
+    return jax.jit(lambda i, x, q: f(i, x, q))
+
+
+# ── XLA oracle (the 12 GB/s gather pathology) ───────────────────────────
+@jax.jit
+def xla_int8(q, x, i):
+    w = q[i]
+    return jnp.einsum("md,mid->mi", x.astype(jnp.bfloat16),
+                      w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+if __name__ == "__main__":
+    t_conv = bench("convert-dot auto (production form)", run_auto(False),
+                   (idx, xb_col, q8))
+    t_nat = bench("native int8 dot (w8a8 form)", run_auto(True),
+                  (idx, x8_col, q8))
+    bench("all-in-flight manual (12 concurrent)", run_all_in_flight(),
+          (idx, xb4, q8))
+    bench("XLA gather+dot", xla_int8, (q8, jnp.asarray(x_np), idx))
+    if t_conv and t_nat:
+        print(f"\nw8a8 native-dot gain over convert-dot: "
+              f"{(t_conv/t_nat - 1)*100:.1f}% — the convert is not the "
+              f"bottleneck (DMA wall; see docstring)", flush=True)
+    # parity: native int8 dot == integer reference
+    out = run_auto(True)(idx, x8_col, q8)
+    want = np.stack([
+        q_np[int(idx[m])].astype(np.int32) @ x_np[m].astype(np.int32)
+        for m in range(M)])
+    got = np.asarray(out).swapaxes(0, 1).reshape(16, I)[:M]
+    assert np.allclose(got, want), "w8a8 parity"
+    print("parity ok", flush=True)
