@@ -38,6 +38,12 @@ Conclusions recorded in docs/PERF.md round 5:
      ceiling of this chip/toolchain. The next real lever is a toolchain
      change (or an XLA fix to the 12 GB/s gather), not kernel structure.
 
+Methodology note: per-call timing and IN-SCAN timing (ITERS chained
+inside one jit, the fp4_gemv_bench pattern — no per-dispatch cost in the
+measurement) AGREE here: in-scan dma-only 1.31 ms/iter (77 GB/s),
+convert-dot 1.36, native int8 dot 1.36 (+0.6%) — the wall is not
+dispatch overhead.
+
 Run: python scripts/expert_stream_study.py  (takes ~10 min; each probe
 is also preserved inline below, trimmed to the decisive variants).
 """
