@@ -27,16 +27,32 @@ structural variant tried:
   (full bf16 [E,I,D] at 2x the bytes runs ~the same wall time -> ~100-121
   GB/s bf16-bytes; nothing reaches the ~380-440 GB/s big-stream rate.)
 
+Root cause (pinned by the static-index and dense controls): the chip's
+high stream rates (300-600 GB/s, e.g. the dense decode weight scans)
+come from XLA's SCAN-XS PREFETCH — iteration k+1's weight loads overlap
+iteration k's compute. A single unpipelined read stream (pallas DMA,
+XLA dynamic-slice, XLA static-indexed dots, or a lone dense GEMM
+iterated over invariant weights) measures ~75 GB/s for int8 bytes and
+~110-170 GB/s for bf16 — per-iteration wall time ~1.2-1.3 ms at these
+sizes across EVERY form. Decode-MoE expert fetches cannot ride scan-xs
+prefetch structurally: the routing for layer L+1 depends on layer L's
+hidden state (data-dependent addresses), so there is nothing the
+compiler — or a hand kernel — can legally prefetch. The shared-expert
+and attention weights (static addresses) already ride the scan path.
+
 Conclusions recorded in docs/PERF.md round 5:
-  1. W8A8 (#7): the int8->bf16 convert costs ~3% — activation quant +
-     int8-dot numerics changes are not worth it. NOT LANDED, by measurement.
+  1. W8A8 (#7): the int8->bf16 convert costs ~3% per-call / 0.6% in-scan
+     — activation quant + int8-dot numerics changes are not worth it.
+     NOT LANDED, by measurement.
   2. exponent-fusion (#8): the SWAR decode premium over pure DMA is ~22%
      and the fusion form measured slower (extra VPU ops under a DMA wall);
      the 16-bit-carrier unpack alternative hits the known Mosaic
      16-bit-op compile failure ("Insertion of minor dim..."/hang class).
-  3. The fp4/int8 expert kernels are already ~at the gathered-stream DMA
-     ceiling of this chip/toolchain. The next real lever is a toolchain
-     change (or an XLA fix to the 12 GB/s gather), not kernel structure.
+  3. The fp4/int8 expert kernels are already ~at the unpipelined-stream
+     ceiling, and the route-dependence argument shows no kernel
+     restructure can lift it — only a routing change (e.g. the
+     reference's own hash-gate layers, whose routing is TOKEN-dependent
+     only and could prefetch one layer ahead) or a hardware/runtime fix.
 
 Methodology note: per-call timing and IN-SCAN timing (ITERS chained
 inside one jit, the fp4_gemv_bench pattern — no per-dispatch cost in the
