@@ -240,8 +240,14 @@ class JaxExecutor:
         self.decode_block = max(1, opts.decode_block)
         self.decode_block_max = max(self.decode_block,
                                     getattr(opts, 'decode_block_max', 0))
+        # depth 1 = no speculation (each block resolves before the next
+        # dispatch); 2 = one block in flight behind the resolve (default)
         self.decode_pipeline_depth = max(
-            2, getattr(opts, 'decode_pipeline_depth', 2))
+            1, getattr(opts, 'decode_pipeline_depth', 2))
+        if 0 < getattr(opts, 'decode_block_max', 0) < self.decode_block:
+            log.warning(
+                "decode_block_max=%d below decode_block=%d — clamped up",
+                opts.decode_block_max, self.decode_block)
         # chunk sizes must be page-size multiples (prefill_chunk_wa reshapes
         # its chunk into whole pages) — align whatever the CLI passed
         pc = max(self.rt.page_size, opts.prefill_chunk)

@@ -16,6 +16,7 @@ import logging
 import random
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -436,10 +437,8 @@ class Scheduler:
         finished in an earlier block are discarded (their KV is released
         with the request).
         """
-        from collections import deque
-
         ex = self.executor
-        depth = max(2, getattr(ex, "decode_pipeline_depth", 2))
+        depth = max(1, getattr(ex, "decode_pipeline_depth", 2))
         N = self._decode_block_size(steady=True)
         q: deque = deque()  # [(PendingDecode, n_tokens)]
         q.append((ex.execute_decode_async(
@@ -451,7 +450,7 @@ class Scheduler:
             # finished / non-steady: resolve what's in flight, discard rows
             # of finished requests (their KV is already released)
             while q:
-                blk, n = q.popleft()
+                blk, _ = q.popleft()
                 self._apply_decode_tokens(ex.resolve_pending_multi(blk))
 
         while True:

@@ -291,7 +291,8 @@ def _silu_mlp(h, gate, up, down):
 
 def _moe_dense(cfg: DSv2LiteConfig, lw, h, idx, wts):
     """All-experts dense compute + top-k mask combine (capacity-free; the
-    T×E GEMM form the MXU likes — no gathers). h: [T, D] → [T, D] f32."""
+    T×E GEMM form the MXU likes — no gathers). DECODE-SIZED T only: FLOPs
+    and the [T, E, I] intermediates scale with E. h: [T, D] → [T, D] f32."""
     hf = h.astype(jnp.float32)
     g = jnp.einsum("td,eid->tei", hf, lw["experts_w1"].astype(jnp.float32))
     u = jnp.einsum("td,eid->tei", hf, lw["experts_w3"].astype(jnp.float32))
@@ -303,16 +304,68 @@ def _moe_dense(cfg: DSv2LiteConfig, lw, h, idx, wts):
     return jnp.einsum("te,ted->td", w_full, y)
 
 
-def _moe(cfg: DSv2LiteConfig, lw, h, mesh=None):
+def _moe_grouped(cfg: DSv2LiteConfig, lw, h, idx, wts):
+    """Prefill-scale routed experts: expert-sorted token-slots + ragged
+    group GEMMs (the dsv4._moe T>=8 form — O(T·K·I·D) instead of the
+    dense O(T·E·I·D), no [T, E, I] intermediates)."""
+    T = h.shape[0]
+    K = cfg.num_experts_per_token
+    E = cfg.n_routed_experts
+    M = T * K
+    flat_e = idx.reshape(M)
+    flat_t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), K)
+    flat_w = wts.astype(jnp.float32).reshape(M)
+    order = jnp.argsort(flat_e)
+    src_t = flat_t[order]
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    dn = lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((1,), (2,)), ((), ())),
+        lhs_ragged_dimensions=[0],
+        rhs_group_dimensions=[0],
+    )
+    xs = h[src_t]  # [M, D] in expert order, native dtype
+    ge = lax.ragged_dot_general(xs, lw["experts_w1"], group_sizes, dn,
+                                preferred_element_type=jnp.float32)
+    ue = lax.ragged_dot_general(xs, lw["experts_w3"], group_sizes, dn,
+                                preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(ge) * ue).astype(h.dtype)
+    per = lax.ragged_dot_general(act, lw["experts_w2"], group_sizes, dn,
+                                 preferred_element_type=jnp.float32)
+    per = per * flat_w[order][:, None]
+    return jnp.zeros((T, h.shape[1]), jnp.float32).at[src_t].add(per)
+
+
+def _moe(cfg: DSv2LiteConfig, lw, h, mesh=None, transport: str = "dense"):
     idx, wts = _route(cfg, lw["gate_w"], h)
     shared = _silu_mlp(h, lw["shared_gate"], lw["shared_up"],
                        lw["shared_down"])
+    T = h.shape[0]
     if mesh is not None and "ep" in mesh.axis_names:
-        from pegainfer_tpu.ops.moe_ep import moe_ep
+        from pegainfer_tpu.ops import moe_ep as ep
 
-        routed = moe_ep(mesh, h, lw["experts_w1"], lw["experts_w2"],
-                        lw["experts_w3"], idx, wts, swiglu_limit=0.0,
-                        axis="ep")
+        if T >= 8:
+            # prefill scale: token shipping + grouped local GEMMs (the
+            # dsv4 EP prefill form — the gather-based moe_ep materializes
+            # per-(token, k) expert weights and is decode-sized only)
+            n = mesh.shape["ep"]
+            Tp = -(-T // n) * n
+            pad = Tp - T
+            routed = ep.moe_ep_a2a_chunked(
+                mesh,
+                jnp.pad(h.astype(jnp.float32), ((0, pad), (0, 0))),
+                lw["experts_w1"].astype(jnp.float32),
+                lw["experts_w2"].astype(jnp.float32),
+                lw["experts_w3"].astype(jnp.float32),
+                jnp.pad(idx, ((0, pad), (0, 0))),
+                jnp.pad(wts, ((0, pad), (0, 0))),
+                swiglu_limit=0.0, axis="ep", transport=transport,
+            )[:T]
+        else:
+            routed = ep.moe_ep(mesh, h, lw["experts_w1"], lw["experts_w2"],
+                               lw["experts_w3"], idx, wts, swiglu_limit=0.0,
+                               axis="ep")
+    elif T >= 8:
+        routed = _moe_grouped(cfg, lw, h, idx, wts)
     else:
         routed = _moe_dense(cfg, lw, h, idx, wts)
     return shared + routed
@@ -333,7 +386,8 @@ def _split_kv_b(cfg: DSv2LiteConfig, kv_b):
 
 
 def prefill(cfg: DSv2LiteConfig, params, state, tokens, seq_len, slot,
-            mesh=None, return_all_logits: bool = False):
+            mesh=None, return_all_logits: bool = False,
+            transport: str = "dense"):
     """tokens: [T] int32 (padded); seq_len: valid count; writes the slot's
     compressed-KV cache rows [0, T). Returns (state, last_logits [V] f32,
     all_logits | None)."""
@@ -376,13 +430,17 @@ def prefill(cfg: DSv2LiteConfig, params, state, tokens, seq_len, slot,
         else:
             mw = jax.tree.map(
                 lambda a: a[li - cfg.first_k_dense_replace], params["moe"])
-            y = _moe(cfg, mw, h2, mesh=mesh)
+            y = _moe(cfg, mw, h2, mesh=mesh, transport=transport)
         x = x + y.astype(x.dtype)
         ckv_rows.append(ckv.astype(state["ckv"].dtype))
         kr_rows.append(k_rope[:, 0].astype(state["kr"].dtype))
 
-    ckv_all = jnp.stack(ckv_rows)  # [L, T, r]
-    kr_all = jnp.stack(kr_rows)    # [L, T, dr]
+    # clamp to the cache length: the executor pads T to a pow2 bucket,
+    # which can exceed max_model_len for non-pow2 limits; rows past the
+    # cache are padding (admission bounds seq_len to max_model_len)
+    Tc = min(T, state["ckv"].shape[2])
+    ckv_all = jnp.stack(ckv_rows)[:, :Tc]  # [L, Tc, r]
+    kr_all = jnp.stack(kr_rows)[:, :Tc]    # [L, Tc, dr]
     ckv_st = lax.dynamic_update_slice(
         state["ckv"], ckv_all[:, None], (0, slot, 0, 0))
     kr_st = lax.dynamic_update_slice(
@@ -401,7 +459,7 @@ def prefill(cfg: DSv2LiteConfig, params, state, tokens, seq_len, slot,
 
 
 def decode(cfg: DSv2LiteConfig, params, state, tokens, positions, slots,
-           mesh=None):
+           mesh=None, transport: str = "dense"):
     """One greedy step for a padded batch. tokens/positions/slots: [B];
     padding rows: slots == dead slot (their cache writes land there).
     Returns (state, logits [B, V] f32)."""
@@ -455,23 +513,24 @@ def decode(cfg: DSv2LiteConfig, params, state, tokens, positions, slots,
         else:
             mw = jax.tree.map(
                 lambda a: a[li - cfg.first_k_dense_replace], params["moe"])
-            y = _moe(cfg, mw, h2, mesh=mesh)
+            y = _moe(cfg, mw, h2, mesh=mesh, transport=transport)
         x = x + y.astype(x.dtype)
         new_ckv.append(ckv_t)
         new_kr.append(kr_t)
 
-    # land this step's cache rows (per-row dus chain — in place)
+    # land this step's cache rows: one all-layers dus per batch row
+    # (2*B ops, not 2*B*L — the rows are already [L, ...] stacks)
     ckv_st, kr_st = state["ckv"], state["kr"]
+    ckv_new = jnp.stack(new_ckv)  # [L, B, r]
+    kr_new = jnp.stack(new_kr)    # [L, B, dr]
+    L = cfg.num_hidden_layers
     for b in range(B):
-        for li in range(cfg.num_hidden_layers):
-            ckv_st = lax.dynamic_update_slice(
-                ckv_st, new_ckv[li][b].astype(ckv_st.dtype)
-                .reshape(1, 1, 1, r),
-                (li, slots[b], positions[b], 0))
-            kr_st = lax.dynamic_update_slice(
-                kr_st, new_kr[li][b].astype(kr_st.dtype)
-                .reshape(1, 1, 1, dr),
-                (li, slots[b], positions[b], 0))
+        ckv_st = lax.dynamic_update_slice(
+            ckv_st, ckv_new[:, b].astype(ckv_st.dtype).reshape(L, 1, 1, r),
+            (0, slots[b], positions[b], 0))
+        kr_st = lax.dynamic_update_slice(
+            kr_st, kr_new[:, b].astype(kr_st.dtype).reshape(L, 1, 1, dr),
+            (0, slots[b], positions[b], 0))
     state = {"ckv": ckv_st, "kr": kr_st}
     x = rms_norm(x, params["final_ln"], cfg.rms_norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
@@ -507,8 +566,12 @@ def slot_import(state, snap, slot):
 
 
 def make_runtime(cfg: DSv2LiteConfig, params, max_model_len: int = 4096,
-                 max_slots: int = 2, state_dtype=jnp.float32, mesh=None):
+                 max_slots: int = 2, state_dtype=jnp.float32, mesh=None,
+                 transport: str = None):
     from pegainfer_tpu.engine.jax_executor import ModelRuntime
+
+    if transport is None:
+        transport = "ragged" if jax.default_backend() == "tpu" else "dense" 
 
     state = make_state(cfg, max_slots, max_model_len, dtype=state_dtype)
     if mesh is not None:
@@ -537,17 +600,18 @@ def make_runtime(cfg: DSv2LiteConfig, params, max_model_len: int = 4096,
 
     def prefill_fn(params_, state_, tokens, seq_len, page_table, slot):
         state_, last, _ = prefill(cfg, params_, state_, tokens, seq_len,
-                                  slot, mesh=mesh)
+                                  slot, mesh=mesh, transport=transport)
         return state_, last, None
 
     def prefill_all_fn(params_, state_, tokens, seq_len, page_table, slot):
         return prefill(cfg, params_, state_, tokens, seq_len, slot,
-                       mesh=mesh, return_all_logits=True)
+                       mesh=mesh, return_all_logits=True,
+                       transport=transport)
 
     def decode_fn(params_, state_, tokens, positions, tables, seq_lens,
                   slots):
         return decode(cfg, params_, state_, tokens, positions, slots,
-                      mesh=mesh)
+                      mesh=mesh, transport=transport)
 
     return ModelRuntime(
         prefill_fn=prefill_fn,

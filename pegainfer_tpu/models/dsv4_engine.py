@@ -163,6 +163,20 @@ def start_engine(
     # fp4_linear). quantize="bf16" dequantizes at load (numerics oracle).
     resident = opts.quantize != "bf16"
     tp = resolve_tp_size(tp_size, len(jax.devices()))
+    # int8-experts compatibility is knowable from opts alone — fail/warn
+    # BEFORE streaming a potentially ~0.7 TB checkpoint (ADVICE r4 +
+    # round-5 review: the guard used to run after the full load)
+    experts_fmt = os.environ.get("PEGAINFER_DSV4_EXPERTS", "")
+    if opts.quantize == "int8-experts":
+        experts_fmt = "int8"
+    if experts_fmt == "int8" and (not resident or tp > 1):
+        why = ("requires resident (non-bf16) weights" if not resident
+               else "not supported under a multichip mesh")
+        if opts.quantize == "int8-experts":
+            raise ValueError(f"quantize='int8-experts' {why}")
+        log.warning("PEGAINFER_DSV4_EXPERTS=int8 ignored: %s — serving %s",
+                    why, "fp8/fp4 resident" if resident else "bf16")
+        experts_fmt = ""
     mesh = None
     if tp > 1:
         # MP8 GSPMD mesh (reference: 8 persistent rank workers,
@@ -186,21 +200,6 @@ def start_engine(
     # fp4 to int8 per-output-channel at load — 2× the expert bytes but
     # streamed several× faster by the int8 Pallas kernels (the fp4 GEMV
     # is VPU-decode-bound; ops/pallas/fp4_gemm.py int8 section).
-    experts_fmt = os.environ.get("PEGAINFER_DSV4_EXPERTS", "")
-    if opts.quantize == "int8-experts":
-        experts_fmt = "int8"
-    if experts_fmt == "int8" and (not resident or mesh is not None):
-        # int8-experts needs resident quantized stacks and is single-chip
-        # only (the sharded loader commits per-rank fp4 leaves in place).
-        # An explicit opts.quantize request must not silently serve a
-        # different numerics class (ADVICE r4).
-        why = ("requires resident (non-bf16) weights" if not resident
-               else "not supported under a multichip mesh")
-        if opts.quantize == "int8-experts":
-            raise ValueError(f"quantize='int8-experts' {why}")
-        log.warning("PEGAINFER_DSV4_EXPERTS=int8 ignored: %s — serving %s",
-                    why, "fp8/fp4 resident" if resident else "bf16")
-        experts_fmt = ""
     if resident and experts_fmt == "int8" and mesh is None:
         import numpy as np
 

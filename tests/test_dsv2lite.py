@@ -197,3 +197,53 @@ def test_model_path_end_to_end(tmp_path, tiny):
     finally:
         mem.shutdown()
     assert disk == want
+
+
+def test_ep2_prefill_scale_tokens_match(tiny):
+    """A prompt long enough for the prefill-scale EP path (T >= 8 routes
+    through moe_ep_a2a_chunked token shipping, not the decode-sized
+    gather) produces the single-device tokens."""
+    hf, model, cfg, params = tiny
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(2, 128, 16).tolist()
+
+    def run(mesh):
+        runtime = v2l.make_runtime(cfg, params, max_model_len=64,
+                                   max_slots=2, mesh=mesh)
+        handle = start_scheduler(JaxExecutor(
+            runtime, EngineLoadOptions(precompile=False, max_batch_size=2)))
+        try:
+            req = GenerateRequest(prompt_tokens=prompt, max_tokens=6,
+                                  params=SamplingParams(ignore_eos=True))
+            handle.submit(req)
+            return [ev.id for ev in req.channel if isinstance(ev, Token)]
+        finally:
+            handle.shutdown()
+
+    want = run(None)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("ep",))
+    got = run(mesh)
+    assert got == want
+
+
+def test_non_pow2_max_model_len(tiny):
+    """The executor pads prompts to pow2 buckets, which can exceed a
+    non-pow2 max_model_len; the prefill cache write must clamp instead of
+    crashing (round-5 review finding)."""
+    hf, model, cfg, params = tiny
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(2, 128, 40).tolist()  # pads to 64 > 50
+
+    runtime = v2l.make_runtime(cfg, params, max_model_len=50, max_slots=2)
+    handle = start_scheduler(JaxExecutor(
+        runtime, EngineLoadOptions(precompile=False, max_batch_size=2)))
+    try:
+        req = GenerateRequest(prompt_tokens=prompt, max_tokens=5,
+                              params=SamplingParams(ignore_eos=True))
+        handle.submit(req)
+        toks = [ev.id for ev in req.channel if isinstance(ev, Token)]
+        assert len(toks) == 5
+    finally:
+        handle.shutdown()
