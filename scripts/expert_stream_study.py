@@ -27,18 +27,20 @@ structural variant tried:
   (full bf16 [E,I,D] at 2x the bytes runs ~the same wall time -> ~100-121
   GB/s bf16-bytes; nothing reaches the ~380-440 GB/s big-stream rate.)
 
-Root cause (pinned by the static-index and dense controls): the chip's
-high stream rates (300-600 GB/s, e.g. the dense decode weight scans)
-come from XLA's SCAN-XS PREFETCH — iteration k+1's weight loads overlap
-iteration k's compute. A single unpipelined read stream (pallas DMA,
-XLA dynamic-slice, XLA static-indexed dots, or a lone dense GEMM
-iterated over invariant weights) measures ~75 GB/s for int8 bytes and
-~110-170 GB/s for bf16 — per-iteration wall time ~1.2-1.3 ms at these
-sizes across EVERY form. Decode-MoE expert fetches cannot ride scan-xs
-prefetch structurally: the routing for layer L+1 depends on layer L's
-hidden state (data-dependent addresses), so there is nothing the
-compiler — or a hand kernel — can legally prefetch. The shared-expert
-and attention weights (static addresses) already ride the scan path.
+CORRECTED root cause (the decisive control came last): ONE pallas call
+fetching 1.3 GB of gathered int8 expert blocks streams at **437 GB/s**
+(bf16: 392) — there is NO dtype or gather DMA wall. Every smaller probe
+(~100-300 MB/call) was dominated by FIXED per-call costs: ~1.3-1.8 ms
+per standalone jit dispatch, ~14 us per grid program, and ~1 ms of
+residual per-iteration cost in scanned microbenches whose origin is not
+fully attributed (phase/latency bubbles + per-invocation overhead; the
+real engine's in-situ layers do better than the microbench floor, so
+part of it is harness-specific). A fused one-call w1+w3+swiglu+w2 chain
+kernel (parity-exact prototype, this study's /tmp lineage) measured only
+1.05-1.11x over the production 3-call chain at layer scale — call count
+is not the lever either at these sizes. paged_decode sustains 240-291
+GB/s in BOTH independent and data-dependent layer chains (verified),
+consistent with the no-wall picture.
 
 Conclusions recorded in docs/PERF.md round 5:
   1. W8A8 (#7): the int8->bf16 convert costs ~3% per-call / 0.6% in-scan
@@ -48,11 +50,12 @@ Conclusions recorded in docs/PERF.md round 5:
      and the fusion form measured slower (extra VPU ops under a DMA wall);
      the 16-bit-carrier unpack alternative hits the known Mosaic
      16-bit-op compile failure ("Insertion of minor dim..."/hang class).
-  3. The fp4/int8 expert kernels are already ~at the unpipelined-stream
-     ceiling, and the route-dependence argument shows no kernel
-     restructure can lift it — only a routing change (e.g. the
-     reference's own hash-gate layers, whose routing is TOKEN-dependent
-     only and could prefetch one layer ahead) or a hardware/runtime fix.
+  3. The decode-MoE chain at flagship layer scale (~300 MB/layer) sits
+     within ~10% of its measured in-situ floor across every structural
+     variant tried (3-call vs fused-1-call, block/grid/buffering/layout/
+     transport); the remaining headroom vs the 437 GB/s big-transfer
+     rate is fixed per-call/iteration overhead whose exact origin is
+     unresolved — recorded honestly rather than attributed.
 
 Methodology note: per-call timing and IN-SCAN timing (ITERS chained
 inside one jit, the fp4_gemv_bench pattern — no per-dispatch cost in the
