@@ -682,17 +682,30 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
             from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
 
             interp = modes.fp4_kernel == "interpret"
+            w1c = lw["experts_w1"]
+            w3c = lw["experts_w3"]
+            w2c = lw["experts_w2"]
+            if (pfp4.int8_chain_supported(w1c, w2c, int(flat_e.shape[0]))
+                    and os.environ.get("PEGAINFER_DSV4_CHAIN", "1") != "0"):
+                # fused whole-chain kernel: ONE pallas call per layer
+                # (w1 ‖ w3 → scales → clamped SwiGLU → w2 → scales)
+                # instead of three + the XLA swiglu (round-5 study)
+                per = pfp4.moe_int8_chain(
+                    xs, w1c["q"], w3c["q"], w2c["q"],
+                    w1c["s"], w3c["s"], w2c["s"], flat_e,
+                    limit=cfg.swiglu_limit, interpret=interp,
+                    layer=w1c.get("layer"))
+            else:
+                def gemv8(xrows, w):
+                    y = pfp4.moe_int8_gemv(
+                        xrows, w["q"], flat_e, interpret=interp,
+                        layer=w.get("layer"))
+                    return y * _int8_srows(w, flat_e)
 
-            def gemv8(xrows, w):
-                y = pfp4.moe_int8_gemv(
-                    xrows, w["q"], flat_e, interpret=interp,
-                    layer=w.get("layer"))
-                return y * _int8_srows(w, flat_e)
-
-            ge = gemv8(xs, lw["experts_w1"])
-            ue = gemv8(xs, lw["experts_w3"])
-            act = swiglu(ge, ue)  # [M, I] f32
-            per = gemv8(act, lw["experts_w2"])
+                ge = gemv8(xs, lw["experts_w1"])
+                ue = gemv8(xs, lw["experts_w3"])
+                act = swiglu(ge, ue)  # [M, I] f32
+                per = gemv8(act, lw["experts_w2"])
         elif modes.fp4_kernel and _fp4_kernel_ok(lw):
             # fused dequant-GEMV: weight bytes stream as packed fp4
             from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4

@@ -687,6 +687,176 @@ def moe_int8_grouped(
     return out
 
 
+def _int8_chain_kernel(idx_ref, l_ref, x_ref, s1_ref, s3_ref, s2_ref,
+                       w1_hbm, w3_hbm, w2_hbm, o_ref,
+                       b1, b3, b2, act_buf, sem1, sem3, sem2,
+                       *, Mp: int, TI: int, TD: int, limit: float,
+                       stacked: bool):
+    """Whole routed decode-MoE chain (w1 ‖ w3 → scale → clamped SwiGLU →
+    w2 → scale) for all M gathered rows in ONE program: one pallas call
+    per layer instead of three, double-buffered int8 weight DMA
+    throughout, with the next row's w1/w3 fetch chained behind the last
+    w2 tile (round-5 expert-stream study: the big-transfer DMA rate is
+    ~437 GB/s — the chain's job is to keep one continuous copy stream)."""
+    li = l_ref[0]
+    IN1 = w1_hbm.shape[-1]   # D
+    IN2 = w2_hbm.shape[-1]   # I
+    GI = w1_hbm.shape[-2] // TI
+    GD = w2_hbm.shape[-2] // TD
+
+    def at(hbm, m, t, TO):
+        if stacked:
+            return hbm.at[li, idx_ref[m], pl.ds(t * TO, TO), :]
+        return hbm.at[idx_ref[m], pl.ds(t * TO, TO), :]
+
+    def cp1(m, t, slot):
+        return pltpu.make_async_copy(at(w1_hbm, m, t, TI), b1.at[slot],
+                                     sem1.at[slot])
+
+    def cp3(m, t, slot):
+        return pltpu.make_async_copy(at(w3_hbm, m, t, TI), b3.at[slot],
+                                     sem3.at[slot])
+
+    def cp2(m, t, slot):
+        return pltpu.make_async_copy(at(w2_hbm, m, t, TD), b2.at[slot],
+                                     sem2.at[slot])
+
+    # buffer parity rides a GLOBAL tile counter (m*GI + t) so the
+    # next-row prefetch always lands where that row's first wait looks —
+    # per-row `t % 2` breaks when GI is odd (the prefetch slot collides)
+    cp1(0, 0, 0).start()
+    cp3(0, 0, 0).start()
+    for m in range(Mp):
+        xm = x_ref[0, m]  # [D, 1] bf16
+        for t in range(GI):
+            slot = (m * GI + t) % 2
+            if t + 1 < GI:
+                cp1(m, t + 1, 1 - slot).start()
+                cp3(m, t + 1, 1 - slot).start()
+            elif m + 1 < Mp:
+                cp1(m + 1, 0, 1 - slot).start()
+                cp3(m + 1, 0, 1 - slot).start()
+            cp1(m, t, slot).wait()
+            cp3(m, t, slot).wait()
+            g = jax.lax.dot_general(
+                b1[slot].astype(jnp.bfloat16), xm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0]
+            u = jax.lax.dot_general(
+                b3[slot].astype(jnp.bfloat16), xm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0]
+            g = g * s1_ref[0, m, pl.ds(t * TI, TI)]
+            u = u * s3_ref[0, m, pl.ds(t * TI, TI)]
+            if limit > 0:
+                g = jnp.minimum(g, limit)
+                u = jnp.clip(u, -limit, limit)
+            act_buf[pl.ds(t * TI, TI), 0] = (
+                jax.nn.sigmoid(g) * g * u).astype(jnp.bfloat16)
+        cp2(m, 0, 0).start()
+        for t in range(GD):
+            slot = t % 2
+            if t + 1 < GD:
+                cp2(m, t + 1, 1 - slot).start()
+            cp2(m, t, slot).wait()
+            y = jax.lax.dot_general(
+                b2[slot].astype(jnp.bfloat16), act_buf[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0]
+            o_ref[0, m, pl.ds(t * TD, TD)] = (
+                y * s2_ref[0, m, pl.ds(t * TD, TD)])
+
+
+def int8_chain_supported(w1, w2, M: int, in_tile: int = 256,
+                         out_tile: int = 256) -> bool:
+    """Shape gate for the fused chain: int8 stacks with VMEM-aligned tiles
+    and a small (decode-sized) M — the per-row weight stream is
+    M·(2·I·D + D·I) bytes, so chain fusion only makes sense where the
+    3-call form's per-call costs matter (T·K ≤ ~16)."""
+    if w1["q"].dtype != jnp.int8 or w2["q"].dtype != jnp.int8:
+        return False
+    I, D = w1["q"].shape[-2:]
+    D2, I2 = w2["q"].shape[-2:]
+    if (D, I) != (D2, I2):
+        return False
+    return (M <= 16 and I % min(in_tile, I) == 0 and D % 128 == 0
+            and D % min(out_tile, D) == 0 and I % 128 == 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("limit", "in_tile", "out_tile",
+                                    "interpret"))
+def moe_int8_chain(
+    x: jax.Array,     # [M, D] f32/bf16 activations
+    w1: jax.Array,    # [E, I, D] int8 (or [L, E, I, D])
+    w3: jax.Array,
+    w2: jax.Array,    # [E, D, I] int8 (or [L, E, D, I])
+    s1: jax.Array,    # [E, I] f32 per-output-channel scales (or [L, ...])
+    s3: jax.Array,
+    s2: jax.Array,    # [E, D] f32
+    idx: jax.Array,   # [M] int32 expert per row
+    limit: float = 7.0,
+    in_tile: int = 256,
+    out_tile: int = 256,
+    interpret: bool = False,
+    layer: jax.Array = None,  # REQUIRED for the stacked [L, ...] form
+) -> jax.Array:
+    """Fused routed-expert chain: y[m] = swiglu((x@w1ᵀ)·s1, (x@w3ᵀ)·s3)
+    @ w2ᵀ · s2, per gathered expert idx[m] — [M, D] f32, scales applied
+    in-kernel. One pallas call per layer replaces the three moe_int8_gemv
+    calls (+ the XLA swiglu between them)."""
+    M, D = x.shape
+    stacked = w1.ndim == 4
+    I = w1.shape[-2]
+    assert D == w1.shape[-1] and w2.shape[-2:] == (D, I), (
+        x.shape, w1.shape, w2.shape)
+    assert stacked == (layer is not None)
+    TI = min(in_tile, I)
+    TD = min(out_tile, D)
+    li = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
+          else jnp.zeros((1,), jnp.int32))
+    # per-row scale gathers ([M, I]/[M, D] f32 — tiny at decode M)
+    if stacked:
+        s1g = s1[li[0], idx]
+        s3g = s3[li[0], idx]
+        s2g = s2[li[0], idx]
+    else:
+        s1g = s1[idx]
+        s3g = s3[idx]
+        s2g = s2[idx]
+    xb = x.astype(jnp.bfloat16)[None, :, :, None]  # [1, M, D, 1]
+
+    out = pl.pallas_call(
+        functools.partial(_int8_chain_kernel, Mp=M, TI=TI, TD=TD,
+                          limit=limit, stacked=stacked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # idx, layer
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((1, M, D, 1), lambda g, *_: (0, 0, 0, 0)),
+                pl.BlockSpec((1, M, I), lambda g, *_: (0, 0, 0)),
+                pl.BlockSpec((1, M, I), lambda g, *_: (0, 0, 0)),
+                pl.BlockSpec((1, M, D), lambda g, *_: (0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, M, D), lambda g, *_: (0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, TI, D), jnp.int8),
+                pltpu.VMEM((2, TI, D), jnp.int8),
+                pltpu.VMEM((2, TD, I), jnp.int8),
+                pltpu.VMEM((I, 1), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, M, D), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), li, xb, s1g[None], s3g[None], s2g[None],
+      w1, w3, w2)
+    return out[0]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("out_tile", "interpret", "decode"))
 def moe_fp4_gemv(

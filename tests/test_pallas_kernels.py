@@ -576,3 +576,49 @@ def test_stacked_kernel_forms_match_sliced():
         b = fp8_gemv(x, q3, s3, interpret=True, layer=jnp.int32(li))
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_moe_int8_chain_matches_three_calls():
+    """Fused w1+w3+swiglu+w2 chain kernel == the 3-GEMV + XLA-swiglu
+    reference math, both stacked and unstacked (interpret mode)."""
+    import numpy as np
+    from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+    E, I, D, M, L = 4, 256, 512, 6, 2
+    rng = np.random.default_rng(0)
+    w1 = jnp.asarray(rng.integers(-127, 128, (L, E, I, D), dtype=np.int8))
+    w3 = jnp.asarray(rng.integers(-127, 128, (L, E, I, D), dtype=np.int8))
+    w2 = jnp.asarray(rng.integers(-127, 128, (L, E, D, I), dtype=np.int8))
+    s1 = jnp.asarray(rng.uniform(0.001, 0.02, (L, E, I)).astype(np.float32))
+    s3 = jnp.asarray(rng.uniform(0.001, 0.02, (L, E, I)).astype(np.float32))
+    s2 = jnp.asarray(rng.uniform(0.001, 0.02, (L, E, D)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, E, M), jnp.int32)
+    LIMIT = 7.0
+
+    def ref(li):
+        xb = np.asarray(x.astype(jnp.bfloat16), np.float32)
+        y = np.zeros((M, D), np.float32)
+        for m in range(M):
+            e = int(idx[m])
+            g = (np.asarray(w1[li, e], np.float32) @ xb[m]) * np.asarray(s1[li, e])
+            u = (np.asarray(w3[li, e], np.float32) @ xb[m]) * np.asarray(s3[li, e])
+            g = np.minimum(g, LIMIT)
+            u = np.clip(u, -LIMIT, LIMIT)
+            act = np.asarray(jnp.asarray(
+                (1 / (1 + np.exp(-g))) * g * u, jnp.bfloat16), np.float32)
+            y[m] = (np.asarray(w2[li, e], np.float32) @ act) * np.asarray(s2[li, e])
+        return y
+
+    assert pfp4.int8_chain_supported({"q": w1}, {"q": w2}, M)
+    for li in range(L):
+        out = pfp4.moe_int8_chain(
+            x, w1, w3, w2, s1, s3, s2, idx, limit=LIMIT, interpret=True,
+            layer=jnp.int32(li))
+        np.testing.assert_allclose(np.asarray(out), ref(li),
+                                   rtol=2e-2, atol=2e-2)
+    # unstacked form
+    out = pfp4.moe_int8_chain(
+        x, w1[0], w3[0], w2[0], s1[0], s3[0], s2[0], idx, limit=LIMIT,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref(0), rtol=2e-2, atol=2e-2)
