@@ -711,16 +711,33 @@ def _moe(cfg: DSv4Config, lw, layer_idx: int, x, token_ids,
             from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
 
             interp = modes.fp4_kernel == "interpret"
+            w1c = lw["experts_w1"]
+            w3c = lw["experts_w3"]
+            w2c = lw["experts_w2"]
+            if (pfp4.fp4_chain_supported(w1c, w2c, int(flat_e.shape[0]))
+                    and os.environ.get("PEGAINFER_DSV4_CHAIN", "") == "1"):
+                # fused whole-chain kernel (packed end to end, in-kernel
+                # activation parity split). OPT-IN for fp4: measured 5.61
+                # vs 5.27 ms at the scaled config — the per-tile dequant
+                # work (SWAR + scale expansion + parity split) outweighs
+                # the saved call overheads, unlike the int8 chain whose
+                # per-tile work is one convert (docs/PERF.md round 5).
+                # p95/delivery improve (6.23 vs 8.10), hence kept opt-in.
+                per = pfp4.moe_fp4_chain(
+                    xs, w1c["q"], w1c["s"], w3c["q"], w3c["s"],
+                    w2c["q"], w2c["s"], flat_e,
+                    limit=cfg.swiglu_limit, interpret=interp,
+                    layer=w1c.get("layer"))
+            else:
+                def gemv(xrows, w):
+                    return pfp4.moe_fp4_gemv(
+                        xrows, w["q"], w["s"], flat_e, interpret=interp,
+                        layer=w.get("layer"))
 
-            def gemv(xrows, w):
-                return pfp4.moe_fp4_gemv(
-                    xrows, w["q"], w["s"], flat_e, interpret=interp,
-                    layer=w.get("layer"))
-
-            ge = gemv(xs, lw["experts_w1"])
-            ue = gemv(xs, lw["experts_w3"])
-            act = swiglu(ge, ue)  # [M, I] f32
-            per = gemv(act, lw["experts_w2"])
+                ge = gemv(xs, lw["experts_w1"])
+                ue = gemv(xs, lw["experts_w3"])
+                act = swiglu(ge, ue)  # [M, I] f32
+                per = gemv(act, lw["experts_w2"])
         elif (quant.is_quantized(lw["experts_w1"])
               and lw["experts_w1"]["q"].dtype == jnp.int8):
             # int8 XLA fallback: gather the int8 rows (exact in bf16 —

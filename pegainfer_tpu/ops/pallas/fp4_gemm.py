@@ -857,6 +857,242 @@ def moe_int8_chain(
     return out[0]
 
 
+def _fp4_chain_kernel(idx_ref, l_ref, xlo_ref, xhi_ref,
+                      w1_hbm, s1_hbm, w3_hbm, s3_hbm, w2_hbm, s2_hbm,
+                      o_ref, b1, bs1, b3, bs3, b2, bs2, act_buf,
+                      sem1, sem3, sem2,
+                      *, Mp: int, TI: int, TD: int, rep: int, limit: float,
+                      stacked: bool, S1: int, S2: int):
+    """Packed-fp4 analog of the int8 chain: SWAR E2M1 decode + group-scale
+    expansion per weight tile, clamped SwiGLU between, the activation
+    de-interleaved IN-KERNEL by parity-split one-hot matmuls (exact 0/1
+    selection — the lane-shuffle-free construction, same trick as the
+    scale expansion)."""
+    li = l_ref[0]
+    D2 = w1_hbm.shape[-1]          # packed input bytes for w1/w3
+    I2 = w2_hbm.shape[-1]          # packed input bytes for w2 (= I//2)
+    I = w1_hbm.shape[-2]
+    GI = I // TI
+    GD = w2_hbm.shape[-2] // TD
+
+    def at(hbm, m, t, TO):
+        if stacked:
+            return hbm.at[li, idx_ref[m], pl.ds(t * TO, TO), :]
+        return hbm.at[idx_ref[m], pl.ds(t * TO, TO), :]
+
+    def cp1(m, t, slot):
+        return (pltpu.make_async_copy(at(w1_hbm, m, t, TI), b1.at[slot],
+                                      sem1.at[0, slot]),
+                pltpu.make_async_copy(at(s1_hbm, m, t, TI), bs1.at[slot],
+                                      sem1.at[1, slot]))
+
+    def cp3(m, t, slot):
+        return (pltpu.make_async_copy(at(w3_hbm, m, t, TI), b3.at[slot],
+                                      sem3.at[0, slot]),
+                pltpu.make_async_copy(at(s3_hbm, m, t, TI), bs3.at[slot],
+                                      sem3.at[1, slot]))
+
+    def cp2(m, t, slot):
+        return (pltpu.make_async_copy(at(w2_hbm, m, t, TD), b2.at[slot],
+                                      sem2.at[0, slot]),
+                pltpu.make_async_copy(at(s2_hbm, m, t, TD), bs2.at[slot],
+                                      sem2.at[1, slot]))
+
+    def start(cps):
+        for c in cps:
+            c.start()
+
+    def wait(cps):
+        for c in cps:
+            c.wait()
+
+    def dequant_w(wbuf, sbuf, IN2, S):
+        qb = wbuf[...].astype(jnp.int32)
+        sb = sbuf[...][:, :S]  # [TO, S] bf16 (lane-padded buffer sliced)
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (S, IN2), 0)
+        j_grp = jax.lax.broadcasted_iota(jnp.int32, (S, IN2), 1) // rep
+        expand = (g_ids == j_grp).astype(jnp.bfloat16)
+        srep = jax.lax.dot_general(
+            sb, expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lo, hi = _decode_pair_swar(qb)
+        return ((lo * srep).astype(jnp.bfloat16),
+                (hi * srep).astype(jnp.bfloat16))
+
+    def dequant_dot(wbuf, sbuf, xlo, xhi, TO, IN2, S):
+        # x as [IN2, 1] columns (built on host — no in-kernel minor-dim
+        # insertion, which Mosaic only supports for 32-bit types)
+        w_lo, w_hi = dequant_w(wbuf, sbuf, IN2, S)
+        return (jax.lax.dot_general(
+            w_lo, xlo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                w_hi, xhi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))[:, 0]
+
+    def dequant_dot_row(wbuf, sbuf, xlo_row, xhi_row, TO, IN2, S):
+        # x as [1, IN2] rows (the in-kernel de-interleaved activation —
+        # row-vector dot avoids reshaping a 16-bit vector to [IN2, 1])
+        w_lo, w_hi = dequant_w(wbuf, sbuf, IN2, S)
+        return (jax.lax.dot_general(
+            xlo_row, w_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                xhi_row, w_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))[0]
+
+    start(cp1(0, 0, 0))
+    start(cp3(0, 0, 0))
+    for m in range(Mp):
+        xlo = xlo_ref[0, m]  # [D2, 1] bf16
+        xhi = xhi_ref[0, m]
+        for t in range(GI):
+            slot = (m * GI + t) % 2
+            if t + 1 < GI:
+                start(cp1(m, t + 1, 1 - slot))
+                start(cp3(m, t + 1, 1 - slot))
+            elif m + 1 < Mp:
+                start(cp1(m + 1, 0, 1 - slot))
+                start(cp3(m + 1, 0, 1 - slot))
+            wait(cp1(m, t, slot))
+            wait(cp3(m, t, slot))
+            g = dequant_dot(b1[slot], bs1[slot], xlo, xhi, TI, D2, S1)
+            u = dequant_dot(b3[slot], bs3[slot], xlo, xhi, TI, D2, S1)
+            if limit > 0:
+                g = jnp.minimum(g, limit)
+                u = jnp.clip(u, -limit, limit)
+            act_buf[0, pl.ds(t * TI, TI)] = (
+                jax.nn.sigmoid(g) * g * u).astype(jnp.bfloat16)
+        # de-interleave act by parity (packed byte k of w2 holds input
+        # elements 2k / 2k+1): one-hot selection matmuls, exact
+        cols = jax.lax.broadcasted_iota(jnp.int32, (I, I2), 0)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (I, I2), 1)
+        even = (cols == rows2 * 2).astype(jnp.bfloat16)
+        odd = (cols == rows2 * 2 + 1).astype(jnp.bfloat16)
+        a = act_buf[...]  # [1, I] bf16
+        act_lo = jax.lax.dot_general(
+            a, even, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        act_hi = jax.lax.dot_general(
+            a, odd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        start(cp2(m, 0, 0))
+        for t in range(GD):
+            slot = t % 2
+            if t + 1 < GD:
+                start(cp2(m, t + 1, 1 - slot))
+            wait(cp2(m, t, slot))
+            y = dequant_dot_row(b2[slot], bs2[slot], act_lo, act_hi,
+                                TD, I2, S2)
+            o_ref[0, m, pl.ds(t * TD, TD)] = y
+
+
+def fp4_chain_supported(w1, w2, M: int, in_tile: int = 256,
+                        out_tile: int = 256) -> bool:
+    """Shape gate for the fused packed-fp4 chain (decode-sized M)."""
+    if w1["q"].dtype != jnp.uint8 or w2["q"].dtype != jnp.uint8:
+        return False
+    I, D2 = w1["q"].shape[-2:]
+    D, I2 = w2["q"].shape[-2:]
+    if D != 2 * D2 or I != 2 * I2:
+        return False
+    s1, s2 = w1["s"], w2["s"]
+    if s1.shape[-1] == 0 or s2.shape[-1] == 0:
+        return False
+    return (M <= 16 and I % min(in_tile, I) == 0 and D2 % 128 == 0
+            and D % min(out_tile, D) == 0 and I2 % 128 == 0
+            and D2 % s1.shape[-1] == 0 and I2 % s2.shape[-1] == 0
+            and D2 // s1.shape[-1] == I2 // s2.shape[-1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("limit", "in_tile", "out_tile",
+                                    "interpret"))
+def moe_fp4_chain(
+    x: jax.Array,     # [M, D] f32/bf16 activations
+    w1: jax.Array,    # [E, I, D//2] uint8 packed (or [L, E, ...])
+    s1: jax.Array,    # [E, I, S] bf16 group scales (or [L, ...])
+    w3: jax.Array,
+    s3: jax.Array,
+    w2: jax.Array,    # [E, D, I//2] uint8 packed
+    s2: jax.Array,    # [E, D, S2] bf16
+    idx: jax.Array,   # [M] int32 expert per row
+    limit: float = 7.0,
+    in_tile: int = 256,
+    out_tile: int = 256,
+    interpret: bool = False,
+    layer: jax.Array = None,
+) -> jax.Array:
+    """Fused packed-fp4 routed chain (checkpoint-exact resident mode):
+    one pallas call per layer replaces the three moe_fp4_gemv calls.
+    Weight traffic stays 4-bit packed end to end."""
+    M, D = x.shape
+    stacked = w1.ndim == 4
+    I = w1.shape[-2]
+    assert w1.shape[-1] == D // 2 and w2.shape[-2:] == (D, I // 2), (
+        x.shape, w1.shape, w2.shape)
+    assert stacked == (layer is not None)
+    TI = min(in_tile, I)
+    TD = min(out_tile, D)
+    S1 = s1.shape[-1]
+    S2 = s2.shape[-1]
+    rep = (D // 2) // S1
+    assert (I // 2) // S2 == rep, (s1.shape, s2.shape)
+    li = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
+          else jnp.zeros((1,), jnp.int32))
+
+    # lane-pad scales: manual DMA slices need a 128-aligned minor dim
+    # (same constraint + fix as moe_fp4_grouped)
+    def lane_pad(sv):
+        Sp = max(sv.shape[-1], 128)
+        if Sp != sv.shape[-1]:
+            sv = jnp.pad(sv.astype(jnp.bfloat16),
+                         [(0, 0)] * (sv.ndim - 1) + [(0, Sp - sv.shape[-1])])
+        return sv
+
+    s1 = lane_pad(s1)
+    s3 = lane_pad(s3)
+    s2 = lane_pad(s2)
+    xb = x.astype(jnp.bfloat16)
+    xlo = xb[:, 0::2][None, :, :, None]  # [1, M, D//2, 1]
+    xhi = xb[:, 1::2][None, :, :, None]
+
+    out = pl.pallas_call(
+        functools.partial(_fp4_chain_kernel, Mp=M, TI=TI, TD=TD, rep=rep,
+                          limit=limit, stacked=stacked, S1=S1, S2=S2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # idx, layer
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((1, M, D // 2, 1), lambda g, *_: (0, 0, 0, 0)),
+                pl.BlockSpec((1, M, D // 2, 1), lambda g, *_: (0, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, M, D), lambda g, *_: (0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, TI, D // 2), jnp.uint8),
+                pltpu.VMEM((2, TI, s1.shape[-1]), s1.dtype),
+                pltpu.VMEM((2, TI, D // 2), jnp.uint8),
+                pltpu.VMEM((2, TI, s3.shape[-1]), s3.dtype),
+                pltpu.VMEM((2, TD, I // 2), jnp.uint8),
+                pltpu.VMEM((2, TD, s2.shape[-1]), s2.dtype),
+                pltpu.VMEM((1, I), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, M, D), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), li, xlo, xhi, w1, s1, w3, s3, w2, s2)
+    return out[0]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("out_tile", "interpret", "decode"))
 def moe_fp4_gemv(

@@ -622,3 +622,51 @@ def test_moe_int8_chain_matches_three_calls():
         x, w1[0], w3[0], w2[0], s1[0], s3[0], s2[0], idx, limit=LIMIT,
         interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref(0), rtol=2e-2, atol=2e-2)
+
+
+def test_moe_fp4_chain_matches_three_calls():
+    """Fused packed-fp4 chain (SWAR decode + in-kernel activation parity
+    split) == the 3-GEMV + XLA-swiglu path, stacked + unstacked."""
+    import numpy as np
+    from pegainfer_tpu.ops import quant
+    from pegainfer_tpu.ops.pallas import fp4_gemm as pfp4
+
+    E, I, D, M, L = 4, 256, 512, 6, 2
+    rng = np.random.default_rng(2)
+
+    def stack(out_d, in_d):
+        w = rng.standard_normal((L, E, out_d, in_d)).astype(np.float32) * 0.1
+        per = [quant.quantize_fp4_stack(jnp.asarray(w[li])) for li in range(L)]
+        return {"q": jnp.stack([p_["q"] for p_ in per]),
+                "s": jnp.stack([p_["s"] for p_ in per])}
+
+    w1 = stack(I, D)
+    w3 = stack(I, D)
+    w2 = stack(D, I)
+    x = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, E, M), jnp.int32)
+    LIMIT = 7.0
+
+    def ref(li):
+        def gemv(xrows, w):
+            return pfp4.moe_fp4_gemv(
+                xrows, w["q"][li], w["s"][li], idx, interpret=True)
+        ge = gemv(x, w1)
+        ue = gemv(x, w3)
+        g = jnp.minimum(ge, LIMIT)
+        u = jnp.clip(ue, -LIMIT, LIMIT)
+        act = jax.nn.sigmoid(g) * g * u
+        return np.asarray(gemv(act, w2))
+
+    assert pfp4.fp4_chain_supported(
+        {"q": w1["q"], "s": w1["s"]}, {"q": w2["q"], "s": w2["s"]}, M)
+    for li in range(L):
+        out = pfp4.moe_fp4_chain(
+            x, w1["q"], w1["s"], w3["q"], w3["s"], w2["q"], w2["s"], idx,
+            limit=LIMIT, interpret=True, layer=jnp.int32(li))
+        np.testing.assert_allclose(np.asarray(out), ref(li),
+                                   rtol=2e-2, atol=2e-2)
+    out = pfp4.moe_fp4_chain(
+        x, w1["q"][0], w1["s"][0], w3["q"][0], w3["s"][0], w2["q"][0],
+        w2["s"][0], idx, limit=LIMIT, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref(0), rtol=2e-2, atol=2e-2)
