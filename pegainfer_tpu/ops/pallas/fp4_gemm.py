@@ -862,12 +862,15 @@ def _fp4_chain_kernel(idx_ref, l_ref, xlo_ref, xhi_ref,
                       o_ref, b1, bs1, b3, bs3, b2, bs2, act_buf,
                       sem1, sem3, sem2,
                       *, Mp: int, TI: int, TD: int, rep: int, limit: float,
-                      stacked: bool, S1: int, S2: int):
+                      stacked: bool, S1: int, S2: int, perm13: bool):
     """Packed-fp4 analog of the int8 chain: SWAR E2M1 decode + group-scale
     expansion per weight tile, clamped SwiGLU between, the activation
     de-interleaved IN-KERNEL by parity-split one-hot matmuls (exact 0/1
     selection — the lane-shuffle-free construction, same trick as the
-    scale expansion)."""
+    scale expansion). With ``perm13`` the caller pre-permuted w1/w3 (and
+    s1/s3) output rows to evens-then-odds order, so the SwiGLU buffer
+    lands already parity-split and the per-row de-interleave matmuls
+    vanish — act_lo/act_hi are lane-aligned half slices."""
     li = l_ref[0]
     D2 = w1_hbm.shape[-1]          # packed input bytes for w1/w3
     I2 = w2_hbm.shape[-1]          # packed input bytes for w2 (= I//2)
@@ -906,12 +909,20 @@ def _fp4_chain_kernel(idx_ref, l_ref, xlo_ref, xhi_ref,
         for c in cps:
             c.wait()
 
-    def dequant_w(wbuf, sbuf, IN2, S):
-        qb = wbuf[...].astype(jnp.int32)
-        sb = sbuf[...][:, :S]  # [TO, S] bf16 (lane-padded buffer sliced)
+    def make_expand(IN2, S):
+        # constant one-hot group-scale expansion mask — built ONCE per
+        # shape (hoisted out of the m/t loops; the srep matmul per tile
+        # still depends on the streamed scales)
         g_ids = jax.lax.broadcasted_iota(jnp.int32, (S, IN2), 0)
         j_grp = jax.lax.broadcasted_iota(jnp.int32, (S, IN2), 1) // rep
-        expand = (g_ids == j_grp).astype(jnp.bfloat16)
+        return (g_ids == j_grp).astype(jnp.bfloat16)
+
+    expand1 = make_expand(D2, S1)
+    expand2 = expand1 if (I2, S2) == (D2, S1) else make_expand(I2, S2)
+
+    def dequant_w(wbuf, sbuf, expand, S):
+        qb = wbuf[...].astype(jnp.int32)
+        sb = sbuf[...][:, :S]  # [TO, S] bf16 (lane-padded buffer sliced)
         srep = jax.lax.dot_general(
             sb, expand, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -919,10 +930,10 @@ def _fp4_chain_kernel(idx_ref, l_ref, xlo_ref, xhi_ref,
         return ((lo * srep).astype(jnp.bfloat16),
                 (hi * srep).astype(jnp.bfloat16))
 
-    def dequant_dot(wbuf, sbuf, xlo, xhi, TO, IN2, S):
+    def dequant_dot(wbuf, sbuf, xlo, xhi, expand, S):
         # x as [IN2, 1] columns (built on host — no in-kernel minor-dim
         # insertion, which Mosaic only supports for 32-bit types)
-        w_lo, w_hi = dequant_w(wbuf, sbuf, IN2, S)
+        w_lo, w_hi = dequant_w(wbuf, sbuf, expand, S)
         return (jax.lax.dot_general(
             w_lo, xlo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -930,16 +941,24 @@ def _fp4_chain_kernel(idx_ref, l_ref, xlo_ref, xhi_ref,
                 w_hi, xhi, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))[:, 0]
 
-    def dequant_dot_row(wbuf, sbuf, xlo_row, xhi_row, TO, IN2, S):
-        # x as [1, IN2] rows (the in-kernel de-interleaved activation —
-        # row-vector dot avoids reshaping a 16-bit vector to [IN2, 1])
-        w_lo, w_hi = dequant_w(wbuf, sbuf, IN2, S)
+    def dequant_dot_row(wbuf, sbuf, xlo_row, xhi_row, expand, S):
+        # x as [1, IN2] rows (the parity-split activation — row-vector
+        # dot avoids reshaping a 16-bit vector to [IN2, 1])
+        w_lo, w_hi = dequant_w(wbuf, sbuf, expand, S)
         return (jax.lax.dot_general(
             xlo_row, w_lo, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
             + jax.lax.dot_general(
                 xhi_row, w_hi, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))[0]
+
+    if not perm13:
+        # constant parity-selection masks for the legacy (natural-order)
+        # layout — hoisted out of the m loop
+        cols = jax.lax.broadcasted_iota(jnp.int32, (I, I2), 0)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (I, I2), 1)
+        even = (cols == rows2 * 2).astype(jnp.bfloat16)
+        odd = (cols == rows2 * 2 + 1).astype(jnp.bfloat16)
 
     start(cp1(0, 0, 0))
     start(cp3(0, 0, 0))
@@ -956,26 +975,28 @@ def _fp4_chain_kernel(idx_ref, l_ref, xlo_ref, xhi_ref,
                 start(cp3(m + 1, 0, 1 - slot))
             wait(cp1(m, t, slot))
             wait(cp3(m, t, slot))
-            g = dequant_dot(b1[slot], bs1[slot], xlo, xhi, TI, D2, S1)
-            u = dequant_dot(b3[slot], bs3[slot], xlo, xhi, TI, D2, S1)
+            g = dequant_dot(b1[slot], bs1[slot], xlo, xhi, expand1, S1)
+            u = dequant_dot(b3[slot], bs3[slot], xlo, xhi, expand1, S1)
             if limit > 0:
                 g = jnp.minimum(g, limit)
                 u = jnp.clip(u, -limit, limit)
             act_buf[0, pl.ds(t * TI, TI)] = (
                 jax.nn.sigmoid(g) * g * u).astype(jnp.bfloat16)
-        # de-interleave act by parity (packed byte k of w2 holds input
-        # elements 2k / 2k+1): one-hot selection matmuls, exact
-        cols = jax.lax.broadcasted_iota(jnp.int32, (I, I2), 0)
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (I, I2), 1)
-        even = (cols == rows2 * 2).astype(jnp.bfloat16)
-        odd = (cols == rows2 * 2 + 1).astype(jnp.bfloat16)
         a = act_buf[...]  # [1, I] bf16
-        act_lo = jax.lax.dot_general(
-            a, even, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        act_hi = jax.lax.dot_general(
-            a, odd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        if perm13:
+            # w13 rows pre-permuted evens-then-odds: the halves ARE the
+            # parity split (lane-aligned slices — I2 % 128 == 0 gated)
+            act_lo = a[:, :I2]
+            act_hi = a[:, I2:]
+        else:
+            # de-interleave act by parity (packed byte k of w2 holds
+            # input elements 2k / 2k+1): one-hot selection matmuls, exact
+            act_lo = jax.lax.dot_general(
+                a, even, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            act_hi = jax.lax.dot_general(
+                a, odd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         start(cp2(m, 0, 0))
         for t in range(GD):
             slot = t % 2
@@ -983,7 +1004,7 @@ def _fp4_chain_kernel(idx_ref, l_ref, xlo_ref, xhi_ref,
                 start(cp2(m, t + 1, 1 - slot))
             wait(cp2(m, t, slot))
             y = dequant_dot_row(b2[slot], bs2[slot], act_lo, act_hi,
-                                TD, I2, S2)
+                                expand2, S2)
             o_ref[0, m, pl.ds(t * TD, TD)] = y
 
 
@@ -1005,9 +1026,24 @@ def fp4_chain_supported(w1, w2, M: int, in_tile: int = 256,
             and D2 // s1.shape[-1] == I2 // s2.shape[-1])
 
 
+def perm13_rows(I: int):
+    """Evens-then-odds output-row permutation for the fused fp4 chain.
+
+    Applying ``w[..., perm, :]`` (and the same to the [.., I, S] scales)
+    to w1/w3 at LOAD time makes the chain kernel's SwiGLU buffer land
+    already parity-split for w2's packed-nibble halves — the in-kernel
+    de-interleave matmuls disappear. Exact: a permutation of the hidden
+    expert-intermediate dimension, invisible outside the w13→w2 pair."""
+    import numpy as np
+
+    return jnp.asarray(
+        np.concatenate([np.arange(0, I, 2), np.arange(1, I, 2)]),
+        jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("limit", "in_tile", "out_tile",
-                                    "interpret"))
+                                    "interpret", "perm13"))
 def moe_fp4_chain(
     x: jax.Array,     # [M, D] f32/bf16 activations
     w1: jax.Array,    # [E, I, D//2] uint8 packed (or [L, E, ...])
@@ -1022,10 +1058,14 @@ def moe_fp4_chain(
     out_tile: int = 256,
     interpret: bool = False,
     layer: jax.Array = None,
+    perm13: bool = False,
 ) -> jax.Array:
     """Fused packed-fp4 routed chain (checkpoint-exact resident mode):
     one pallas call per layer replaces the three moe_fp4_gemv calls.
-    Weight traffic stays 4-bit packed end to end."""
+    Weight traffic stays 4-bit packed end to end. ``perm13=True``
+    asserts w1/w3/s1/s3 rows were pre-permuted with :func:`perm13_rows`
+    (evens-then-odds), eliminating the in-kernel activation
+    de-interleave."""
     M, D = x.shape
     stacked = w1.ndim == 4
     I = w1.shape[-2]
@@ -1059,7 +1099,8 @@ def moe_fp4_chain(
 
     out = pl.pallas_call(
         functools.partial(_fp4_chain_kernel, Mp=M, TI=TI, TD=TD, rep=rep,
-                          limit=limit, stacked=stacked, S1=S1, S2=S2),
+                          limit=limit, stacked=stacked, S1=S1, S2=S2,
+                          perm13=perm13),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # idx, layer
             grid=(1,),
